@@ -1,0 +1,35 @@
+"""swtpu — TPU-native Smith-Waterman local alignment framework.
+
+Built from scratch in JAX/XLA/Pallas with the capabilities of the reference
+C/OpenMP/CUDA codebase (chunhualiao/Smith-Waterman): exact int32 wavefront DP
+fill, max-score tracking, traceback, multiple execution plans behind one API,
+adaptive dispatch, banded and affine-gap modes, batched and multi-chip
+(shard_map) scaling.
+"""
+
+from .core.config import (
+    BUILTIN_A,
+    BUILTIN_B,
+    BUILTIN_LAST_CELL,
+    BUILTIN_MAX_POS,
+    BUILTIN_MAX_SCORE,
+    DIAGONAL,
+    LEFT,
+    NONE,
+    PATH,
+    UP,
+    EngineConfig,
+    Scoring,
+)
+from .core.encode import decode, encode, random_batch, random_pair
+from .engine.align import Alignment, align, score
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "align", "score", "Alignment", "Scoring", "EngineConfig",
+    "encode", "decode", "random_pair", "random_batch",
+    "NONE", "UP", "LEFT", "DIAGONAL", "PATH",
+    "BUILTIN_A", "BUILTIN_B", "BUILTIN_MAX_SCORE", "BUILTIN_MAX_POS",
+    "BUILTIN_LAST_CELL",
+]

@@ -1,0 +1,89 @@
+"""Scoring model and framework configuration.
+
+TPU-native re-design of the reference's compile-time configuration surface:
+
+* the reference hard-codes ``matchScore=3 / missmatchScore=-3 / gapScore=-2``
+  as globals (``serial_smithW.c:59-61``) and predecessor codes
+  ``NONE/UP/LEFT/DIAGONAL = 0/1/2/3`` (``serial_smithW.c:23-27``);
+* ``parameters.h`` holds the serial-vs-parallel ``CUTOFF=1024`` knob and the
+  print-only ``FACTOR=128``;
+* v7's adaptive thresholds ``MEDIUM=10240 / LARGE=20480`` live at
+  ``omp_smithW-v7-adaptive.cpp:106-107``.
+
+Here all of that is *runtime* configuration carried by frozen dataclasses so it
+can flow through ``jax.jit`` as static arguments.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+# Predecessor codes — parity contract with the reference constant block
+# (serial_smithW.c:23-27). The traceback marks path cells by negation
+# (PATH = -1 multiplier, serial_smithW.c:274).
+NONE = 0
+UP = 1
+LEFT = 2
+DIAGONAL = 3
+PATH = -1
+
+
+@dataclasses.dataclass(frozen=True)
+class Scoring:
+    """Substitution + gap model.
+
+    ``mode='linear'`` reproduces the reference exactly (one gap penalty,
+    serial_smithW.c:61,195-198). ``mode='affine'`` adds Gotoh H/E/F
+    recurrences (gap_open charged on opening, gap_extend per extension) —
+    a capability extension called for by the TPU build's north star.
+    """
+
+    match: int = 3
+    mismatch: int = -3
+    gap: int = -2                 # linear gap penalty (mode='linear')
+    gap_open: int = -4            # affine: cost of the first gap position
+    gap_extend: int = -1          # affine: cost of each further gap position
+    mode: str = "linear"          # 'linear' | 'affine'
+
+    def __post_init__(self):
+        if self.mode not in ("linear", "affine"):
+            raise ValueError(f"unknown gap mode {self.mode!r}")
+
+    @property
+    def is_affine(self) -> bool:
+        return self.mode == "affine"
+
+
+# The reference's built-in golden example (Wikipedia): a="TGTTACGG",
+# b="GGTTGACTA" (serial_smithW.c:107-124). Invariants: global max score 13 at
+# padded row-major index 69 (i=7, j=6 with m=9 padded columns), bottom-right
+# cell H[last]==7 (omp_smithW-v1-refinedOrig.cpp:229-238).
+BUILTIN_A = "TGTTACGG"
+BUILTIN_B = "GGTTGACTA"
+BUILTIN_MAX_SCORE = 13
+BUILTIN_MAX_POS = 69          # row-major index in the padded (n+1)x(m+1) matrix
+BUILTIN_LAST_CELL = 7
+
+
+@dataclasses.dataclass(frozen=True)
+class EngineConfig:
+    """Execution-plan configuration (the parameters.h / v7-threshold analog).
+
+    Thresholds are in *cells* (m*n) unless noted. ``dispatch/autotune.py`` can
+    rewrite these from measured GCUPS — the ``tuneCutoff.sh`` analog, but at
+    runtime instead of sed-rebuild.
+    """
+
+    # lax.scan full-matrix fill is fastest below this many cells (compile
+    # overhead amortization; the CUTOFF=1024 analog at a coarser granularity).
+    scan_max_cells: int = 1 << 22
+    # Pallas stripe kernel parameters.
+    stripe_rows: int = 1024       # lanes per stripe (8 sublanes x 128 lanes)
+    # banded mode: half-width of the band (|i-j| <= band). None = full matrix.
+    band: Optional[int] = None
+    # keep the predecessor matrix for traceback. False = score-only
+    # (the -DSKIP_BACKTRACK=1 benchmark mode, makefile:9).
+    traceback: bool = True
+    # score dtype; int32 is the parity dtype (reference uses C int).
+    dtype: str = "int32"

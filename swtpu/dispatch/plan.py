@@ -1,0 +1,28 @@
+"""Adaptive execution-plan dispatch — the v7/v8 analog.
+
+The reference picks serial / CPU-parallel / GPU per *diagonal* with fixed
+thresholds (omp_smithW-v7-adaptive.cpp:106-107,303-397) or an Apollo-learned
+policy (omp_smithW-v8-apollo.cpp:304-420). Under XLA the whole fill is one
+compiled program, so the dispatch granularity is the *problem*, not the
+diagonal: small problems run the scan plan (lower launch/compile overhead),
+large single-chip problems run the Pallas stripe kernel, and huge ones go to
+the multi-chip pipeline. Thresholds live in EngineConfig and can be re-fit by
+``dispatch.autotune`` (the tuneCutoff.sh analog).
+"""
+
+from __future__ import annotations
+
+import jax
+
+from ..core.config import EngineConfig
+
+
+def choose_plan(m: int, n: int, config: EngineConfig = EngineConfig()) -> str:
+    """Return 'scan' or 'stripe' for a single-pair problem of m cols, n rows."""
+    cells = m * n
+    on_tpu = jax.default_backend() == "tpu"
+    if not on_tpu:
+        return "scan"
+    if cells <= config.scan_max_cells:
+        return "scan"
+    return "stripe"

@@ -1,0 +1,139 @@
+"""Top-level alignment engine: one API, many execution plans.
+
+The reference exposes its strategy ladder as separate binaries (v0..v8,
+SURVEY.md §2); here every plan sits behind ``align()`` / ``score()`` and is
+selected by ``swtpu.dispatch`` (the v7/v8 analog) or forced via ``plan=``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Union
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..core import oracle
+from ..core.config import EngineConfig, Scoring
+from ..core.encode import DNA_ALPHABET, encode
+from ..kernels.scan_fill import diag_to_rowmajor, scan_fill
+
+
+@dataclasses.dataclass
+class Alignment:
+    """Structured result record (replaces the reference's printf reporting,
+    omp_smithW.c:99-101,230-234, with actual data)."""
+
+    max_score: int
+    max_i: int                 # padded row index of the first global max
+    max_j: int                 # padded col index
+    last_cell: int             # H[n, m] — the reference's H[m*n-1] invariant
+    aligned_a: Optional[str] = None
+    aligned_b: Optional[str] = None
+    path: Optional[list] = None          # row-major indices, end-first
+    H: Optional[np.ndarray] = None       # (n+1, m+1) when return_matrices
+    P: Optional[np.ndarray] = None
+
+    @property
+    def max_pos(self) -> int:
+        """Row-major padded index — the reference's maxPos."""
+        if self.P is not None:
+            m1 = self.P.shape[1]
+        else:
+            m1 = self._m1
+        return self.max_i * m1 + self.max_j
+
+    _m1: int = 0  # padded width, set by the engine
+
+
+def _as_codes(seq) -> np.ndarray:
+    if isinstance(seq, str):
+        return encode(seq)
+    return np.asarray(seq, dtype=np.int8)
+
+
+def align(
+    a: Union[str, np.ndarray],
+    b: Union[str, np.ndarray],
+    scoring: Scoring = Scoring(),
+    config: EngineConfig = EngineConfig(),
+    *,
+    traceback: Optional[bool] = None,
+    return_matrices: bool = False,
+    plan: Optional[str] = None,
+) -> Alignment:
+    """Align sequence ``a`` (columns, length m) against ``b`` (rows, length n).
+
+    Argument order matches the reference CLI (``argv: <cols m> <rows n>``,
+    omp_smithW.c:91-96). Plans: 'scan' (XLA, portable), 'stripe' (Pallas,
+    TPU), 'auto' (dispatch). Traceback runs on host from the device-captured
+    predecessor matrix, like the reference's host backtrack after offload
+    (omp_smithW-v6.3-target-inlined.cpp:332 then backtrack).
+    """
+    a_codes, b_codes = _as_codes(a), _as_codes(b)
+    m, n = len(a_codes), len(b_codes)
+    want_tb = config.traceback if traceback is None else traceback
+
+    if m == 0 or n == 0:
+        # Degenerate: an empty sequence aligns to nothing (all-zero matrix).
+        res = Alignment(max_score=0, max_i=0, max_j=0, last_cell=0)
+        if return_matrices:
+            res.H = np.zeros((n + 1, m + 1), np.int32)
+            res.P = np.zeros((n + 1, m + 1), np.int8)
+        res._m1 = m + 1
+        return res
+
+    if plan in (None, "auto"):
+        from ..dispatch.plan import choose_plan
+        plan = choose_plan(m, n, config)
+
+    if plan == "stripe":
+        from ..kernels.pallas_fill import stripe_fill_supported
+        if not stripe_fill_supported(m, n, want_tb):
+            plan = "scan"
+
+    if plan == "scan":
+        out = scan_fill(
+            jnp.asarray(a_codes), jnp.asarray(b_codes),
+            scoring=scoring, return_p=want_tb or return_matrices,
+            return_h=return_matrices, band=config.band,
+        )
+        P = (diag_to_rowmajor(out.p_diag, n, m)
+             if out.p_diag is not None else None)
+        H = (diag_to_rowmajor(out.h_diag, n, m)
+             if out.h_diag is not None else None)
+    elif plan == "stripe":
+        from ..kernels.pallas_fill import stripe_fill
+        out, P, H = stripe_fill(
+            a_codes, b_codes, scoring=scoring, config=config,
+            return_p=want_tb or return_matrices, return_h=return_matrices,
+        )
+    else:
+        raise ValueError(f"unknown plan {plan!r}")
+
+    res = Alignment(
+        max_score=int(out.max_score),
+        max_i=int(out.max_i), max_j=int(out.max_j),
+        last_cell=int(out.last_cell),
+        H=H if return_matrices else None,
+        P=P if return_matrices else None,
+    )
+    res._m1 = m + 1
+    if want_tb and P is not None and res.max_score > 0:
+        max_pos = res.max_i * (m + 1) + res.max_j
+        res.path = oracle.backtrack(P, max_pos)
+        res.aligned_a, res.aligned_b = oracle.alignment_strings(
+            a_codes, b_codes, P, max_pos, alphabet=DNA_ALPHABET)
+    return res
+
+
+def score(
+    a: Union[str, np.ndarray],
+    b: Union[str, np.ndarray],
+    scoring: Scoring = Scoring(),
+    config: EngineConfig = EngineConfig(),
+    *,
+    plan: Optional[str] = None,
+) -> int:
+    """Score-only fast path (the -DSKIP_BACKTRACK benchmark mode)."""
+    return align(a, b, scoring, config, traceback=False, plan=plan).max_score

@@ -1,0 +1,55 @@
+"""End-to-end engine tests: align() API, traceback, score()."""
+
+import numpy as np
+
+from swtpu import (
+    BUILTIN_A, BUILTIN_B, BUILTIN_LAST_CELL, BUILTIN_MAX_POS,
+    BUILTIN_MAX_SCORE, EngineConfig, Scoring, align, score,
+)
+from swtpu.core import oracle
+from swtpu.core.encode import random_pair
+
+
+def test_align_builtin():
+    r = align(BUILTIN_A, BUILTIN_B)
+    assert r.max_score == BUILTIN_MAX_SCORE
+    assert r.max_pos == BUILTIN_MAX_POS
+    assert r.last_cell == BUILTIN_LAST_CELL
+    assert r.aligned_a == "GTT-AC"
+    assert r.aligned_b == "GTTGAC"
+    assert r.path[0] == BUILTIN_MAX_POS
+
+
+def test_align_matrices():
+    a, b = random_pair(21, 17, seed=2)
+    ref = oracle.fill(a, b)
+    r = align(a, b, return_matrices=True)
+    np.testing.assert_array_equal(r.H, ref.H)
+    np.testing.assert_array_equal(r.P, ref.P)
+    assert r.max_pos == ref.max_pos
+
+
+def test_score_only():
+    a, b = random_pair(50, 60, seed=4)
+    assert score(a, b) == oracle.fill(a, b).max_score
+
+
+def test_affine_align():
+    sc = Scoring(mode="affine", gap_open=-4, gap_extend=-1)
+    a, b = random_pair(30, 30, seed=9)
+    r = align(a, b, scoring=sc)
+    assert r.max_score == oracle.fill_loop(a, b, sc).max_score
+
+
+def test_banded_config():
+    a, b = random_pair(32, 32, seed=1)
+    cfg = EngineConfig(band=64)
+    assert align(a, b, config=cfg).max_score == oracle.fill(a, b).max_score
+
+
+def test_empty_alignment_score_zero():
+    # all-mismatch inputs: max score can still be 0 only if no letter matches;
+    # with a 4-letter alphabet that needs disjoint letters
+    r = align("AAAA", "TTTT", scoring=Scoring(match=3, mismatch=-3, gap=-2))
+    assert r.max_score == 0
+    assert r.aligned_a is None  # no path when nothing scored
