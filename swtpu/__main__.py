@@ -1,0 +1,112 @@
+"""CLI — mirrors the reference binaries' interface.
+
+``python -m swtpu``             -> builtin golden example with asserts
+                                   (the reference's no-arg mode,
+                                   serial_smithW.c:72-78)
+``python -m swtpu <cols> <rows>`` -> random pair of that size, timed fill
+                                   (omp_smithW.c:91-96 argv order: m then n)
+
+Environment/flags replace the reference's compile-time knobs: ``--debug``
+prints H and the arrow predecessor matrix (-DDEBUG), ``--skip-backtrack``
+is the -DSKIP_BACKTRACK=1 benchmark mode, ``--plan`` forces an execution
+strategy (the v0..v8 ladder behind one binary).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(
+        prog="swtpu", description="TPU-native Smith-Waterman alignment")
+    ap.add_argument("m", nargs="?", type=int, default=None,
+                    help="columns (length of a)")
+    ap.add_argument("n", nargs="?", type=int, default=None,
+                    help="rows (length of b)")
+    ap.add_argument("--plan", default=None,
+                    choices=["scan", "stripe", "auto"],
+                    help="execution plan (default: adaptive dispatch)")
+    ap.add_argument("--band", type=int, default=None, help="band half-width")
+    ap.add_argument("--affine", action="store_true",
+                    help="affine gaps (Gotoh) instead of linear")
+    ap.add_argument("--match", type=int, default=3)
+    ap.add_argument("--mismatch", type=int, default=-3)
+    ap.add_argument("--gap", type=int, default=-2)
+    ap.add_argument("--gap-open", type=int, default=-4)
+    ap.add_argument("--gap-extend", type=int, default=-1)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--debug", action="store_true",
+                    help="print H and predecessor matrices (-DDEBUG analog)")
+    ap.add_argument("--skip-backtrack", action="store_true",
+                    help="score-only benchmark mode (-DSKIP_BACKTRACK analog)")
+    ap.add_argument("--repeat", type=int, default=1)
+    args = ap.parse_args(argv)
+
+    from . import (BUILTIN_A, BUILTIN_B, BUILTIN_LAST_CELL, BUILTIN_MAX_POS,
+                   BUILTIN_MAX_SCORE, EngineConfig, Scoring, align,
+                   random_pair)
+    from .core import oracle
+    from .instrument.metrics import gcups, memory_footprint_bytes
+    from .instrument.printers import format_matrix, format_predecessor_matrix
+
+    if (args.m is not None and args.m <= 0) or (args.n is not None and args.n <= 0):
+        ap.error("matrix sizes must be positive")
+    use_builtin = args.m is None or args.n is None
+    if use_builtin:
+        a, b = BUILTIN_A, BUILTIN_B
+        m, n = len(a), len(b)
+        print("Using built-in data for testing ...")
+    else:
+        m, n = args.m, args.n
+        a, b = random_pair(m, n, seed=args.seed)
+    print(f"Matrix[{n}][{m}]  ({m*n/1e6:.2f} Mcells, "
+          f"~{memory_footprint_bytes(m, n, not args.skip_backtrack)/1e6:.1f} MB working set)")
+
+    scoring = Scoring(
+        match=args.match, mismatch=args.mismatch, gap=args.gap,
+        gap_open=args.gap_open, gap_extend=args.gap_extend,
+        mode="affine" if args.affine else "linear",
+    )
+    config = EngineConfig(band=args.band, traceback=not args.skip_backtrack)
+
+    best = None
+    res = None
+    for rep in range(max(1, args.repeat)):
+        t0 = time.perf_counter()
+        res = align(a, b, scoring=scoring, config=config, plan=args.plan)
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+        print(f"Elapsed time for scoring matrix computation: {dt:.6f}  "
+              f"({gcups(m*n, dt):.3f} GCUPS)")
+
+    print(f"Max score {res.max_score} at (i={res.max_i}, j={res.max_j}) "
+          f"[padded row-major index {res.max_pos}]")
+    if res.aligned_a is not None:
+        print(f"Alignment:\n  a: {res.aligned_a}\n  b: {res.aligned_b}")
+
+    if args.debug:
+        r = align(a, b, scoring=scoring, config=config, plan=args.plan,
+                  return_matrices=True)
+        print("\nSimilarity Matrix:")
+        sys.stdout.write(format_matrix(r.H))
+        print("\nPredecessor Matrix:")
+        marked = oracle.mark_path(r.P, r.max_pos) if r.max_score > 0 else r.P
+        sys.stdout.write(format_predecessor_matrix(marked))
+
+    if use_builtin and not args.affine and args.band is None:
+        ok = (res.max_score == BUILTIN_MAX_SCORE
+              and res.max_pos == BUILTIN_MAX_POS
+              and res.last_cell == BUILTIN_LAST_CELL)
+        print(f"Verifying correctness using builtin data = {int(ok)}")
+        if not ok:
+            return 1
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -17,11 +17,20 @@ import jax
 from ..core.config import EngineConfig
 
 
+def current_platform() -> str:
+    """Platform computations actually land on (respects jax_default_device,
+    which the tests use to pin virtual CPU devices — jax.default_backend()
+    alone would still claim 'tpu' under the axon plugin)."""
+    dev = jax.config.jax_default_device
+    if dev is not None:
+        return dev if isinstance(dev, str) else dev.platform
+    return jax.default_backend()
+
+
 def choose_plan(m: int, n: int, config: EngineConfig = EngineConfig()) -> str:
     """Return 'scan' or 'stripe' for a single-pair problem of m cols, n rows."""
     cells = m * n
-    on_tpu = jax.default_backend() == "tpu"
-    if not on_tpu:
+    if current_platform() != "tpu":
         return "scan"
     if cells <= config.scan_max_cells:
         return "scan"

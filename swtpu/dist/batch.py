@@ -1,0 +1,103 @@
+"""Data-parallel batched alignment over a device mesh.
+
+The reference processes one pair per process (SURVEY.md §2.6: data
+parallelism is absent). Here a batch of pairs shards across chips with
+`shard_map`; each device vmaps the scan/stripe fill over its shard, and the
+global best hit merges with a deterministic lexicographic reduction —
+replacing the reference's `omp critical` (omp_smithW.c:384-387) and
+atomicCAS retry loops (cuda_global_mem_smithW.cu:246-260) with a
+race-free-by-construction collective.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..core.config import Scoring
+from ..kernels.scan_fill import scan_fill
+
+
+class BatchHits(NamedTuple):
+    scores: jax.Array      # (B,) int32 max score per pair
+    max_i: jax.Array       # (B,) int32 padded row of each pair's first max
+    max_j: jax.Array       # (B,) int32
+
+
+class BestHit(NamedTuple):
+    score: jax.Array       # () int32 best score over the whole batch
+    pair: jax.Array        # () int32 index of the first best pair
+    max_i: jax.Array       # () int32
+    max_j: jax.Array       # () int32
+
+
+def _pair_fill(a, b, scoring, band):
+    out = scan_fill(a, b, scoring=scoring, band=band)
+    return out.max_score, out.max_i, out.max_j
+
+
+def batch_score(a_batch, b_batch, scoring: Scoring = Scoring(),
+                band: Optional[int] = None) -> BatchHits:
+    """Single-device batched scoring (vmap over pairs)."""
+    s, i, j = jax.vmap(
+        functools.partial(_pair_fill, scoring=scoring, band=band)
+    )(jnp.asarray(a_batch), jnp.asarray(b_batch))
+    return BatchHits(s, i, j)
+
+
+def make_sharded_batch_scorer(mesh: Mesh, scoring: Scoring = Scoring(),
+                              band: Optional[int] = None, axis: str = "data"):
+    """Build a jitted scorer: (B, m) x (B, n) -> BatchHits, batch sharded
+    over `axis`. B must divide evenly by the axis size (pad the batch)."""
+
+    def local(a_shard, b_shard):
+        return batch_score(a_shard, b_shard, scoring, band)
+
+    sharded = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(axis, None), P(axis, None)),
+        out_specs=BatchHits(P(axis), P(axis), P(axis)),
+        check_vma=False,   # scan carry inits are replicated constants
+    )
+    return jax.jit(sharded)
+
+
+def make_best_hit_reducer(mesh: Mesh, scoring: Scoring = Scoring(),
+                          band: Optional[int] = None, axis: str = "data"):
+    """Build a jitted database-search reducer: returns only the global best
+    hit (score, pair index, position), merged across devices with a packed
+    lexicographic pmax — deterministic first-occurrence semantics matching
+    the oracle's row-major rule extended to batch order."""
+
+    def local(a_shard, b_shard):
+        hits = batch_score(a_shard, b_shard, scoring, band)
+        local_b = hits.scores.shape[0]
+        base = lax.axis_index(axis) * local_b
+        pair_ids = base + jnp.arange(local_b, dtype=jnp.int32)
+        # local argmax with first-pair-wins tie rule
+        k = jnp.argmax(hits.scores)
+        s, i, j, pid = hits.scores[k], hits.max_i[k], hits.max_j[k], pair_ids[k]
+        # deterministic global merge (int32 throughout — no x64 needed):
+        # 1) pmax the score; 2) pmin the pair id among score-winners
+        # (first-pair-wins tie rule); 3) the unique winner broadcasts its
+        # coordinates via psum of masked values.
+        best_score = lax.pmax(s, axis)
+        cand = jnp.where(s == best_score, pid, jnp.int32(2**31 - 1))
+        best_pair = lax.pmin(cand, axis)
+        mine = (best_pair == pid) & (s == best_score)
+        bi = lax.psum(jnp.where(mine, i, 0), axis)
+        bj = lax.psum(jnp.where(mine, j, 0), axis)
+        return BestHit(best_score, best_pair, bi, bj)
+
+    sharded = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(axis, None), P(axis, None)),
+        out_specs=BestHit(P(), P(), P(), P()),
+        check_vma=False,   # scan carry inits are replicated constants
+    )
+    return jax.jit(sharded)

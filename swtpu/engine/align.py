@@ -127,6 +127,29 @@ def align(
     return res
 
 
+def _fill_fn_for_bench(m: int, n: int, scoring: Scoring = Scoring()):
+    """Return (jittable score-only fill fn, plan name) for benchmarking.
+
+    The fn takes device arrays (a, b) and returns (max_score, max_i, max_j)
+    so timing excludes host traceback — the reference times exactly this
+    phase (omp_smithW.c:199-228)."""
+    from ..dispatch.plan import choose_plan
+    plan = choose_plan(m, n)
+    if plan == "stripe":
+        from ..kernels.pallas_fill import stripe_fill_supported
+        if not stripe_fill_supported(m, n, traceback=False):
+            plan = "scan"
+    if plan == "stripe":
+        from ..kernels.pallas_fill import stripe_score_fn
+        return stripe_score_fn(m, n, scoring), "stripe"
+
+    def fn(a, b):
+        out = scan_fill(a, b, scoring=scoring)
+        return out.max_score, out.max_i, out.max_j
+
+    return fn, "scan"
+
+
 def score(
     a: Union[str, np.ndarray],
     b: Union[str, np.ndarray],

@@ -16,3 +16,10 @@ if "xla_force_host_platform_device_count" not in flags:
 # them across runs to keep the suite fast.
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/swtpu-jax-cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
+
+# The axon TPU plugin ignores JAX_PLATFORMS; force placement via the default
+# device instead (jax.default_backend() still reports 'tpu', but all arrays
+# and jit executions land on the virtual CPU devices).
+import jax  # noqa: E402
+
+jax.config.update("jax_default_device", "cpu")

@@ -1,0 +1,51 @@
+"""Multi-device batch tests on the 8-virtual-CPU mesh — coverage the
+reference never had (it is strictly single-node, SURVEY.md §4)."""
+
+import jax
+import numpy as np
+import pytest
+
+from swtpu.core import oracle
+from swtpu.core.encode import random_batch
+from swtpu.dist.batch import (batch_score, make_best_hit_reducer,
+                              make_sharded_batch_scorer)
+from swtpu.dist.mesh import data_mesh
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    return data_mesh(8, platform="cpu")
+
+
+def test_batch_score_single_device():
+    aa, bb = random_batch(5, 40, 30, seed=0)
+    hits = batch_score(aa, bb)
+    for k in range(5):
+        ref = oracle.fill(aa[k], bb[k])
+        assert int(hits.scores[k]) == ref.max_score
+        assert (int(hits.max_i[k]), int(hits.max_j[k])) == ref.max_ij
+
+
+def test_sharded_batch_matches_oracle(mesh):
+    B, m, n = 16, 48, 32
+    aa, bb = random_batch(B, m, n, seed=1)
+    scorer = make_sharded_batch_scorer(mesh)
+    hits = scorer(jax.numpy.asarray(aa), jax.numpy.asarray(bb))
+    for k in range(B):
+        ref = oracle.fill(aa[k], bb[k])
+        assert int(hits.scores[k]) == ref.max_score, k
+        assert (int(hits.max_i[k]), int(hits.max_j[k])) == ref.max_ij
+
+
+def test_best_hit_reducer(mesh):
+    B, m, n = 24, 40, 24
+    aa, bb = random_batch(B, m, n, seed=2)
+    reducer = make_best_hit_reducer(mesh)
+    best = reducer(jax.numpy.asarray(aa), jax.numpy.asarray(bb))
+    refs = [oracle.fill(aa[k], bb[k]) for k in range(B)]
+    scores = [r.max_score for r in refs]
+    top = max(scores)
+    first = scores.index(top)          # first-pair-wins tie rule
+    assert int(best.score) == top
+    assert int(best.pair) == first
+    assert (int(best.max_i), int(best.max_j)) == refs[first].max_ij
