@@ -89,8 +89,8 @@ def align(
 
     if plan == "stripe":
         from ..kernels.pallas_fill import stripe_fill_supported
-        if not stripe_fill_supported(m, n, want_tb):
-            plan = "scan"
+        if return_matrices or not stripe_fill_supported(m, n, want_tb):
+            plan = "scan"     # stripe never materializes H
 
     if plan == "scan":
         out = scan_fill(

@@ -1,16 +1,463 @@
-"""Pallas TPU stripe kernel — the performance path (placeholder this commit).
+"""Pallas TPU stripe kernel — the single-chip performance path.
 
-Lands next: row-stationary systolic stripe fill with rolling VMEM wavefront
-buffers (the TPU-native re-design of rotated-cuda/sw-rotated-cuda-unified.cu's
-three rolling diagonals, built for the 8x128 VPU instead of CUDA threads).
+TPU-native re-design of the reference's GPU strategies. Where the CUDA family
+launches one thread per cell of one anti-diagonal
+(simple-cuda/cuda_global_mem_smithW.cu:165-261) and the rotated family keeps
+three rolling diagonal buffers in unified memory
+(rotated-cuda/sw-rotated-cuda-unified.cu:225-241), this kernel:
+
+* processes the matrix in **stripes of T rows** (T = 1024 default, held as a
+  (T/128, 128) int32 register tile = full VPU lanes);
+* sweeps the stripe's anti-diagonals with a **row-stationary systolic
+  layout**: lane k is row k+1 of the stripe; per step, LEFT is the same lane
+  one step back, UP/DIAG are lane k-1 one/two steps back — one linearized
+  lane-shift (two `pltpu.roll`s + select) implements the dependency;
+* slides the **query window** one lane per step: lane 0 ingests a[t] at step
+  t (a chunk of `a` is loaded 128-aligned and rolled one lane per step), so
+  substitution scoring is a single vector compare — no gathers, no rotated
+  storage;
+* chains stripes through a **bottom-row boundary buffer** in VMEM scratch
+  (persistent across the sequential TPU grid), the analog of the reference's
+  data-residency lesson (v6.3's device-resident H/P,
+  omp_smithW-v6.3-target-inlined.cpp:237-332): nothing round-trips to HBM
+  between stripes except the optional predecessor stream;
+* tracks the global max with per-lane (first-step-wins) registers reduced
+  once per stripe — replacing `omp critical` / atomicCAS retry loops with
+  race-free vector selects.
+
+All state lives in VMEM/SMEM scratch; steps are chunked (C per grid step) so
+the predecessor stream pipelines to HBM through Pallas's automatic double
+buffering while compute continues.
 """
 
 from __future__ import annotations
 
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..core.config import DIAGONAL, LEFT, NONE, UP, EngineConfig, Scoring
+
+LANES = 128
+BIG = 2**30
+
+# Practical single-kernel width cap: Q + boundary row must fit VMEM
+# (4 bytes * ~2m each; 16 MB VMEM). Beyond this, the multi-chip pipeline or
+# host-level column chunking takes over.
+MAX_WIDTH = 1 << 20
+
 
 def stripe_fill_supported(m: int, n: int, traceback: bool) -> bool:
-    return False
+    return m >= 2 and n >= 1 and m <= MAX_WIDTH
 
 
-def stripe_fill(*args, **kwargs):
-    raise NotImplementedError("Pallas stripe kernel lands in a later commit")
+def _interpret_default() -> bool:
+    from ..dispatch.plan import current_platform
+    try:
+        return current_platform() != "tpu"
+    except Exception:
+        return True
+
+
+def _kernel(scoring: Scoring, T: int, C: int, m: int, n: int,
+            steps: int, num_chunks: int, return_p: bool):
+    sub_rows = T // LANES
+    match = int(scoring.match)
+    mismatch = int(scoring.mismatch)
+    gap = int(scoring.gap)
+    affine = scoring.is_affine
+    if affine:
+        g_open = int(scoring.gap_open)
+        g_ext = int(scoring.gap_extend)
+        neg = -(1 << 24)
+    # Boundary-row ring indexed by step: bot[t] == bottom-lane value of step
+    # t of the stripe above (= H(stripe_top - 1, j = t - T + 2)). Written one
+    # aligned C-slice per chunk, read T-2 elements ahead, so a single buffer
+    # serves producer (this stripe) and consumer (next stripe).
+    bot_len = num_chunks * C + T + C + 256
+
+    def kernel(a_ref, b_ref, best_ref, rc_ref, *rest):
+        if return_p:
+            p_ref = rest[0]
+            rest = rest[1:]
+        if affine:
+            (h1, h2, w, best, best_t, rc, bot, e1, f1, fbot) = rest
+        else:
+            (h1, h2, w, best, best_t, rc, bot) = rest
+
+        s_idx = pl.program_id(0)
+        c_idx = pl.program_id(1)
+
+        col = jax.lax.broadcasted_iota(jnp.int32, (sub_rows, LANES), 1)
+        row = jax.lax.broadcasted_iota(jnp.int32, (sub_rows, LANES), 0)
+        lin = row * LANES + col                     # lane id k; row i = k+1
+        origin = lin == 0
+        col0 = col == 0
+
+        # rows beyond n (stripe padding) are permanently invalid
+        rowlim = n - s_idx * T - 1                   # lane valid iff lin <= rowlim
+
+        @pl.when(c_idx == 0)
+        def _init_stripe():
+            zero = jnp.zeros((sub_rows, LANES), jnp.int32)
+            h1[...] = zero
+            h2[...] = zero
+            w[...] = zero - 1                        # sentinel codes
+            best[...] = zero
+            best_t[...] = zero
+            rc[...] = zero
+            if affine:
+                e1[...] = zero + neg
+                f1[...] = zero + neg
+
+            @pl.when(s_idx == 0)
+            def _():
+                bot[...] = jnp.zeros((1, bot_len), jnp.int32)
+                if affine:
+                    # F(0, j) = -inf: no vertical gap can enter from row 0
+                    fbot[...] = jnp.full((1, bot_len), neg, jnp.int32)
+
+        btile = b_ref[0]
+
+        def shifted(x, boundary):
+            r1 = pltpu.roll(x, 1, axis=1)
+            r2 = pltpu.roll(r1, 1, axis=0)
+            sh = jnp.where(col0, r2, r1)
+            return jnp.where(origin, boundary, sh)
+
+        ciota = jax.lax.broadcasted_iota(jnp.int32, (1, C), 1)
+
+        # Chunk-start aligned vector loads (Mosaic requires 128-multiple lane
+        # offsets); per-step scalars come from static slices of registers
+        # that roll one lane per step.
+        #   bw[0, 126 + tl] = bot_ring[c*C + T - 2 + tl] = H(row above, j = t)
+        #   av[0, tl]       = a[t] — the query code entering lane 0 at step t
+        bw0 = bot[0:1, pl.ds(c_idx * C + T - 128, C + 128)]
+        av0 = a_ref[0:1, pl.ds(c_idx * C, C)]
+        if affine:
+            # F boundary ring: F values of the stripe-above bottom row enter
+            # lane 0's vertical-gap chain at the same index as up_in
+            fw0 = bot[0:1, 0:1] * 0  # placeholder, replaced below
+            fw0 = fbot[0:1, pl.ds(c_idx * C + T - 128, C + 128)]
+
+        def step(tl, carry):
+            # Steps past the stripe's true extent (the chunk-padding tail)
+            # are harmless: every lane is invalid there, hn collapses to 0,
+            # and the strict-> best update never fires.
+            if affine:
+                botbuf, bw, av, fw, fbuf = carry
+            else:
+                botbuf, bw, av = carry
+            t = c_idx * C + tl
+            h1v = h1[...]
+            h2v = h2[...]
+
+            di_in = bw[0, 126]
+            up_in = bw[0, 127]
+            h1s = shifted(h1v, up_in)
+            h2s = shifted(h2v, di_in)
+
+            ins = av[0, 0]
+            wv = shifted(w[...], ins)
+            w[...] = wv
+
+            valid = (lin <= t) & (lin >= t - m + 1) & (lin <= rowlim)
+
+            sub = jnp.where(wv == btile, match, mismatch)
+            diag = h2s + sub
+            if affine:
+                e_new = jnp.maximum(h1v + g_open, e1[...] + g_ext)
+                f_new = jnp.maximum(h1s + g_open,
+                                    shifted(f1[...], fw[0, 127]) + g_ext)
+                up = f_new
+                left = e_new
+                e1[...] = jnp.where(valid, e_new, neg)
+                f1[...] = jnp.where(valid, f_new, neg)
+            else:
+                up = h1s + gap
+                left = h1v + gap
+
+            zero = jnp.zeros_like(h1v)
+            if return_p:
+                hn = zero
+                pn = zero
+                take = diag > hn
+                hn = jnp.where(take, diag, hn)
+                pn = jnp.where(take, jnp.int32(DIAGONAL), pn)
+                take = up > hn
+                hn = jnp.where(take, up, hn)
+                pn = jnp.where(take, jnp.int32(UP), pn)
+                take = left > hn
+                hn = jnp.where(take, left, hn)
+                pn = jnp.where(take, jnp.int32(LEFT), pn)
+                pn = jnp.where(valid, pn, jnp.int32(NONE))
+                p_ref[0, tl] = pn
+            else:
+                hn = jnp.maximum(jnp.maximum(diag, up),
+                                 jnp.maximum(left, zero))
+            hn = jnp.where(valid, hn, zero)
+
+            # first-occurrence max per lane (strict >, so the smallest
+            # step — i.e. smallest j — wins per row; serial_smithW.c:240)
+            better = hn > best[...]
+            best[...] = jnp.where(better, hn, best[...])
+            best_t[...] = jnp.where(better, t, best_t[...])
+
+            # right-edge capture for pipeline halos / last_cell
+            rc[...] = jnp.where(t - lin == m - 1, hn, rc[...])
+
+            h2[...] = h1v
+            h1[...] = hn
+
+            # bottom-row export: lane T-1 holds H(stripe_base+T, t-T+2);
+            # collect into the chunk register, flushed once per chunk below
+            botbuf = jnp.where(ciota == tl, hn[sub_rows - 1, LANES - 1],
+                               botbuf)
+            # left-roll by 1 == right-roll by width-1 (shift must be >= 0)
+            if affine:
+                fbuf = jnp.where(ciota == tl,
+                                 f_new[sub_rows - 1, LANES - 1], fbuf)
+                return (botbuf, pltpu.roll(bw, C + 127, axis=1),
+                        pltpu.roll(av, C - 1, axis=1),
+                        pltpu.roll(fw, C + 127, axis=1), fbuf)
+            return (botbuf,
+                    pltpu.roll(bw, C + 127, axis=1),
+                    pltpu.roll(av, C - 1, axis=1))
+
+        if affine:
+            botbuf, _, _, _, fbuf = jax.lax.fori_loop(
+                0, C, step, (jnp.zeros((1, C), jnp.int32), bw0, av0, fw0,
+                             jnp.full((1, C), neg, jnp.int32)))
+            fbot[0:1, pl.ds(c_idx * C, C)] = fbuf
+        else:
+            botbuf, _, _ = jax.lax.fori_loop(
+                0, C, step, (jnp.zeros((1, C), jnp.int32), bw0, av0))
+        # bot_ring[t] holds the bottom-lane value of step t (= H(bottom row,
+        # j = t - T + 2)); the next stripe reads it at offset T - 2.
+        bot[0:1, pl.ds(c_idx * C, C)] = botbuf
+
+        @pl.when(c_idx == num_chunks - 1)
+        def _finish_stripe():
+            bv = best[...]
+            s_star = jnp.max(bv)
+            li = jnp.where(bv == s_star, lin, BIG)
+            k_star = jnp.min(li)
+            t_star = jnp.max(jnp.where(lin == k_star, best_t[...], -1))
+            best_ref[s_idx, 0] = s_star
+            best_ref[s_idx, 1] = k_star
+            best_ref[s_idx, 2] = t_star
+            rc_ref[0] = rc[...]
+
+    return kernel
+
+
+class StripeOut(NamedTuple):
+    max_score: jax.Array
+    max_i: jax.Array
+    max_j: jax.Array
+    last_cell: jax.Array
+    right_col: jax.Array            # (n+1,) int32
+    p_stripes: Optional[jax.Array]  # (S, steps_pad, T) int32 diag-major or None
+
+
+def _build_inputs(a_codes: np.ndarray, b_codes: np.ndarray, T: int, C: int):
+    m, n = len(a_codes), len(b_codes)
+    num_stripes = -(-n // T)
+    steps = m + T - 1
+    num_chunks = -(-steps // C)
+    # a, sentinel-padded (-1) to the chunked step count: ap[0, t] = a[t]
+    ap = np.full((1, num_chunks * C), -1, dtype=np.int32)
+    ap[0, :m] = a_codes.astype(np.int32)
+    # b padded with sentinel -2 (never matches codes or the a sentinel)
+    bp = np.full((num_stripes * T,), -2, dtype=np.int32)
+    bp[:n] = b_codes.astype(np.int32)
+    bt = bp.reshape(num_stripes, T // LANES, LANES)
+    return ap, bt, num_stripes
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("scoring", "T", "C", "m", "n", "return_p", "interpret"),
+)
+def _stripe_call(q, bt, *, scoring, T, C, m, n, return_p, interpret):
+    num_stripes = bt.shape[0]
+    steps = m + T - 1
+    num_chunks = -(-steps // C)
+    sub_rows = T // LANES
+
+    kernel = _kernel(scoring, T, C, m, n, steps, num_chunks, return_p)
+
+    out_shape = [
+        jax.ShapeDtypeStruct((num_stripes, 8), jnp.int32),                 # best
+        jax.ShapeDtypeStruct((num_stripes, sub_rows, LANES), jnp.int32),   # rc
+    ]
+    out_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),    # best: full array, indexed by stripe
+        pl.BlockSpec((1, sub_rows, LANES), lambda s, c: (s, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    if return_p:
+        out_shape.append(jax.ShapeDtypeStruct(
+            (num_stripes, num_chunks * C, sub_rows, LANES), jnp.int32))
+        out_specs.append(pl.BlockSpec(
+            (1, C, sub_rows, LANES), lambda s, c: (s, c, 0, 0),
+            memory_space=pltpu.VMEM))
+
+    scratch = [
+        pltpu.VMEM((sub_rows, LANES), jnp.int32),   # h1
+        pltpu.VMEM((sub_rows, LANES), jnp.int32),   # h2
+        pltpu.VMEM((sub_rows, LANES), jnp.int32),   # w
+        pltpu.VMEM((sub_rows, LANES), jnp.int32),   # best
+        pltpu.VMEM((sub_rows, LANES), jnp.int32),   # best_t
+        pltpu.VMEM((sub_rows, LANES), jnp.int32),   # rc
+        pltpu.VMEM((1, num_chunks * C + T + C + 256),
+                   jnp.int32),                      # bottom-row boundary ring
+    ]
+    if scoring.is_affine:
+        scratch += [
+            pltpu.VMEM((sub_rows, LANES), jnp.int32),   # e1
+            pltpu.VMEM((sub_rows, LANES), jnp.int32),   # f1
+            pltpu.VMEM((1, num_chunks * C + T + C + 256),
+                       jnp.int32),                      # F boundary ring
+        ]
+
+    outs = pl.pallas_call(
+        kernel,
+        grid=(num_stripes, num_chunks),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),      # a_pad (full)
+            pl.BlockSpec((1, sub_rows, LANES), lambda s, c: (s, 0, 0),
+                         memory_space=pltpu.VMEM),      # b stripe
+        ],
+        out_shape=tuple(out_shape),
+        out_specs=tuple(out_specs),
+        scratch_shapes=scratch,
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+    )(q, bt)
+    return outs
+
+
+def stripe_fill_raw(
+    a_codes: np.ndarray,
+    b_codes: np.ndarray,
+    scoring: Scoring = Scoring(),
+    T: int = 1024,
+    C: int = 256,
+    return_p: bool = False,
+    interpret: Optional[bool] = None,
+) -> StripeOut:
+    """Run the stripe kernel; returns device arrays + host-reduced best."""
+    m, n = len(a_codes), len(b_codes)
+    if interpret is None:
+        interpret = _interpret_default()
+    T = min(T, max(LANES, ((n + LANES - 1) // LANES) * LANES))
+    ap, bt, num_stripes = _build_inputs(a_codes, b_codes, T, C)
+
+    outs = _stripe_call(
+        jnp.asarray(ap), jnp.asarray(bt), scoring=scoring, T=T, C=C,
+        m=m, n=n, return_p=return_p, interpret=interpret)
+    best = np.asarray(outs[0])
+    rc = np.asarray(outs[1]).reshape(num_stripes * T)[:n]
+    p_stripes = outs[2] if return_p else None
+
+    # lexicographic reduce across stripes: score desc, then stripe asc
+    # (smaller stripe = smaller row, matching first-occurrence row-major)
+    scores = best[:, 0]
+    s_star = int(scores.max(initial=0))
+    if s_star <= 0:
+        bi = bj = 0
+    else:
+        sidx = int(np.argmax(scores == s_star))
+        k, t = int(best[sidx, 1]), int(best[sidx, 2])
+        bi = sidx * T + k + 1
+        bj = t - k + 1
+    right_col = np.concatenate([[0], rc]).astype(np.int32)
+    last_cell = int(right_col[n])
+    return StripeOut(
+        max_score=np.int32(s_star), max_i=np.int32(bi), max_j=np.int32(bj),
+        last_cell=np.int32(last_cell), right_col=right_col,
+        p_stripes=p_stripes,
+    )
+
+
+def stripe_fill(a_codes, b_codes, scoring: Scoring = Scoring(),
+                config: EngineConfig = EngineConfig(),
+                return_p: bool = False, return_h: bool = False):
+    """Engine adapter: returns (FillOut-like, P row-major or None, H=None)."""
+    out = stripe_fill_raw(
+        np.asarray(a_codes, np.int8), np.asarray(b_codes, np.int8),
+        scoring=scoring, T=config.stripe_rows, return_p=return_p)
+    P = None
+    if return_p and out.p_stripes is not None:
+        P = p_stripes_to_rowmajor(
+            np.asarray(out.p_stripes), len(b_codes), len(a_codes))
+    if return_h:
+        raise NotImplementedError(
+            "stripe plan does not materialize H; use plan='scan'")
+    return out, P, None
+
+
+def p_stripes_to_rowmajor(p: np.ndarray, n: int, m: int) -> np.ndarray:
+    """(S, steps_pad, sub, 128) diag-major P -> padded (n+1, m+1) int8.
+
+    Stripe-local cell (i_l = k+1, j = t-k+1) lives at [s, t, k//128, k%128].
+    """
+    S, steps_pad, sub, lanes = p.shape
+    T = sub * lanes
+    out = np.zeros((n + 1, m + 1), dtype=np.int8)
+    pf = p.reshape(S, steps_pad, T)
+    for s in range(S):
+        rows = min(T, n - s * T)
+        if rows <= 0:
+            break
+        kk = np.arange(rows)[:, None]          # stripe-local lane
+        jj = np.arange(1, m + 1)[None, :]
+        tt = kk + jj - 1                       # step where (k, j) was computed
+        out[s * T + 1: s * T + rows + 1, 1:] = pf[s, tt, kk].astype(np.int8)
+    return out
+
+
+def stripe_score_fn(m: int, n: int, scoring: Scoring = Scoring(),
+                    T: int = 1024, C: int = 256):
+    """Jittable (a, b) -> (max_score, max_i, max_j) using the stripe kernel
+    with the cross-stripe reduction done on device (for benching)."""
+    interpret = _interpret_default()
+    T = min(T, max(LANES, ((n + LANES - 1) // LANES) * LANES))
+
+    def fn(a, b):
+        # inputs as device arrays of codes; build q/bt on device
+        ap, bt = _device_inputs(a, b, m, n, T, C)
+        outs = _stripe_call(ap, bt, scoring=scoring, T=T, C=C, m=m, n=n,
+                            return_p=False, interpret=interpret)
+        best = outs[0]
+        scores = best[:, 0]
+        s_star = jnp.max(scores)
+        sidx = jnp.argmax(scores == s_star).astype(jnp.int32)
+        k = best[sidx, 1]
+        t = best[sidx, 2]
+        has = s_star > 0
+        bi = jnp.where(has, sidx * T + k + 1, 0)
+        bj = jnp.where(has, t - k + 1, 0)
+        return s_star, bi, bj
+
+    return fn
+
+
+def _device_inputs(a, b, m, n, T, C):
+    num_stripes = -(-n // T)
+    steps = m + T - 1
+    num_chunks = -(-steps // C)
+    ap = jnp.full((1, num_chunks * C), -1, jnp.int32)
+    ap = ap.at[0, :m].set(a.astype(jnp.int32))
+    bp = jnp.full((num_stripes * T,), -2, jnp.int32)
+    bp = bp.at[:n].set(b.astype(jnp.int32))
+    bt = bp.reshape(num_stripes, T // LANES, LANES)
+    return ap, bt

@@ -1,0 +1,69 @@
+"""Pallas stripe kernel parity vs the golden oracle (interpret mode on CPU;
+the same kernel is validated on real TPU hardware by scripts/bench)."""
+
+import numpy as np
+import pytest
+
+import swtpu
+from swtpu.core import oracle
+from swtpu.core.encode import encode, random_pair
+from swtpu.kernels.pallas_fill import (p_stripes_to_rowmajor, stripe_fill_raw)
+
+
+def check(m, n, T=128, C=128, scoring=swtpu.Scoring(), seed=None):
+    a, b = random_pair(m, n, seed=seed if seed is not None else m * 31 + n)
+    ref = oracle.fill(a, b, scoring) if not scoring.is_affine \
+        else oracle.fill_loop(a, b, scoring)
+    out = stripe_fill_raw(a, b, scoring=scoring, T=T, C=C, return_p=True)
+    assert int(out.max_score) == ref.max_score
+    assert (int(out.max_i), int(out.max_j)) == ref.max_ij
+    assert int(out.last_cell) == int(ref.H[-1, -1])
+    np.testing.assert_array_equal(out.right_col, ref.H[:, -1])
+    P = p_stripes_to_rowmajor(np.asarray(out.p_stripes), n, m)
+    np.testing.assert_array_equal(P, ref.P)
+
+
+def test_builtin_golden():
+    a, b = encode(swtpu.BUILTIN_A), encode(swtpu.BUILTIN_B)
+    out = stripe_fill_raw(a, b, return_p=True)
+    assert int(out.max_score) == swtpu.BUILTIN_MAX_SCORE
+    assert (int(out.max_i), int(out.max_j)) == (7, 6)
+    assert int(out.last_cell) == swtpu.BUILTIN_LAST_CELL
+
+
+def test_single_stripe():
+    check(60, 100)
+
+
+def test_multi_stripe():
+    check(50, 300)          # 3 stripes of 128
+
+
+def test_wide():
+    check(300, 50, T=256)
+
+
+def test_stripe_boundary_exact():
+    check(100, 128)         # n == T exactly
+    check(100, 129)         # one row into stripe 2
+
+
+def test_multi_chunk():
+    check(520, 130, C=128)  # several chunks per stripe
+
+
+def test_affine_stripe():
+    check(80, 200, scoring=swtpu.Scoring(mode="affine", gap_open=-5,
+                                         gap_extend=-1))
+
+
+def test_score_fn_device_reduce():
+    import jax.numpy as jnp
+    from swtpu.kernels.pallas_fill import stripe_score_fn
+    m, n = 96, 260
+    a, b = random_pair(m, n, seed=4)
+    ref = oracle.fill(a, b)
+    fn = stripe_score_fn(m, n, T=128, C=128)
+    s, i, j = fn(jnp.asarray(a), jnp.asarray(b))
+    assert int(s) == ref.max_score
+    assert (int(i), int(j)) == ref.max_ij
