@@ -1,0 +1,155 @@
+"""Mega-matrix sequence-parallel pipeline: one huge DP matrix across chips.
+
+The reference's largest runs are single-device (2000 x 145002,
+experiments-lassen/v0.lassen.2k.clang11.log); its only nod to multi-GPU is a
+comment that maxPos would need `atomicCAS_system`
+(simple-cuda/cuda_global_mem_smithW.cu:257). This module is the TPU-native
+scaling story: the score matrix is split into **column stripes, one per
+device**; row blocks advance as a block-wavefront pipeline. Per stage, each
+active device fills an R x (m/D) block locally (boundary-injected fill) and
+passes its right-edge column halo to the next device over ICI via
+`lax.ppermute` — the Smith-Waterman analog of ring/context parallelism.
+The global max merges with deterministic lexicographic collectives
+(first-occurrence row-major rule preserved across devices).
+
+Pipeline fill: stages = nblocks + D - 1; the first/last D-1 stages underfill
+the mesh (inherent wavefront bubble; amortized as n >> D*R).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..core.config import Scoring
+from ..kernels.scan_fill import scan_fill
+
+
+class PipelineResult(NamedTuple):
+    max_score: jax.Array   # () int32
+    max_i: jax.Array       # () int32 global padded row
+    max_j: jax.Array       # () int32 global padded col
+    last_cell: jax.Array   # () int32 H[n, m]
+
+
+def make_pipeline(mesh: Mesh, m: int, n: int, block_rows: int,
+                  scoring: Scoring = Scoring(), axis: str = "seq"):
+    """Build a jitted (a, b) -> PipelineResult for an (n x m) single pair.
+
+    `a` is sharded over `axis` (m must divide by D); `b` is replicated.
+    `block_rows` (R) is the row-block height; n must divide by R.
+    """
+    D = mesh.shape[axis]
+    if m % D:
+        raise ValueError(f"m={m} must divide across {D} devices")
+    mc = m // D
+    if n % block_rows:
+        raise ValueError(f"n={n} must divide by block_rows={block_rows}")
+    R = block_rows
+    nblocks = n // R
+    stages = nblocks + D - 1
+    perm = [(i, i + 1) for i in range(D - 1)]
+
+    def local(a_shard, b_full):
+        d = lax.axis_index(axis)
+
+        def stage(t, carry):
+            prev_bottom, left_in, bs, bi, bj, last = carry
+            r = t - d
+            active = (r >= 0) & (r < nblocks)
+            rc = jnp.clip(r, 0, nblocks - 1)
+            b_block = lax.dynamic_slice(b_full, (rc * R,), (R,))
+
+            out = scan_fill(
+                a_shard, b_block, scoring=scoring,
+                top_row=prev_bottom, left_col=left_in,
+            )
+
+            # global coordinates of this block's first-occurrence max
+            gi = rc * R + out.max_i
+            gj = d * mc + out.max_j
+            has = active & (out.max_score > 0)
+            better = (out.max_score > bs) & has
+            tie = (out.max_score == bs) & has & (
+                (gi < bi) | ((gi == bi) & (gj < bj)))
+            upd = better | tie
+            bs = jnp.where(upd, out.max_score, bs)
+            bi = jnp.where(upd, gi, bi)
+            bj = jnp.where(upd, gj, bj)
+            last = jnp.where(active & (rc == nblocks - 1) & (d == D - 1),
+                             out.bottom_row[mc], last)
+
+            prev_bottom = jnp.where(active, out.bottom_row, prev_bottom)
+            # halo: my right edge becomes the next device's left edge at
+            # stage t+1 (device d+1 then works block r = t+1-(d+1) = t-d).
+            halo = jnp.where(active, out.right_col,
+                             jnp.zeros_like(out.right_col))
+            left_next = lax.ppermute(halo, axis, perm) if perm else \
+                jnp.zeros_like(halo)
+            return (prev_bottom, left_next, bs, bi, bj, last)
+
+        carry0 = (
+            jnp.zeros((mc + 1,), jnp.int32),   # top boundary of block row 0
+            jnp.zeros((R + 1,), jnp.int32),    # left boundary of device 0
+            jnp.int32(0), jnp.int32(0), jnp.int32(0), jnp.int32(0),
+        )
+        _, _, bs, bi, bj, last = lax.fori_loop(0, stages, stage, carry0)
+
+        # deterministic cross-device merge: score desc, then (i, j) asc —
+        # the reference's first-occurrence row-major rule globally.
+        gbs = lax.pmax(bs, axis)
+        win = bs == gbs
+        gbi = lax.pmin(jnp.where(win, bi, jnp.int32(2**31 - 1)), axis)
+        win &= bi == gbi
+        gbj = lax.pmin(jnp.where(win, bj, jnp.int32(2**31 - 1)), axis)
+        glast = lax.pmax(last, axis)   # only the last device saw H[n, m]
+        zero = jnp.where(gbs > 0, 0, 1)
+        return PipelineResult(gbs, gbi * (1 - zero), gbj * (1 - zero), glast)
+
+    sharded = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(axis), P()),
+        out_specs=PipelineResult(P(), P(), P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(sharded)
+
+
+def pipeline_align(a_codes: np.ndarray, b_codes: np.ndarray, mesh: Mesh,
+                   block_rows: int = 512, scoring: Scoring = Scoring(),
+                   axis: str = "seq") -> PipelineResult:
+    """Convenience wrapper: pad to divisibility and run the pipeline."""
+    D = mesh.shape[axis]
+    m, n = len(a_codes), len(b_codes)
+    mp = -(-m // D) * D
+    np_ = -(-n // block_rows) * block_rows
+    # pad with distinct sentinels so padded cells never score
+    a_pad = np.full((mp,), -1, np.int8)
+    a_pad[:m] = a_codes
+    b_pad = np.full((np_,), -2, np.int8)
+    b_pad[:n] = b_codes
+    fn = make_pipeline(mesh, mp, np_, block_rows, scoring, axis)
+    res = fn(jnp.asarray(a_pad), jnp.asarray(b_pad))
+    return res
+
+
+def dryrun(mesh: Mesh) -> None:
+    """Tiny end-to-end pipeline step for the driver's multichip dry run."""
+    axis = list(mesh.shape.keys())[0]
+    from ..core.encode import random_pair
+    D = mesh.shape[axis]
+    m, n = 16 * D, 32
+    a, b = random_pair(m, n, seed=0)
+    res = pipeline_align(a, b, mesh, block_rows=16, axis=axis)
+    # cross-check vs the single-device oracle
+    from ..core import oracle
+    ref = oracle.fill(a, b)
+    assert int(res.max_score) == ref.max_score, (
+        int(res.max_score), ref.max_score)
+    assert (int(res.max_i), int(res.max_j)) == ref.max_ij

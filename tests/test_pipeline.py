@@ -1,0 +1,46 @@
+"""Mega-matrix pipeline tests on the 8-virtual-CPU mesh: the sharded
+column-stripe block-wavefront must bit-match the single-device oracle."""
+
+import numpy as np
+import pytest
+
+from swtpu.core import oracle
+from swtpu.core.encode import random_pair
+from swtpu.dist.mesh import pipeline_mesh
+from swtpu.dist.pipeline import pipeline_align
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    return pipeline_mesh(8, platform="cpu")
+
+
+@pytest.mark.parametrize("m,n,R", [(64, 48, 16), (128, 64, 32), (80, 100, 20)])
+def test_pipeline_matches_oracle(mesh, m, n, R):
+    a, b = random_pair(m, n, seed=m + n)
+    ref = oracle.fill(a, b)
+    res = pipeline_align(a, b, mesh, block_rows=R)
+    assert int(res.max_score) == ref.max_score
+    assert (int(res.max_i), int(res.max_j)) == ref.max_ij
+    if m % 8 == 0 and n % R == 0:
+        assert int(res.last_cell) == int(ref.H[-1, -1])
+
+
+def test_pipeline_padded_sizes(mesh):
+    # sizes that don't divide the mesh/block — sentinel padding must not
+    # change the max
+    a, b = random_pair(99, 77, seed=5)
+    ref = oracle.fill(a, b)
+    res = pipeline_align(a, b, mesh, block_rows=16)
+    assert int(res.max_score) == ref.max_score
+    assert (int(res.max_i), int(res.max_j)) == ref.max_ij
+
+
+def test_pipeline_tie_first_occurrence(mesh):
+    # repeated motif => tied maxima; pipeline must keep the row-major-first one
+    a = np.tile(np.array([0, 1, 2, 3], np.int8), 16)   # ACGT x16 (m=64)
+    b = np.tile(np.array([0, 1, 2, 3], np.int8), 8)    # ACGT x8  (n=32)
+    ref = oracle.fill(a, b)
+    res = pipeline_align(a, b, mesh, block_rows=16)
+    assert int(res.max_score) == ref.max_score
+    assert (int(res.max_i), int(res.max_j)) == ref.max_ij
