@@ -2,10 +2,15 @@
 """Headline benchmark — prints ONE JSON line.
 
 Metric: GCUPS (giga DP-cell updates per second) for a single-pair
-score-only fill on one chip, the reference's headline measurement
-("Elapsed time for scoring matrix computation" with -DSKIP_BACKTRACK=1,
-makefile:9). Baseline: the reference's best-ever 0.54 GCUPS
-(44-core Power9, SMT, 25632^2 — BASELINE.md).
+score-only fill on one chip at the reference's largest standard sweep size
+(25632^2; "Elapsed time for scoring matrix computation" with
+-DSKIP_BACKTRACK=1, makefile:9). Baseline: the reference's best-ever
+0.54 GCUPS (44-core Power9, SMT — BASELINE.md).
+
+Timing notes for this environment: the axon device tunnel makes
+jax.block_until_ready a no-op and adds ~35 ms per value fetch, so the fill
+is dispatched K times back-to-back (the device executes serially) with one
+fetch at the end.
 """
 
 import json
@@ -21,35 +26,61 @@ import numpy as np
 
 BASELINE_GCUPS = 0.54
 M = N = 25632          # the reference's largest standard sweep size
+K = 10                 # dispatches per timed sample
 
 
-def main():
+def bench_stripe():
+    from swtpu import Scoring
     from swtpu.core.encode import random_pair
-    from swtpu.engine.align import _fill_fn_for_bench
+    from swtpu.kernels import pallas_fill as pf
 
     a, b = random_pair(M, N, seed=0)
-    a, b = jnp.asarray(a), jnp.asarray(b)
-
-    fn, plan = _fill_fn_for_bench(M, N)
-
-    def run():
-        # NOTE: fetch the scalars — block_until_ready is unreliable through
-        # the axon device tunnel (returns before execution completes).
-        out = fn(a, b)
-        return tuple(int(x) for x in out)
+    T = pf.choose_stripe_rows(M, N)
+    C = 256
+    ap, bt, S = pf._build_inputs(a, b, T, C)
+    apj, btj = jnp.asarray(ap), jnp.asarray(bt)
+    kw = dict(scoring=Scoring(), T=T, C=C, m=M, n=N,
+              return_p=False, interpret=False)
 
     t0 = time.perf_counter()
-    vals = run()
+    outs = pf._stripe_call(apj, btj, **kw)
+    best = np.asarray(outs[0])
     compile_s = time.perf_counter() - t0
 
     times = []
     for _ in range(3):
         t0 = time.perf_counter()
-        vals = run()
-        times.append(time.perf_counter() - t0)
-    fill_s = min(times)
-    score = vals[0]
+        for _ in range(K - 1):
+            pf._stripe_call(apj, btj, **kw)
+        outs = pf._stripe_call(apj, btj, **kw)
+        best = np.asarray(outs[0])
+        times.append((time.perf_counter() - t0) / K)
+    return min(times), int(best[:, 0].max()), compile_s, f"stripe(T={T},C={C})"
 
+
+def bench_scan():
+    from swtpu.core.encode import random_pair
+    from swtpu.engine.align import _fill_fn_for_bench
+
+    a, b = random_pair(M, N, seed=0)
+    aj, bj = jnp.asarray(a), jnp.asarray(b)
+    fn, plan = _fill_fn_for_bench(M, N)
+    t0 = time.perf_counter()
+    score = int(fn(aj, bj)[0])
+    compile_s = time.perf_counter() - t0
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(K - 1):
+            fn(aj, bj)
+        score = int(fn(aj, bj)[0])
+        times.append((time.perf_counter() - t0) / K)
+    return min(times), score, compile_s, plan
+
+
+def main():
+    on_tpu = jax.default_backend() == "tpu"
+    fill_s, score, compile_s, plan = bench_stripe() if on_tpu else bench_scan()
     gcups = M * N / fill_s / 1e9
     print(json.dumps({
         "metric": "single_chip_fill_GCUPS",
@@ -57,8 +88,9 @@ def main():
         "unit": "GCUPS",
         "vs_baseline": round(gcups / BASELINE_GCUPS, 2),
         "details": {
-            "m": M, "n": N, "plan": plan, "fill_s": round(fill_s, 4),
+            "m": M, "n": N, "plan": plan, "fill_s": round(fill_s, 5),
             "compile_s": round(compile_s, 2), "score": score,
+            "dispatches_per_sample": K,
             "backend": jax.default_backend(),
             "baseline": "reference v1 OpenMP 44T lassen, 0.54 GCUPS @25632^2",
         },

@@ -1,0 +1,143 @@
+"""Autotuning — the TPU-native analog of tuneCutoff.sh and Apollo.
+
+The reference tunes its serial/parallel CUTOFF by sed-rewriting parameters.h
+and rebuilding over {1..1024} (tuneCutoff.sh:1-15), and v8 delegates the
+per-diagonal policy to Apollo's measured-timing model
+(omp_smithW-v8-apollo.cpp:304-420). Here tuning is runtime:
+
+* `sweep()` measures GCUPS over a grid of (plan, stripe T, chunk C) on the
+  live device and returns the winners per problem size;
+* `save()/load()` persist the tuned table as JSON (no rebuilds);
+* `Policy` is the Apollo analog: it picks the plan for a problem size from
+  the tuned table (nearest measured size), and can update online from
+  observed timings — measured cost replaces the hand-set thresholds.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import time
+from pathlib import Path
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.config import EngineConfig, Scoring
+from ..instrument.metrics import gcups
+
+
+def _time_stripe(m: int, n: int, T: int, C: int, repeats: int = 2,
+                 k: int = 5) -> float:
+    from ..core.encode import random_pair
+    from ..kernels import pallas_fill as pf
+
+    a, b = random_pair(m, n, seed=0)
+    ap, bt, _ = pf._build_inputs(a, b, T, C)
+    apj, btj = jnp.asarray(ap), jnp.asarray(bt)
+    kw = dict(scoring=Scoring(), T=T, C=C, m=m, n=n,
+              return_p=False, interpret=pf._interpret_default())
+    np.asarray(pf._stripe_call(apj, btj, **kw)[0])    # compile
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        for _ in range(k - 1):
+            pf._stripe_call(apj, btj, **kw)
+        np.asarray(pf._stripe_call(apj, btj, **kw)[0])
+        best = min(best, (time.perf_counter() - t0) / k)
+    return best
+
+
+def _time_scan(m: int, n: int, repeats: int = 2, k: int = 3) -> float:
+    from ..core.encode import random_pair
+    from ..kernels.scan_fill import scan_fill
+
+    a, b = random_pair(m, n, seed=0)
+    aj, bj = jnp.asarray(a), jnp.asarray(b)
+    int(scan_fill(aj, bj).max_score)                  # compile
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        for _ in range(k - 1):
+            scan_fill(aj, bj)
+        int(scan_fill(aj, bj).max_score)
+        best = min(best, (time.perf_counter() - t0) / k)
+    return best
+
+
+def sweep(sizes=(512, 2048, 8192, 25632),
+          t_candidates=(None, 4096, 8192, 16384),
+          c_candidates=(128, 256, 512),
+          verbose: bool = True) -> dict:
+    """Measure all plans over the size grid; returns the tuned table."""
+    from ..kernels.pallas_fill import choose_stripe_rows
+
+    table = {"entries": []}
+    for s in sizes:
+        m = n = s
+        rows = []
+        dt = _time_scan(m, n)
+        rows.append({"plan": "scan", "T": None, "C": None,
+                     "s": dt, "gcups": gcups(m * n, dt)})
+        tried = set()
+        for T in t_candidates:
+            Tc = T or choose_stripe_rows(m, n)
+            Tc = min(Tc, -(-n // 128) * 128)
+            for C in c_candidates:
+                if (Tc, C) in tried:
+                    continue
+                tried.add((Tc, C))
+                try:
+                    dt = _time_stripe(m, n, Tc, C)
+                except Exception:
+                    continue
+                rows.append({"plan": "stripe", "T": Tc, "C": C,
+                             "s": dt, "gcups": gcups(m * n, dt)})
+        best = max(rows, key=lambda r: r["gcups"])
+        table["entries"].append({"m": m, "n": n, "best": best, "all": rows})
+        if verbose:
+            print(f"size {s}: best {best['plan']} T={best['T']} "
+                  f"C={best['C']} {best['gcups']:.1f} GCUPS")
+    return table
+
+
+def save(table: dict, path="swtpu_tuned.json") -> None:
+    Path(path).write_text(json.dumps(table, indent=1))
+
+
+def load(path="swtpu_tuned.json") -> Optional[dict]:
+    p = Path(path)
+    return json.loads(p.read_text()) if p.exists() else None
+
+
+@dataclasses.dataclass
+class Policy:
+    """Measured-cost plan selector (the Apollo analog: the model is a table
+    of observed timings instead of hand thresholds; `observe` updates it
+    online the way region->end() feeds Apollo's model)."""
+
+    table: Optional[dict] = None
+
+    def choose(self, m: int, n: int) -> dict:
+        if not self.table or not self.table.get("entries"):
+            from .plan import choose_plan
+            return {"plan": choose_plan(m, n), "T": None, "C": 256}
+        cells = m * n
+        entry = min(self.table["entries"],
+                    key=lambda e: abs(e["m"] * e["n"] - cells))
+        return dict(entry["best"])
+
+    def observe(self, m: int, n: int, plan: str, T, C, seconds: float):
+        if self.table is None:
+            self.table = {"entries": []}
+        row = {"plan": plan, "T": T, "C": C, "s": seconds,
+               "gcups": gcups(m * n, seconds)}
+        for e in self.table["entries"]:
+            if e["m"] == m and e["n"] == n:
+                e["all"].append(row)
+                if row["gcups"] > e["best"]["gcups"]:
+                    e["best"] = row
+                return
+        self.table["entries"].append({"m": m, "n": n, "best": row,
+                                      "all": [row]})

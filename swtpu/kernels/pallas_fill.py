@@ -52,6 +52,23 @@ BIG = 2**30
 MAX_WIDTH = 1 << 20
 
 
+def choose_stripe_rows(m: int, n: int, t_max: int = 16384) -> int:
+    """Pick the stripe height minimizing total steps = stripes * (m + T):
+    big T amortizes the per-step dependency latency; small T shrinks the
+    diagonal ramp bubble and stripe padding. Exhaustive over stripe counts
+    (cheap: <= n/128 candidates)."""
+    best_T, best_steps = LANES, None
+    s_max = -(-n // LANES)
+    for s_cnt in range(1, s_max + 1):
+        T = -(-n // (LANES * s_cnt)) * LANES
+        if T > t_max:
+            continue
+        steps = s_cnt * (m + T - 1)
+        if best_steps is None or steps < best_steps:
+            best_steps, best_T = steps, T
+    return best_T
+
+
 def stripe_fill_supported(m: int, n: int, traceback: bool) -> bool:
     return m >= 2 and n >= 1 and m <= MAX_WIDTH
 
@@ -85,10 +102,18 @@ def _kernel(scoring: Scoring, T: int, C: int, m: int, n: int,
         if return_p:
             p_ref = rest[0]
             rest = rest[1:]
+        # Chunk-persistent state. The wavefront registers are carried through
+        # the step loop PRE-ROLLED: (c1, c2) are the lane/sublane rolls of
+        # the previous step's H row (so the UP/DIAG shifts are two selects,
+        # not two rolls), (p1, p2) the rolls from two steps back, (w1, w2)
+        # the rolls of the query window. Rolling happens once per step on the
+        # freshly computed hn/wv — 4 rolls/step instead of 6, and the roll
+        # wraparound delivers the bottom-lane value at [0, 0] for free.
         if affine:
-            (h1, h2, w, best, best_t, rc, bot, e1, f1, fbot) = rest
+            (hv, c1, c2, p1, p2, w1, w2, best, best_t, rc, bot,
+             ev, fr1, fr2, fbot) = rest
         else:
-            (h1, h2, w, best, best_t, rc, bot) = rest
+            (hv, c1, c2, p1, p2, w1, w2, best, best_t, rc, bot) = rest
 
         s_idx = pl.program_id(0)
         c_idx = pl.program_id(1)
@@ -100,84 +125,81 @@ def _kernel(scoring: Scoring, T: int, C: int, m: int, n: int,
         col0 = col == 0
 
         # rows beyond n (stripe padding) are permanently invalid
-        rowlim = n - s_idx * T - 1                   # lane valid iff lin <= rowlim
+        rowlim = n - s_idx * T - 1                  # lane valid iff lin <= rowlim
 
         @pl.when(c_idx == 0)
         def _init_stripe():
             zero = jnp.zeros((sub_rows, LANES), jnp.int32)
-            h1[...] = zero
-            h2[...] = zero
-            w[...] = zero - 1                        # sentinel codes
+            hv[...] = zero
+            c1[...] = zero
+            c2[...] = zero
+            p1[...] = zero
+            p2[...] = zero
+            w1[...] = zero - 1                      # sentinel codes
+            w2[...] = zero - 1
             best[...] = zero
             best_t[...] = zero
             rc[...] = zero
             if affine:
-                e1[...] = zero + neg
-                f1[...] = zero + neg
+                ev[...] = zero + neg
+                fr1[...] = zero + neg
+                fr2[...] = zero + neg
 
             @pl.when(s_idx == 0)
             def _():
                 bot[...] = jnp.zeros((1, bot_len), jnp.int32)
                 if affine:
-                    # F(0, j) = -inf: no vertical gap can enter from row 0
+                    # F(0, j) = -inf: no vertical gap enters from row 0
                     fbot[...] = jnp.full((1, bot_len), neg, jnp.int32)
 
         btile = b_ref[0]
-
-        def shifted(x, boundary):
-            r1 = pltpu.roll(x, 1, axis=1)
-            r2 = pltpu.roll(r1, 1, axis=0)
-            sh = jnp.where(col0, r2, r1)
-            return jnp.where(origin, boundary, sh)
-
         ciota = jax.lax.broadcasted_iota(jnp.int32, (1, C), 1)
 
         # Chunk-start aligned vector loads (Mosaic requires 128-multiple lane
-        # offsets); per-step scalars come from static slices of registers
-        # that roll one lane per step.
+        # offsets); per-step boundary scalars come from registers rolled one
+        # lane per step:
         #   bw[0, 126 + tl] = bot_ring[c*C + T - 2 + tl] = H(row above, j = t)
         #   av[0, tl]       = a[t] — the query code entering lane 0 at step t
         bw0 = bot[0:1, pl.ds(c_idx * C + T - 128, C + 128)]
         av0 = a_ref[0:1, pl.ds(c_idx * C, C)]
         if affine:
-            # F boundary ring: F values of the stripe-above bottom row enter
-            # lane 0's vertical-gap chain at the same index as up_in
-            fw0 = bot[0:1, 0:1] * 0  # placeholder, replaced below
             fw0 = fbot[0:1, pl.ds(c_idx * C + T - 128, C + 128)]
+
+        def lane_rolls(x):
+            r1 = pltpu.roll(x, 1, axis=1)
+            r2 = pltpu.roll(r1, 1, axis=0)
+            return r1, r2
 
         def step(tl, carry):
             # Steps past the stripe's true extent (the chunk-padding tail)
             # are harmless: every lane is invalid there, hn collapses to 0,
             # and the strict-> best update never fires.
             if affine:
-                botbuf, bw, av, fw, fbuf = carry
+                (h1v, hr1, hr2, q1, q2, wr1, wr2, botbuf, bw, av,
+                 e1v, f1r1, f1r2, fw, fbuf) = carry
             else:
-                botbuf, bw, av = carry
+                h1v, hr1, hr2, q1, q2, wr1, wr2, botbuf, bw, av = carry
             t = c_idx * C + tl
-            h1v = h1[...]
-            h2v = h2[...]
 
             di_in = bw[0, 126]
             up_in = bw[0, 127]
-            h1s = shifted(h1v, up_in)
-            h2s = shifted(h2v, di_in)
+            h1s = jnp.where(origin, up_in, jnp.where(col0, hr2, hr1))
+            h2s = jnp.where(origin, di_in, jnp.where(col0, q2, q1))
+            wv = jnp.where(origin, av[0, 0], jnp.where(col0, wr2, wr1))
 
-            ins = av[0, 0]
-            wv = shifted(w[...], ins)
-            w[...] = wv
-
-            valid = (lin <= t) & (lin >= t - m + 1) & (lin <= rowlim)
+            valid = (lin >= t - m + 1) & (lin <= rowlim)
 
             sub = jnp.where(wv == btile, match, mismatch)
             diag = h2s + sub
             if affine:
-                e_new = jnp.maximum(h1v + g_open, e1[...] + g_ext)
-                f_new = jnp.maximum(h1s + g_open,
-                                    shifted(f1[...], fw[0, 127]) + g_ext)
+                f_sh = jnp.where(origin, fw[0, 127],
+                                 jnp.where(col0, f1r2, f1r1))
+                e_new = jnp.maximum(h1v + g_open, e1v + g_ext)
+                f_new = jnp.maximum(h1s + g_open, f_sh + g_ext)
                 up = f_new
                 left = e_new
-                e1[...] = jnp.where(valid, e_new, neg)
-                f1[...] = jnp.where(valid, f_new, neg)
+                e_out = jnp.where(valid, e_new, neg)
+                f_out = jnp.where(valid, f_new, neg)
             else:
                 up = h1s + gap
                 left = h1v + gap
@@ -209,37 +231,38 @@ def _kernel(scoring: Scoring, T: int, C: int, m: int, n: int,
             best_t[...] = jnp.where(better, t, best_t[...])
 
             # right-edge capture for pipeline halos / last_cell
-            rc[...] = jnp.where(t - lin == m - 1, hn, rc[...])
+            rc[...] = jnp.where(lin == t - m + 1, hn, rc[...])
 
-            h2[...] = h1v
-            h1[...] = hn
+            nr1, nr2 = lane_rolls(hn)
+            nw1, nw2 = lane_rolls(wv)
+            # the roll wraparound parks hn[T-1 lane] at nr2[0, 0]: exactly
+            # the bottom-row value this stripe exports to the next one
+            botbuf = jnp.where(ciota == tl, nr2[0, 0], botbuf)
 
-            # bottom-row export: lane T-1 holds H(stripe_base+T, t-T+2);
-            # collect into the chunk register, flushed once per chunk below
-            botbuf = jnp.where(ciota == tl, hn[sub_rows - 1, LANES - 1],
-                               botbuf)
-            # left-roll by 1 == right-roll by width-1 (shift must be >= 0)
+            out = (hn, nr1, nr2, hr1, hr2, nw1, nw2, botbuf,
+                   pltpu.roll(bw, C + 127, axis=1),
+                   pltpu.roll(av, C - 1, axis=1))
             if affine:
-                fbuf = jnp.where(ciota == tl,
-                                 f_new[sub_rows - 1, LANES - 1], fbuf)
-                return (botbuf, pltpu.roll(bw, C + 127, axis=1),
-                        pltpu.roll(av, C - 1, axis=1),
-                        pltpu.roll(fw, C + 127, axis=1), fbuf)
-            return (botbuf,
-                    pltpu.roll(bw, C + 127, axis=1),
-                    pltpu.roll(av, C - 1, axis=1))
+                nf1, nf2 = lane_rolls(f_out)
+                fbuf = jnp.where(ciota == tl, nf2[0, 0], fbuf)
+                out = out + (e_out, nf1, nf2,
+                             pltpu.roll(fw, C + 127, axis=1), fbuf)
+            return out
 
+        carry0 = (hv[...], c1[...], c2[...], p1[...], p2[...],
+                  w1[...], w2[...], jnp.zeros((1, C), jnp.int32), bw0, av0)
         if affine:
-            botbuf, _, _, _, fbuf = jax.lax.fori_loop(
-                0, C, step, (jnp.zeros((1, C), jnp.int32), bw0, av0, fw0,
-                             jnp.full((1, C), neg, jnp.int32)))
-            fbot[0:1, pl.ds(c_idx * C, C)] = fbuf
-        else:
-            botbuf, _, _ = jax.lax.fori_loop(
-                0, C, step, (jnp.zeros((1, C), jnp.int32), bw0, av0))
-        # bot_ring[t] holds the bottom-lane value of step t (= H(bottom row,
-        # j = t - T + 2)); the next stripe reads it at offset T - 2.
-        bot[0:1, pl.ds(c_idx * C, C)] = botbuf
+            carry0 = carry0 + (ev[...], fr1[...], fr2[...], fw0,
+                               jnp.full((1, C), neg, jnp.int32))
+        carry = jax.lax.fori_loop(0, C, step, carry0)
+
+        # persist wavefront state for the next chunk; flush boundary slices
+        hv[...], c1[...], c2[...], p1[...], p2[...], w1[...], w2[...] = \
+            carry[:7]
+        bot[0:1, pl.ds(c_idx * C, C)] = carry[7]
+        if affine:
+            ev[...], fr1[...], fr2[...] = carry[10], carry[11], carry[12]
+            fbot[0:1, pl.ds(c_idx * C, C)] = carry[14]
 
         @pl.when(c_idx == num_chunks - 1)
         def _finish_stripe():
@@ -308,22 +331,20 @@ def _stripe_call(q, bt, *, scoring, T, C, m, n, return_p, interpret):
             (1, C, sub_rows, LANES), lambda s, c: (s, c, 0, 0),
             memory_space=pltpu.VMEM))
 
-    scratch = [
-        pltpu.VMEM((sub_rows, LANES), jnp.int32),   # h1
-        pltpu.VMEM((sub_rows, LANES), jnp.int32),   # h2
-        pltpu.VMEM((sub_rows, LANES), jnp.int32),   # w
-        pltpu.VMEM((sub_rows, LANES), jnp.int32),   # best
-        pltpu.VMEM((sub_rows, LANES), jnp.int32),   # best_t
-        pltpu.VMEM((sub_rows, LANES), jnp.int32),   # rc
+    tile = pltpu.VMEM((sub_rows, LANES), jnp.int32)
+    scratch = [tile] * 7 + [                        # hv,c1,c2,p1,p2,w1,w2
+        tile,                                       # best
+        tile,                                       # best_t
+        tile,                                       # rc
         pltpu.VMEM((1, num_chunks * C + T + C + 256),
                    jnp.int32),                      # bottom-row boundary ring
     ]
     if scoring.is_affine:
         scratch += [
-            pltpu.VMEM((sub_rows, LANES), jnp.int32),   # e1
-            pltpu.VMEM((sub_rows, LANES), jnp.int32),   # f1
+            tile,                                   # e value
+            tile, tile,                             # f rolls
             pltpu.VMEM((1, num_chunks * C + T + C + 256),
-                       jnp.int32),                      # F boundary ring
+                       jnp.int32),                  # F boundary ring
         ]
 
     outs = pl.pallas_call(
@@ -349,7 +370,7 @@ def stripe_fill_raw(
     a_codes: np.ndarray,
     b_codes: np.ndarray,
     scoring: Scoring = Scoring(),
-    T: int = 1024,
+    T: Optional[int] = None,
     C: int = 256,
     return_p: bool = False,
     interpret: Optional[bool] = None,
@@ -358,6 +379,8 @@ def stripe_fill_raw(
     m, n = len(a_codes), len(b_codes)
     if interpret is None:
         interpret = _interpret_default()
+    if T is None:
+        T = choose_stripe_rows(m, n)
     T = min(T, max(LANES, ((n + LANES - 1) // LANES) * LANES))
     ap, bt, num_stripes = _build_inputs(a_codes, b_codes, T, C)
 
@@ -426,10 +449,12 @@ def p_stripes_to_rowmajor(p: np.ndarray, n: int, m: int) -> np.ndarray:
 
 
 def stripe_score_fn(m: int, n: int, scoring: Scoring = Scoring(),
-                    T: int = 1024, C: int = 256):
+                    T: Optional[int] = None, C: int = 256):
     """Jittable (a, b) -> (max_score, max_i, max_j) using the stripe kernel
     with the cross-stripe reduction done on device (for benching)."""
     interpret = _interpret_default()
+    if T is None:
+        T = choose_stripe_rows(m, n)
     T = min(T, max(LANES, ((n + LANES - 1) // LANES) * LANES))
 
     def fn(a, b):
