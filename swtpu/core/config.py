@@ -85,5 +85,11 @@ class EngineConfig:
     # keep the predecessor matrix for traceback. False = score-only
     # (the -DSKIP_BACKTRACK=1 benchmark mode, makefile:9).
     traceback: bool = True
+    # 'full'    = device-captured P matrix, exact reference tie-breaking
+    # 'windowed'= locate + window refill (O(window) memory)
+    # 'hirschberg' = O(m+n) memory divide-and-conquer
+    # 'auto'    = full below full_p_max_cells, windowed above
+    traceback_method: str = "auto"
+    full_p_max_cells: int = 1 << 28
     # score dtype; int32 is the parity dtype (reference uses C int).
     dtype: str = "int32"

@@ -83,6 +83,26 @@ def align(
         res._m1 = m + 1
         return res
 
+    # memory-lean traceback path: skip P capture entirely, use
+    # locate + windowed refill / Hirschberg (engine/traceback.py)
+    method = config.traceback_method
+    if method == "auto":
+        method = "full" if m * n <= config.full_p_max_cells else "windowed"
+    if (want_tb and method in ("windowed", "hirschberg")
+            and not scoring.is_affine and not return_matrices):
+        from . import traceback as tb
+        got = (tb.windowed(a_codes, b_codes, scoring) if method == "windowed"
+               else tb.hirschberg(a_codes, b_codes, scoring))
+        if got is None:
+            res = Alignment(max_score=0, max_i=0, max_j=0, last_cell=0)
+        else:
+            score_v, loc, ra, rb = got
+            res = Alignment(max_score=score_v, max_i=loc.end_i,
+                            max_j=loc.end_j, last_cell=0,
+                            aligned_a=ra, aligned_b=rb)
+        res._m1 = m + 1
+        return res
+
     if plan in (None, "auto"):
         from ..dispatch.plan import choose_plan
         plan = choose_plan(m, n, config)

@@ -60,7 +60,7 @@ def _shift_down(v: jax.Array, fill) -> jax.Array:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("scoring", "return_p", "return_h", "band"),
+    static_argnames=("scoring", "return_p", "return_h", "band", "local"),
 )
 def scan_fill(
     a: jax.Array,
@@ -72,8 +72,16 @@ def scan_fill(
     band: Optional[int] = None,
     top_row: Optional[jax.Array] = None,    # (m+1,) int32 H values of row 0
     left_col: Optional[jax.Array] = None,   # (n+1,) int32 H values of col 0
+    local: bool = True,
 ) -> FillOut:
-    """Fill the (n+1)x(m+1) DP matrix for one pair. a: (m,) int8, b: (n,) int8."""
+    """Fill the (n+1)x(m+1) DP matrix for one pair. a: (m,) int8, b: (n,) int8.
+
+    ``local=False`` switches to global (Needleman-Wunsch) semantics: no zero
+    floor, every cell takes a real predecessor. Callers supply gap-penalty
+    boundaries via top_row/left_col. This mode powers the Hirschberg
+    linear-space traceback (the capability the reference leaves as a TODO,
+    rotated-cuda/sw-rotated.cu:286-319).
+    """
     m, n = a.shape[0], b.shape[0]
     steps = n + m - 1
     gap = jnp.int32(scoring.gap)
@@ -129,11 +137,15 @@ def scan_fill(
             up = f_new
             left = e_new
 
-        h_new = jnp.zeros_like(h1)
-        p_new = jnp.zeros((n,), jnp.int8)
-        take = diag > h_new
-        h_new = jnp.where(take, diag, h_new)
-        p_new = jnp.where(take, jnp.int8(DIAGONAL), p_new)
+        if local:
+            h_new = jnp.zeros_like(h1)
+            p_new = jnp.zeros((n,), jnp.int8)
+            take = diag > h_new
+            h_new = jnp.where(take, diag, h_new)
+            p_new = jnp.where(take, jnp.int8(DIAGONAL), p_new)
+        else:
+            h_new = diag
+            p_new = jnp.full((n,), DIAGONAL, jnp.int8)
         take = up > h_new
         h_new = jnp.where(take, up, h_new)
         p_new = jnp.where(take, jnp.int8(UP), p_new)
