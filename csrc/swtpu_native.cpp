@@ -1,0 +1,209 @@
+// swtpu native host runtime.
+//
+// The TPU compute path is JAX/Pallas; this library covers the host-side
+// runtime the way the reference's C does: input generation
+// (serial_smithW.c:334-361 — including bit-exact glibc rand() emulation so
+// inputs match a reference binary byte for byte), the predecessor-matrix
+// traceback walk (serial_smithW.c:262-277 — pointer chasing, poorly suited
+// to NumPy), and a buffered FASTA/FASTQ reader + encoder (the data loader
+// the reference lacks; production inputs are files, not rand()).
+//
+// Exposed as a plain C ABI for ctypes (no pybind11 in this environment).
+
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <string>
+#include <vector>
+
+namespace {
+
+constexpr int8_t kGap = -1;
+
+// ACGT -> 0..3, case-insensitive; anything else -> -1 (caller decides).
+inline int8_t encode_base(char c) {
+  switch (c) {
+    case 'A': case 'a': return 0;
+    case 'C': case 'c': return 1;
+    case 'G': case 'g': return 2;
+    case 'T': case 't': return 3;
+    default: return -1;
+  }
+}
+
+// glibc TYPE_3 additive-feedback rand(), bit-exact (see encode.py twin).
+struct GlibcRand {
+  std::vector<uint32_t> r;
+  size_t idx;
+  explicit GlibcRand(uint32_t seed) : r(344), idx(344) {
+    if (seed == 0) seed = 1;
+    r[0] = seed;
+    for (int i = 1; i < 31; ++i) {
+      int64_t hi = r[i - 1] / 127773;
+      int64_t lo = r[i - 1] % 127773;
+      int64_t word = 16807 * lo - 2836 * hi;
+      if (word < 0) word += 2147483647;
+      r[i] = static_cast<uint32_t>(word);
+    }
+    for (int i = 31; i < 34; ++i) r[i] = r[i - 31];
+    for (int i = 34; i < 344; ++i) r[i] = r[i - 31] + r[i - 3];
+  }
+  uint32_t next() {
+    uint32_t val = r[idx - 31] + r[idx - 3];
+    r.push_back(val);
+    ++idx;
+    return val >> 1;
+  }
+};
+
+}  // namespace
+
+extern "C" {
+
+// Encode an ASCII sequence into int8 codes. Returns len, or ~position of the
+// first invalid character (bitwise-not, always negative).
+long sw_encode(const char* seq, long len, int8_t* out) {
+  for (long i = 0; i < len; ++i) {
+    int8_t c = encode_base(seq[i]);
+    if (c < 0) return ~i;
+    out[i] = c;
+  }
+  return len;
+}
+
+// Reference-identical random sequence: glibc rand()%4 with the letter map
+// 0:'A' 2:'C' 3:'G' else:'T' re-encoded to our ACGT codes {0,1,2,3}.
+void sw_reference_random(uint32_t seed, long len, int8_t* out) {
+  static const int8_t remap[4] = {0, 3, 1, 2};  // rand%4 -> ACGT code
+  GlibcRand rng(seed);
+  for (long i = 0; i < len; ++i) out[i] = remap[rng.next() % 4];
+}
+
+// Walk the predecessor matrix from max_pos; path indices written end-first.
+// Mirrors the do-while semantics: the start cell (whose own predecessor is
+// NONE) terminates the walk and is included. Returns path length, or ~steps
+// on a malformed matrix (cycle guard).
+long sw_traceback(const int8_t* P, long n1, long m1, long max_pos,
+                  long* path, long cap) {
+  const long total = n1 * m1;
+  long pos = max_pos;
+  long len = 0;
+  while (len < cap) {
+    if (pos < 0 || pos >= total) return ~len;
+    path[len++] = pos;
+    int8_t code = P[pos];
+    long pred;
+    if (code == 3) pred = pos - m1 - 1;        // DIAGONAL
+    else if (code == 1) pred = pos - m1;       // UP
+    else if (code == 2) pred = pos - 1;        // LEFT
+    else break;                                 // NONE at the start cell
+    if (pred < 0 || pred >= total) return ~len;
+    if (P[pred] == 0) break;
+    pos = pred;
+  }
+  return len;
+}
+
+// Reconstruct the aligned code strings (kGap = -1 for gaps) from P.
+// Returns alignment length; out arrays are written END-FIRST (caller
+// reverses), sized at most n1 + m1.
+long sw_alignment(const int8_t* P, const int8_t* a, const int8_t* b,
+                  long n1, long m1, long max_pos,
+                  int8_t* out_a, int8_t* out_b, long cap) {
+  const long total = n1 * m1;
+  long pos = max_pos;
+  long len = 0;
+  while (len < cap) {
+    if (pos < 0 || pos >= total) return ~len;
+    long i = pos / m1, j = pos % m1;
+    int8_t code = P[pos];
+    long pred;
+    if (code == 3) { out_a[len] = a[j - 1]; out_b[len] = b[i - 1];
+                     pred = pos - m1 - 1; }
+    else if (code == 1) { out_a[len] = kGap; out_b[len] = b[i - 1];
+                          pred = pos - m1; }
+    else if (code == 2) { out_a[len] = a[j - 1]; out_b[len] = kGap;
+                          pred = pos - 1; }
+    else break;
+    ++len;
+    if (pred < 0 || pred >= total) return ~len;
+    if (P[pred] == 0) break;
+    pos = pred;
+  }
+  return len;
+}
+
+// --- FASTA / FASTQ reader ---------------------------------------------
+//
+// Two-call protocol: sw_seqfile_scan returns the sequence count and total
+// encoded length; sw_seqfile_read fills caller-allocated code and offset
+// buffers. Handles FASTA ('>' headers, multi-line sequences) and FASTQ
+// ('@' records, quality lines skipped). Unknown bases encode as -1 -
+// alignment treats them as always-mismatch sentinels.
+
+static long scan_or_read(const char* path, int8_t* codes, long codes_cap,
+                         long* offsets, long offsets_cap,
+                         long* total_out) {
+  FILE* f = std::fopen(path, "rb");
+  if (!f) return -1;
+  std::string line;
+  line.reserve(1 << 16);
+  char buf[1 << 16];
+  long nseq = 0, total = 0;
+  bool fastq = false, in_seq = false;
+  int fastq_line = 0;
+  while (std::fgets(buf, sizeof(buf), f)) {
+    size_t blen = std::strlen(buf);
+    bool eol = blen && buf[blen - 1] == '\n';
+    if (eol) buf[--blen] = 0;
+    if (blen && buf[blen - 1] == '\r') buf[--blen] = 0;
+    line.assign(buf, blen);
+    // continuation of an overlong line: treat as same logical line — the
+    // parser below only dispatches on the first character of logical
+    // lines, so feed content directly when mid-sequence.
+    if (line.empty()) continue;
+    char c0 = line[0];
+    if (!fastq && c0 == '@' && nseq == 0 && !in_seq) fastq = true;
+    if (fastq) {
+      if (fastq_line == 0 && c0 == '@') { fastq_line = 1; ++nseq;
+        if (offsets && nseq <= offsets_cap) offsets[nseq - 1] = total;
+        continue; }
+      if (fastq_line == 1) {           // sequence line
+        for (char ch : line) {
+          if (codes && total < codes_cap) codes[total] = encode_base(ch);
+          ++total;
+        }
+        fastq_line = 2; continue;
+      }
+      if (fastq_line == 2) { fastq_line = 3; continue; }   // '+' line
+      if (fastq_line == 3) { fastq_line = 0; continue; }   // quality line
+      continue;
+    }
+    if (c0 == '>') {
+      ++nseq; in_seq = true;
+      if (offsets && nseq <= offsets_cap) offsets[nseq - 1] = total;
+      continue;
+    }
+    if (in_seq) {
+      for (char ch : line) {
+        if (codes && total < codes_cap) codes[total] = encode_base(ch);
+        ++total;
+      }
+    }
+  }
+  std::fclose(f);
+  if (total_out) *total_out = total;
+  return nseq;
+}
+
+long sw_seqfile_scan(const char* path, long* total_out) {
+  return scan_or_read(path, nullptr, 0, nullptr, 0, total_out);
+}
+
+long sw_seqfile_read(const char* path, int8_t* codes, long codes_cap,
+                     long* offsets, long offsets_cap) {
+  long total = 0;
+  return scan_or_read(path, codes, codes_cap, offsets, offsets_cap, &total);
+}
+
+}  // extern "C"

@@ -1,0 +1,142 @@
+"""ctypes bindings for the C++ host runtime (csrc/swtpu_native.cpp), with
+pure-NumPy fallbacks when the shared library isn't built.
+
+Build: ``make -C csrc`` (attempted automatically once per process).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from pathlib import Path
+from typing import Optional
+
+import numpy as np
+
+_CSRC = Path(__file__).resolve().parent.parent / "csrc"
+_LIB_PATH = _CSRC / "libswtpu_native.so"
+_lib = None
+_tried = False
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _lib, _tried
+    if _lib is not None or _tried:
+        return _lib
+    _tried = True
+    if not _LIB_PATH.exists():
+        try:
+            subprocess.run(["make", "-C", str(_CSRC)], check=True,
+                           capture_output=True, timeout=120)
+        except Exception:
+            return None
+    try:
+        lib = ctypes.CDLL(str(_LIB_PATH))
+    except OSError:
+        return None
+    i8p = np.ctypeslib.ndpointer(np.int8, flags="C_CONTIGUOUS")
+    lp = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+    lib.sw_encode.restype = ctypes.c_long
+    lib.sw_encode.argtypes = [ctypes.c_char_p, ctypes.c_long, i8p]
+    lib.sw_reference_random.restype = None
+    lib.sw_reference_random.argtypes = [ctypes.c_uint32, ctypes.c_long, i8p]
+    lib.sw_traceback.restype = ctypes.c_long
+    lib.sw_traceback.argtypes = [i8p, ctypes.c_long, ctypes.c_long,
+                                 ctypes.c_long, lp, ctypes.c_long]
+    lib.sw_alignment.restype = ctypes.c_long
+    lib.sw_alignment.argtypes = [i8p, i8p, i8p, ctypes.c_long, ctypes.c_long,
+                                 ctypes.c_long, i8p, i8p, ctypes.c_long]
+    lib.sw_seqfile_scan.restype = ctypes.c_long
+    lib.sw_seqfile_scan.argtypes = [ctypes.c_char_p,
+                                    ctypes.POINTER(ctypes.c_long)]
+    lib.sw_seqfile_read.restype = ctypes.c_long
+    lib.sw_seqfile_read.argtypes = [ctypes.c_char_p, i8p, ctypes.c_long,
+                                    lp, ctypes.c_long]
+    _lib = lib
+    return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def encode(seq: str) -> np.ndarray:
+    """Fast ASCII -> int8 codes; raises on invalid characters."""
+    lib = _load()
+    if lib is None:
+        from .core.encode import encode as py_encode
+        return py_encode(seq)
+    raw = seq.encode()
+    out = np.empty(len(raw), np.int8)
+    r = lib.sw_encode(raw, len(raw), out)
+    if r < 0:
+        raise ValueError(f"invalid character {seq[~r]!r} at position {~r}")
+    return out
+
+
+def reference_random(length: int, seed: int = 1) -> np.ndarray:
+    """Sequence identical to what a reference binary's generate() would
+    produce with glibc (serial never seeds -> seed 1)."""
+    lib = _load()
+    out = np.empty(length, np.int8)
+    if lib is None:
+        from .core.encode import GlibcRand
+        return GlibcRand(seed).reference_sequence(length)
+    lib.sw_reference_random(seed, length, out)
+    return out
+
+
+def traceback(P: np.ndarray, max_pos: int) -> list[int]:
+    """Native predecessor walk; equals oracle.backtrack."""
+    lib = _load()
+    if lib is None:
+        from .core.oracle import backtrack
+        return backtrack(P, max_pos)
+    n1, m1 = P.shape
+    path = np.empty(n1 + m1 + 2, np.int64)
+    ln = lib.sw_traceback(np.ascontiguousarray(P), n1, m1, max_pos,
+                          path, len(path))
+    if ln < 0:
+        raise ValueError("malformed predecessor matrix")
+    return path[:ln].tolist()
+
+
+def alignment_strings(a: np.ndarray, b: np.ndarray, P: np.ndarray,
+                      max_pos: int, alphabet: str = "ACGT"):
+    lib = _load()
+    if lib is None:
+        from .core.oracle import alignment_strings as py_align
+        return py_align(a, b, P, max_pos, alphabet)
+    n1, m1 = P.shape
+    cap = n1 + m1 + 2
+    oa = np.empty(cap, np.int8)
+    ob = np.empty(cap, np.int8)
+    ln = lib.sw_alignment(np.ascontiguousarray(P),
+                          np.ascontiguousarray(a, dtype=np.int8),
+                          np.ascontiguousarray(b, dtype=np.int8),
+                          n1, m1, max_pos, oa, ob, cap)
+    if ln < 0:
+        raise ValueError("malformed predecessor matrix")
+
+    def render(codes):
+        return "".join("-" if c == -1 else alphabet[c]
+                       for c in codes[:ln][::-1])
+    return render(oa), render(ob)
+
+
+def read_seqfile(path: str) -> list[np.ndarray]:
+    """Parse FASTA/FASTQ into a list of int8 code arrays (native parser;
+    no Python fallback — production IO is native by design)."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native runtime unavailable; run `make -C csrc`")
+    total = ctypes.c_long(0)
+    nseq = lib.sw_seqfile_scan(path.encode(), ctypes.byref(total))
+    if nseq < 0:
+        raise FileNotFoundError(path)
+    codes = np.empty(max(1, total.value), np.int8)
+    offsets = np.empty(max(1, nseq), np.int64)
+    lib.sw_seqfile_read(path.encode(), codes, len(codes), offsets, nseq)
+    bounds = list(offsets[:nseq]) + [total.value]
+    return [codes[bounds[i]:bounds[i + 1]].copy() for i in range(nseq)]
