@@ -1,0 +1,158 @@
+"""Database search: a batch of short reads vs a long (sharded) reference.
+
+The reference codebase aligns exactly one pair per process; this driver is
+the production workload its design points at (BASELINE.json config 5: 1M
+reads vs a sharded 100Mb reference on a multi-host slice):
+
+* the reference sequence shards across the mesh axis, each shard extended
+  by a read-length overlap halo so alignments crossing shard boundaries are
+  not lost (an alignment of a read spans < qlen reference bases beyond any
+  boundary);
+* each device streams its shard through fixed-size windows (again halo-
+  overlapped) and scores the whole replicated read batch against each
+  window with the vmapped wavefront fill — reads sit in vector lanes, so
+  one device step computes batch x window cells;
+* per-read bests merge locally across windows in the scan carry, then
+  across devices with elementwise pmax + deterministic winner-broadcast
+  (lowest reference position wins ties), all over ICI/DCN collectives —
+  no atomics, unlike the reference's omp critical / atomicCAS
+  (omp_smithW.c:384-387, simple-cuda/cuda_global_mem_smithW.cu:246-260).
+
+Multi-host: identical code; build the mesh over all hosts' devices after
+`jax.distributed.initialize` (dist/mesh.py) and feed each host its
+process-local shard of the reference via `jax.make_array_from_process_...`.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..core.config import Scoring
+from ..kernels.scan_fill import scan_fill
+
+
+class SearchHits(NamedTuple):
+    scores: jax.Array     # (B,) int32 best score per read
+    ref_pos: jax.Array    # (B,) int32 global 0-based ref index of the
+    #                       alignment end column (-1 if score 0)
+    read_end: jax.Array   # (B,) int32 1-based padded row of the read end
+
+
+def _window_scorer(scoring: Scoring):
+    def one(query, window):
+        out = scan_fill(window, query, scoring=scoring)
+        return out.max_score, out.max_i, out.max_j
+    return jax.vmap(one, in_axes=(0, None))
+
+
+def make_searcher(mesh: Optional[Mesh], qlen: int, shard_len: int,
+                  window: int = 4096, scoring: Scoring = Scoring(),
+                  axis: str = "data"):
+    """Build a jitted searcher.
+
+    queries: (B, qlen) int8 (pad reads with -3 sentinel), replicated.
+    ref_sharded: (D, shard_len + qlen) int8 — each row is a device's shard
+    plus a qlen halo from the next shard (build with `shard_reference`).
+    Returns SearchHits with global reference positions.
+    """
+    ext = shard_len + qlen                 # shard + boundary halo
+    step = window - qlen                   # window stride (qlen overlap)
+    nwin = max(1, -(-max(1, ext - qlen) // step))
+    score_batch = _window_scorer(scoring)
+
+    def local(queries, ref_shard, d):
+        # ref_shard: (ext,) int8
+        def scan_windows(w, carry):
+            bs, bp, be = carry
+            off = w * step
+            off = jnp.minimum(off, ext - window)
+            win = lax.dynamic_slice(ref_shard, (off,), (window,))
+            s, qi, wj = score_batch(queries, win)
+            pos = d * shard_len + off + wj - 1       # global 0-based end col
+            # prefer higher score; tie -> lower global position
+            better = (s > bs) | ((s == bs) & (pos < bp) & (s > 0))
+            bs = jnp.where(better, s, bs)
+            bp = jnp.where(better, pos, bp)
+            be = jnp.where(better, qi, be)
+            return bs, bp, be
+
+        B = queries.shape[0]
+        init = (jnp.zeros((B,), jnp.int32),
+                jnp.full((B,), 2**31 - 1, jnp.int32),
+                jnp.zeros((B,), jnp.int32))
+        bs, bp, be = lax.fori_loop(0, nwin, scan_windows, init)
+        bp = jnp.where(bs > 0, bp, -1)
+        return bs, bp, be
+
+    if mesh is None:
+        def run(queries, ref_sharded):
+            return SearchHits(*local(queries, ref_sharded[0], 0))
+        return jax.jit(run)
+
+    def sharded(queries, ref_sharded):
+        d = lax.axis_index(axis)
+        bs, bp, be = local(queries, ref_sharded[0], d)
+        # elementwise merge across devices: max score, then min position
+        gbs = lax.pmax(bs, axis)
+        cand = jnp.where((bs == gbs) & (gbs > 0), bp, jnp.int32(2**31 - 1))
+        gbp = lax.pmin(cand, axis)
+        mine = (bs == gbs) & (bp == gbp)
+        gbe = lax.pmax(jnp.where(mine, be, 0), axis)
+        gbp = jnp.where(gbs > 0, gbp, -1)
+        return SearchHits(gbs, gbp, gbe)
+
+    fn = jax.shard_map(
+        sharded, mesh=mesh,
+        in_specs=(P(), P(axis)),
+        out_specs=SearchHits(P(), P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(fn)
+
+
+def shard_reference(ref: np.ndarray, n_shards: int, qlen: int
+                    ) -> tuple[np.ndarray, int]:
+    """Split the reference into (D, shard_len + qlen) rows with halo overlap.
+    Pads the tail with the -2 sentinel (never matches)."""
+    L = len(ref)
+    shard_len = -(-L // n_shards)
+    ext = shard_len + qlen
+    out = np.full((n_shards, ext), -2, np.int8)
+    for d in range(n_shards):
+        lo = d * shard_len
+        hi = min(L, lo + ext)
+        if lo < L:
+            out[d, : hi - lo] = ref[lo:hi]
+    return out, shard_len
+
+
+def pad_queries(queries: list[np.ndarray], qlen: int) -> np.ndarray:
+    """Stack variable-length reads into (B, qlen) with the -3 sentinel
+    (distinct from the reference pad so padding never matches anything)."""
+    B = len(queries)
+    out = np.full((B, qlen), -3, np.int8)
+    for i, q in enumerate(queries):
+        ln = min(len(q), qlen)
+        out[i, :ln] = q[:ln]
+    return out
+
+
+def search(queries, reference, mesh: Optional[Mesh] = None,
+           window: int = 4096, scoring: Scoring = Scoring(),
+           axis: str = "data") -> SearchHits:
+    """Convenience one-shot search (builds shards + searcher)."""
+    queries = np.asarray(queries, np.int8)
+    B, qlen = queries.shape
+    D = mesh.shape[axis] if mesh is not None else 1
+    shards, shard_len = shard_reference(np.asarray(reference, np.int8),
+                                        D, qlen)
+    window = min(window, shards.shape[1])
+    fn = make_searcher(mesh, qlen, shard_len, window, scoring, axis)
+    return fn(jnp.asarray(queries), jnp.asarray(shards))

@@ -1,0 +1,86 @@
+"""Database search tests: sharded read-vs-reference search must find each
+planted read at its true position, across shard and window boundaries."""
+
+import numpy as np
+import pytest
+
+from swtpu.core import oracle
+from swtpu.core.encode import random_pair
+from swtpu.dist.database import pad_queries, search
+from swtpu.dist.mesh import data_mesh
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    return data_mesh(8, platform="cpu")
+
+
+def _plant(ref, read, pos):
+    ref = ref.copy()
+    ref[pos: pos + len(read)] = read
+    return ref
+
+
+def test_planted_reads_single_device():
+    rng = np.random.default_rng(0)
+    L, qlen = 2048, 32
+    ref = rng.integers(0, 4, L).astype(np.int8)
+    positions = [100, 1000, 1500]
+    reads = []
+    for p in positions:
+        read = rng.integers(0, 4, qlen).astype(np.int8)
+        ref = _plant(ref, read, p)
+        reads.append(read)
+    # re-extract after planting (later plants could overlap earlier ones)
+    reads = [ref[p: p + qlen].copy() for p in positions]
+    hits = search(pad_queries(reads, qlen), ref, mesh=None, window=512)
+    for k, p in enumerate(positions):
+        assert int(hits.scores[k]) == 3 * qlen, k
+        assert int(hits.ref_pos[k]) == p + qlen - 1, k
+
+
+def test_sharded_matches_single(mesh):
+    rng = np.random.default_rng(1)
+    L, qlen, B = 4096, 24, 16
+    ref = rng.integers(0, 4, L).astype(np.int8)
+    # plant some reads crossing shard boundaries (shard_len = 512)
+    shard_len = -(-L // 8)
+    positions = [10, shard_len - 10, 2 * shard_len - 5, L - qlen - 1]
+    reads = []
+    for p in positions:
+        reads.append(ref[p: p + qlen].copy())
+    # plus random reads (may or may not match well)
+    for _ in range(B - len(reads)):
+        reads.append(rng.integers(0, 4, qlen).astype(np.int8))
+    q = pad_queries(reads, qlen)
+    single = search(q, ref, mesh=None, window=512)
+    multi = search(q, ref, mesh=mesh, window=512)
+    np.testing.assert_array_equal(np.asarray(single.scores),
+                                  np.asarray(multi.scores))
+    np.testing.assert_array_equal(np.asarray(single.ref_pos),
+                                  np.asarray(multi.ref_pos))
+    for k, p in enumerate(positions):
+        assert int(multi.scores[k]) == 3 * qlen
+        assert int(multi.ref_pos[k]) == p + qlen - 1
+
+
+def test_variable_length_reads(mesh):
+    rng = np.random.default_rng(2)
+    ref = rng.integers(0, 4, 1024).astype(np.int8)
+    r1 = ref[50:70].copy()      # 20bp
+    r2 = ref[500:532].copy()    # 32bp
+    q = pad_queries([r1, r2], 32)
+    hits = search(q, ref, mesh=mesh, window=256)
+    assert int(hits.scores[0]) == 60
+    assert int(hits.ref_pos[0]) == 69
+    assert int(hits.scores[1]) == 96
+    assert int(hits.ref_pos[1]) == 531
+
+
+def test_no_hit():
+    # read over a disjoint alphabet region: all-A read vs all-T reference
+    ref = np.full(512, 3, np.int8)
+    read = np.zeros(16, np.int8)
+    hits = search(pad_queries([read], 16), ref, mesh=None, window=128)
+    assert int(hits.scores[0]) == 0
+    assert int(hits.ref_pos[0]) == -1
