@@ -45,24 +45,33 @@ class OracleResult:
         return divmod(self.max_pos, m1)
 
 
-def _sub_matrix(a: np.ndarray, b: np.ndarray, scoring: Scoring) -> np.ndarray:
+def _sub_matrix(a: np.ndarray, b: np.ndarray, scoring: Scoring,
+                sub=None) -> np.ndarray:
     """(n, m) substitution scores: s[i, j] = score(b[i], a[j])."""
+    if sub is not None:
+        return np.asarray(sub, np.int32)[a[None, :], b[:, None]]
     return np.where(
         b[:, None] == a[None, :], scoring.match, scoring.mismatch
     ).astype(np.int32)
 
 
-def fill_loop(a: np.ndarray, b: np.ndarray, scoring: Scoring = Scoring()) -> OracleResult:
-    """Cell-by-cell fill with the reference's exact comparison order."""
+def fill_loop(a: np.ndarray, b: np.ndarray, scoring: Scoring = Scoring(),
+              sub=None) -> OracleResult:
+    """Cell-by-cell fill with the reference's exact comparison order.
+    ``sub``: optional (A, A) substitution matrix S[a_code, b_code] replacing
+    the match/mismatch compare (protein/BLOSUM extension)."""
     m, n = len(a), len(b)
     H = np.zeros((n + 1, m + 1), dtype=np.int32)
     P = np.zeros((n + 1, m + 1), dtype=np.int8)
     if scoring.is_affine:
-        return _fill_loop_affine(a, b, scoring, H, P)
+        return _fill_loop_affine(a, b, scoring, H, P, sub)
     max_pos = 0
     for i in range(1, n + 1):
         for j in range(1, m + 1):
-            s = scoring.match if a[j - 1] == b[i - 1] else scoring.mismatch
+            if sub is not None:
+                s = int(sub[a[j - 1], b[i - 1]])
+            else:
+                s = scoring.match if a[j - 1] == b[i - 1] else scoring.mismatch
             diag = H[i - 1, j - 1] + s
             up = H[i - 1, j] + scoring.gap
             left = H[i, j - 1] + scoring.gap
@@ -80,7 +89,7 @@ def fill_loop(a: np.ndarray, b: np.ndarray, scoring: Scoring = Scoring()) -> Ora
     return OracleResult(H, P, max_pos, int(H.flat[max_pos]))
 
 
-def _fill_loop_affine(a, b, scoring, H, P) -> OracleResult:
+def _fill_loop_affine(a, b, scoring, H, P, sub=None) -> OracleResult:
     """Gotoh affine-gap fill (capability extension; no reference analog —
     the reference is linear-gap only, serial_smithW.c:61)."""
     m, n = len(a), len(b)
@@ -92,7 +101,10 @@ def _fill_loop_affine(a, b, scoring, H, P) -> OracleResult:
     max_pos = 0
     for i in range(1, n + 1):
         for j in range(1, m + 1):
-            s = scoring.match if a[j - 1] == b[i - 1] else scoring.mismatch
+            if sub is not None:
+                s = int(sub[a[j - 1], b[i - 1]])
+            else:
+                s = scoring.match if a[j - 1] == b[i - 1] else scoring.mismatch
             E[i, j] = max(H[i, j - 1] + scoring.gap_open,
                           E[i, j - 1] + scoring.gap_extend)
             F[i, j] = max(H[i - 1, j] + scoring.gap_open,
@@ -112,7 +124,8 @@ def _fill_loop_affine(a, b, scoring, H, P) -> OracleResult:
     return OracleResult(H, P, max_pos, int(H.flat[max_pos]), E=E, F=F)
 
 
-def fill(a: np.ndarray, b: np.ndarray, scoring: Scoring = Scoring()) -> OracleResult:
+def fill(a: np.ndarray, b: np.ndarray, scoring: Scoring = Scoring(),
+         sub=None) -> OracleResult:
     """Vectorized anti-diagonal fill, semantically identical to fill_loop.
 
     The wavefront decomposition mirrors the reference's nDiag loop
@@ -122,9 +135,9 @@ def fill(a: np.ndarray, b: np.ndarray, scoring: Scoring = Scoring()) -> OracleRe
     which equals the reference's strict-``>`` running update.
     """
     if scoring.is_affine:
-        return fill_loop(a, b, scoring)  # affine oracle stays loop-based
+        return fill_loop(a, b, scoring, sub)  # affine oracle stays loop-based
     m, n = len(a), len(b)
-    sub = _sub_matrix(a, b, scoring)
+    sub = _sub_matrix(a, b, scoring, sub)
     H = np.zeros((n + 1, m + 1), dtype=np.int32)
     P = np.zeros((n + 1, m + 1), dtype=np.int8)
     gap = np.int32(scoring.gap)

@@ -46,9 +46,9 @@ class Alignment:
     _m1: int = 0  # padded width, set by the engine
 
 
-def _as_codes(seq) -> np.ndarray:
+def _as_codes(seq, alphabet: str = DNA_ALPHABET) -> np.ndarray:
     if isinstance(seq, str):
-        return encode(seq)
+        return encode(seq, alphabet)
     return np.asarray(seq, dtype=np.int8)
 
 
@@ -61,6 +61,8 @@ def align(
     traceback: Optional[bool] = None,
     return_matrices: bool = False,
     plan: Optional[str] = None,
+    substitution: Optional[np.ndarray] = None,
+    alphabet: str = DNA_ALPHABET,
 ) -> Alignment:
     """Align sequence ``a`` (columns, length m) against ``b`` (rows, length n).
 
@@ -70,9 +72,15 @@ def align(
     predecessor matrix, like the reference's host backtrack after offload
     (omp_smithW-v6.3-target-inlined.cpp:332 then backtrack).
     """
-    a_codes, b_codes = _as_codes(a), _as_codes(b)
+    a_codes = _as_codes(a, alphabet)
+    b_codes = _as_codes(b, alphabet)
     m, n = len(a_codes), len(b_codes)
     want_tb = config.traceback if traceback is None else traceback
+    sub_table = None
+    if substitution is not None:
+        from ..core.substitution import embed_sentinels
+        sub_table = jnp.asarray(embed_sentinels(np.asarray(substitution)))
+        plan = "scan"   # substitution path runs the XLA plan (Pallas: TODO)
 
     if m == 0 or n == 0:
         # Degenerate: an empty sequence aligns to nothing (all-zero matrix).
@@ -117,6 +125,7 @@ def align(
             jnp.asarray(a_codes), jnp.asarray(b_codes),
             scoring=scoring, return_p=want_tb or return_matrices,
             return_h=return_matrices, band=config.band,
+            sub_table=sub_table,
         )
         P = (diag_to_rowmajor(out.p_diag, n, m)
              if out.p_diag is not None else None)
@@ -143,7 +152,7 @@ def align(
         max_pos = res.max_i * (m + 1) + res.max_j
         res.path = oracle.backtrack(P, max_pos)
         res.aligned_a, res.aligned_b = oracle.alignment_strings(
-            a_codes, b_codes, P, max_pos, alphabet=DNA_ALPHABET)
+            a_codes, b_codes, P, max_pos, alphabet=alphabet)
     return res
 
 

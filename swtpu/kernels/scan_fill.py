@@ -73,6 +73,7 @@ def scan_fill(
     top_row: Optional[jax.Array] = None,    # (m+1,) int32 H values of row 0
     left_col: Optional[jax.Array] = None,   # (n+1,) int32 H values of col 0
     local: bool = True,
+    sub_table: Optional[jax.Array] = None,  # (A+3, A+3) embedded sub matrix
 ) -> FillOut:
     """Fill the (n+1)x(m+1) DP matrix for one pair. a: (m,) int8, b: (n,) int8.
 
@@ -120,7 +121,11 @@ def scan_fill(
             valid &= jnp.abs(2 * kk - t) <= band
 
         w = lax.dynamic_slice(q, (m + n - 2 - t,), (n,)).astype(jnp.int32)
-        sub = jnp.where(w == b32, match, mismatch)
+        if sub_table is None:
+            sub = jnp.where(w == b32, match, mismatch)
+        else:
+            # codes are shifted +3 so sentinels (-3..-1) hit NEG_SUB rows
+            sub = sub_table[w + 3, b32 + 3]
 
         up_in = top_pad[t + 1]      # H(0, t+1): lane-0 UP inflow
         di_in = top_pad[t]          # H(0, t):   lane-0 DIAG inflow
