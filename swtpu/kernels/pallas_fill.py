@@ -82,7 +82,8 @@ def _interpret_default() -> bool:
 
 
 def _kernel(scoring: Scoring, T: int, C: int, m: int, n: int,
-            steps: int, num_chunks: int, return_p: bool):
+            steps: int, num_chunks: int, return_p: bool,
+            batch: bool = False):
     sub_rows = T // LANES
     match = int(scoring.match)
     mismatch = int(scoring.mismatch)
@@ -98,7 +99,19 @@ def _kernel(scoring: Scoring, T: int, C: int, m: int, n: int,
     # serves producer (this stripe) and consumer (next stripe).
     bot_len = num_chunks * C + T + C + 256
 
-    def kernel(a_ref, b_ref, best_ref, rc_ref, *rest):
+    def kernel(a_ref, b_ref, *rest):
+        # Batch mode ('many reads packed in lanes'): an extra reset-mask
+        # input marks read-start lanes whose UP/DIAG inflow is forced to the
+        # zero boundary, making each read's DP independent; per-lane best
+        # registers are exported so the host reduces per read.
+        if batch:
+            greset_ref = rest[0]
+            rest = rest[1:]
+        best_ref, rc_ref = rest[0], rest[1]
+        rest = rest[2:]
+        if batch:
+            lbest_ref, lbest_t_ref = rest[0], rest[1]
+            rest = rest[2:]
         if return_p:
             p_ref = rest[0]
             rest = rest[1:]
@@ -153,6 +166,8 @@ def _kernel(scoring: Scoring, T: int, C: int, m: int, n: int,
                     fbot[...] = jnp.full((1, bot_len), neg, jnp.int32)
 
         btile = b_ref[0]
+        if batch:
+            gmask = greset_ref[0] != 0
         ciota = jax.lax.broadcasted_iota(jnp.int32, (1, C), 1)
 
         # Chunk-start aligned vector loads (Mosaic requires 128-multiple lane
@@ -185,6 +200,11 @@ def _kernel(scoring: Scoring, T: int, C: int, m: int, n: int,
             up_in = bw[0, 127]
             h1s = jnp.where(origin, up_in, jnp.where(col0, hr2, hr1))
             h2s = jnp.where(origin, di_in, jnp.where(col0, q2, q1))
+            if batch:
+                # read-start lanes see the zero top boundary, not the
+                # previous read's bottom row
+                h1s = jnp.where(gmask, 0, h1s)
+                h2s = jnp.where(gmask, 0, h2s)
             wv = jnp.where(origin, av[0, 0], jnp.where(col0, wr2, wr1))
 
             valid = (lin >= t - m + 1) & (lin <= rowlim)
@@ -194,6 +214,8 @@ def _kernel(scoring: Scoring, T: int, C: int, m: int, n: int,
             if affine:
                 f_sh = jnp.where(origin, fw[0, 127],
                                  jnp.where(col0, f1r2, f1r1))
+                if batch:
+                    f_sh = jnp.where(gmask, neg, f_sh)
                 e_new = jnp.maximum(h1v + g_open, e1v + g_ext)
                 f_new = jnp.maximum(h1s + g_open, f_sh + g_ext)
                 up = f_new
@@ -275,6 +297,9 @@ def _kernel(scoring: Scoring, T: int, C: int, m: int, n: int,
             best_ref[s_idx, 1] = k_star
             best_ref[s_idx, 2] = t_star
             rc_ref[0] = rc[...]
+            if batch:
+                lbest_ref[0] = bv
+                lbest_t_ref[0] = best_t[...]
 
     return kernel
 
@@ -307,13 +332,16 @@ def _build_inputs(a_codes: np.ndarray, b_codes: np.ndarray, T: int, C: int):
     jax.jit,
     static_argnames=("scoring", "T", "C", "m", "n", "return_p", "interpret"),
 )
-def _stripe_call(q, bt, *, scoring, T, C, m, n, return_p, interpret):
+def _stripe_call(q, bt, greset=None, *, scoring, T, C, m, n, return_p,
+                 interpret):
     num_stripes = bt.shape[0]
     steps = m + T - 1
     num_chunks = -(-steps // C)
     sub_rows = T // LANES
+    batch = greset is not None
 
-    kernel = _kernel(scoring, T, C, m, n, steps, num_chunks, return_p)
+    kernel = _kernel(scoring, T, C, m, n, steps, num_chunks, return_p,
+                     batch=batch)
 
     out_shape = [
         jax.ShapeDtypeStruct((num_stripes, 8), jnp.int32),                 # best
@@ -324,6 +352,13 @@ def _stripe_call(q, bt, *, scoring, T, C, m, n, return_p, interpret):
         pl.BlockSpec((1, sub_rows, LANES), lambda s, c: (s, 0, 0),
                      memory_space=pltpu.VMEM),
     ]
+    if batch:
+        for _ in range(2):                        # per-lane best, best_t
+            out_shape.append(jax.ShapeDtypeStruct(
+                (num_stripes, sub_rows, LANES), jnp.int32))
+            out_specs.append(pl.BlockSpec(
+                (1, sub_rows, LANES), lambda s, c: (s, 0, 0),
+                memory_space=pltpu.VMEM))
     if return_p:
         out_shape.append(jax.ShapeDtypeStruct(
             (num_stripes, num_chunks * C, sub_rows, LANES), jnp.int32))
@@ -347,14 +382,22 @@ def _stripe_call(q, bt, *, scoring, T, C, m, n, return_p, interpret):
                        jnp.int32),                  # F boundary ring
         ]
 
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.VMEM),      # a_pad (full)
+        pl.BlockSpec((1, sub_rows, LANES), lambda s, c: (s, 0, 0),
+                     memory_space=pltpu.VMEM),      # b stripe
+    ]
+    args = [q, bt]
+    if batch:
+        in_specs.append(pl.BlockSpec((1, sub_rows, LANES),
+                                     lambda s, c: (s, 0, 0),
+                                     memory_space=pltpu.VMEM))  # reset mask
+        args.append(greset)
+
     outs = pl.pallas_call(
         kernel,
         grid=(num_stripes, num_chunks),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),      # a_pad (full)
-            pl.BlockSpec((1, sub_rows, LANES), lambda s, c: (s, 0, 0),
-                         memory_space=pltpu.VMEM),      # b stripe
-        ],
+        in_specs=in_specs,
         out_shape=tuple(out_shape),
         out_specs=tuple(out_specs),
         scratch_shapes=scratch,
@@ -362,7 +405,7 @@ def _stripe_call(q, bt, *, scoring, T, C, m, n, return_p, interpret):
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
         ),
-    )(q, bt)
+    )(*args)
     return outs
 
 
@@ -486,3 +529,56 @@ def _device_inputs(a, b, m, n, T, C):
     bp = bp.at[:n].set(b.astype(jnp.int32))
     bt = bp.reshape(num_stripes, T // LANES, LANES)
     return ap, bt
+
+
+class BatchStripeOut(NamedTuple):
+    scores: np.ndarray      # (B,) int32
+    read_i: np.ndarray      # (B,) int32 1-based read row of the first max
+    win_j: np.ndarray       # (B,) int32 1-based window column of the max
+
+
+def batch_fill_raw(
+    reads: np.ndarray,          # (B, r) int8, -3 padding for short reads
+    window: np.ndarray,         # (W,) int8 target sequence
+    scoring: Scoring = Scoring(),
+    T: Optional[int] = None,
+    C: int = 256,
+    interpret: Optional[bool] = None,
+) -> BatchStripeOut:
+    """Batch mode of the stripe kernel: B reads packed back-to-back in lanes
+    (read g owns lanes [g*r, (g+1)*r)), a reset mask forcing the zero top
+    boundary at every read start, per-lane max registers exported and
+    reduced per read on the host — BASELINE config 3's layout (many short
+    reads, one target window), one kernel sweep for the whole batch."""
+    B, r = reads.shape
+    W = len(window)
+    n = B * r
+    if interpret is None:
+        interpret = _interpret_default()
+    if T is None:
+        T = choose_stripe_rows(W, n)
+    T = min(T, max(LANES, ((n + LANES - 1) // LANES) * LANES))
+
+    ap, bt, num_stripes = _build_inputs(
+        np.asarray(window, np.int8), reads.reshape(-1), T, C)
+    gr = np.zeros((num_stripes * T,), np.int32)
+    gr[np.arange(B) * r] = 1
+    grt = gr.reshape(num_stripes, T // LANES, LANES)
+
+    outs = _stripe_call(
+        jnp.asarray(ap), jnp.asarray(bt), jnp.asarray(grt),
+        scoring=scoring, T=T, C=C, m=W, n=n, return_p=False,
+        interpret=interpret)
+    lbest = np.asarray(outs[2]).reshape(num_stripes * T)[:n].reshape(B, r)
+    lbest_t = np.asarray(outs[3]).reshape(num_stripes * T)[:n].reshape(B, r)
+
+    scores = lbest.max(axis=1)
+    row = np.argmax(lbest == scores[:, None], axis=1)      # min read row
+    t_at = lbest_t[np.arange(B), row]
+    lane = np.arange(B) * r + row
+    read_i = (row + 1).astype(np.int32)
+    win_j = (t_at - lane + 1).astype(np.int32)
+    nohit = scores <= 0
+    read_i[nohit] = 0
+    win_j[nohit] = 0
+    return BatchStripeOut(scores.astype(np.int32), read_i, win_j)

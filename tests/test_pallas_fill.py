@@ -67,3 +67,38 @@ def test_score_fn_device_reduce():
     s, i, j = fn(jnp.asarray(a), jnp.asarray(b))
     assert int(s) == ref.max_score
     assert (int(i), int(j)) == ref.max_ij
+
+
+def test_batch_mode_matches_per_pair_oracle():
+    from swtpu.kernels.pallas_fill import batch_fill_raw
+    from swtpu.core.encode import random_batch
+    rng_w = np.random.default_rng(42)
+    B, r, W = 5, 20, 150
+    reads, _ = random_batch(B, r, 1, seed=6)
+    window = rng_w.integers(0, 4, W).astype(np.int8)
+    # plant read 2 into the window for a strong hit
+    window[60:60 + r] = reads[2]
+    out = batch_fill_raw(reads, window, T=128, C=128)
+    for g in range(B):
+        ref = oracle.fill(window, reads[g])
+        assert int(out.scores[g]) == ref.max_score, g
+        if ref.max_score > 0:
+            i, j = ref.max_ij
+            assert (int(out.read_i[g]), int(out.win_j[g])) == (i, j), g
+    assert int(out.scores[2]) == 3 * r
+
+
+def test_batch_mode_short_padded_reads():
+    from swtpu.kernels.pallas_fill import batch_fill_raw
+    rng = np.random.default_rng(7)
+    window = rng.integers(0, 4, 100).astype(np.int8)
+    r = 24
+    reads = np.full((3, r), -3, np.int8)
+    reads[0, :10] = window[30:40]      # short read, padded
+    reads[1, :] = window[50:50 + r]    # full-length
+    reads[2, :16] = window[5:21]
+    out = batch_fill_raw(reads, window, T=128, C=128)
+    assert int(out.scores[0]) == 30
+    assert int(out.scores[1]) == 3 * r
+    assert int(out.scores[2]) == 48
+    assert int(out.win_j[1]) == 50 + r
