@@ -35,12 +35,13 @@ def bench_stripe():
     from swtpu.kernels import pallas_fill as pf
 
     a, b = random_pair(M, N, seed=0)
-    T = pf.choose_stripe_rows(M, N)
-    C = 256
-    ap, bt, S = pf._build_inputs(a, b, T, C)
+    T, R = pf.choose_params(M, N)
+    C = pf.DEFAULT_CHUNK
+    ap, bt, S = pf._build_inputs(a, b, T, C, R)
     apj, btj = jnp.asarray(ap), jnp.asarray(bt)
-    kw = dict(scoring=Scoring(), T=T, C=C, m=M, n=N,
-              return_p=False, interpret=False)
+    kw = dict(scoring=Scoring(), T=T, R=R, C=C, m=M, n=N,
+              return_p=False, interpret=False,
+              unroll=pf._auto_unroll(C, False))
 
     t0 = time.perf_counter()
     outs = pf._stripe_call(apj, btj, **kw)
@@ -55,7 +56,8 @@ def bench_stripe():
         outs = pf._stripe_call(apj, btj, **kw)
         best = np.asarray(outs[0])
         times.append((time.perf_counter() - t0) / K)
-    return min(times), int(best[:, 0].max()), compile_s, f"stripe(T={T},C={C})"
+    return (min(times), int(best[:, 0].max()), compile_s,
+            f"stripe(T={T},R={R},C={C})")
 
 
 def bench_scan():

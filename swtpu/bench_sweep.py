@@ -42,13 +42,15 @@ def _time_plan(plan, m, n, repeats, k=5):
     a, b = random_pair(m, n, seed=0)
     if plan == "stripe":
         from .kernels import pallas_fill as pf
-        T = pf.choose_stripe_rows(m, n)
-        C = 256
-        ap, bt, _ = pf._build_inputs(a, b, T, C)
+        T, R = pf.choose_params(m, n)
+        C = pf.DEFAULT_CHUNK
+        interp = pf._interpret_default()
+        ap, bt, _ = pf._build_inputs(a, b, T, C, R)
         apj, btj = jnp.asarray(ap), jnp.asarray(bt)
         from .core.config import Scoring
-        kw = dict(scoring=Scoring(), T=T, C=C, m=m, n=n,
-                  return_p=False, interpret=pf._interpret_default())
+        kw = dict(scoring=Scoring(), T=T, R=R, C=C, m=m, n=n,
+                  unroll=pf._auto_unroll(C, interp),
+                  return_p=False, interpret=interp)
         t0 = time.perf_counter()
         out = np.asarray(pf._stripe_call(apj, btj, **kw)[0])
         compile_s = time.perf_counter() - t0

@@ -78,8 +78,10 @@ class EngineConfig:
     # lax.scan full-matrix fill is fastest below this many cells (compile
     # overhead amortization; the CUTOFF=1024 analog at a coarser granularity).
     scan_max_cells: int = 1 << 22
-    # Pallas stripe kernel parameters.
-    stripe_rows: int = 1024       # lanes per stripe (8 sublanes x 128 lanes)
+    # Pallas stripe kernel parameters. None = auto (cost-model choice;
+    # kernels.pallas_fill.choose_params).
+    stripe_rows: Optional[int] = None        # rows per stripe (T = 128*SUB*R)
+    stripe_rows_per_lane: Optional[int] = None   # register blocking factor R
     # banded mode: half-width of the band (|i-j| <= band). None = full matrix.
     band: Optional[int] = None
     # keep the predecessor matrix for traceback. False = score-only

@@ -28,15 +28,15 @@ from ..core.config import EngineConfig, Scoring
 from ..instrument.metrics import gcups
 
 
-def _time_stripe(m: int, n: int, T: int, C: int, repeats: int = 2,
-                 k: int = 5) -> float:
+def _time_stripe(m: int, n: int, T: int, C: int, R: int = 1,
+                 unroll: int = 1, repeats: int = 2, k: int = 5) -> float:
     from ..core.encode import random_pair
     from ..kernels import pallas_fill as pf
 
     a, b = random_pair(m, n, seed=0)
-    ap, bt, _ = pf._build_inputs(a, b, T, C)
+    ap, bt, _ = pf._build_inputs(a, b, T, C, R)
     apj, btj = jnp.asarray(ap), jnp.asarray(bt)
-    kw = dict(scoring=Scoring(), T=T, C=C, m=m, n=n,
+    kw = dict(scoring=Scoring(), T=T, R=R, C=C, m=m, n=n, unroll=unroll,
               return_p=False, interpret=pf._interpret_default())
     np.asarray(pf._stripe_call(apj, btj, **kw)[0])    # compile
     best = float("inf")
@@ -67,38 +67,43 @@ def _time_scan(m: int, n: int, repeats: int = 2, k: int = 3) -> float:
 
 
 def sweep(sizes=(512, 2048, 8192, 25632),
-          t_candidates=(None, 4096, 8192, 16384),
-          c_candidates=(128, 256, 512),
+          r_candidates=(1, 2, 4, 8),
+          c_candidates=(128, 256),
+          unrolls=(8, 32),
           verbose: bool = True) -> dict:
     """Measure all plans over the size grid; returns the tuned table."""
-    from ..kernels.pallas_fill import choose_stripe_rows
+    from ..kernels.pallas_fill import LANES, choose_params
 
     table = {"entries": []}
     for s in sizes:
         m = n = s
         rows = []
         dt = _time_scan(m, n)
-        rows.append({"plan": "scan", "T": None, "C": None,
-                     "s": dt, "gcups": gcups(m * n, dt)})
+        rows.append({"plan": "scan", "T": None, "R": None, "C": None,
+                     "unroll": None, "s": dt, "gcups": gcups(m * n, dt)})
         tried = set()
-        for T in t_candidates:
-            Tc = T or choose_stripe_rows(m, n)
-            Tc = min(Tc, -(-n // 128) * 128)
+        for R in r_candidates:
+            Tc, _ = choose_params(m, n, r_max=R)
+            Tc = -(-Tc // (LANES * R)) * LANES * R
+            Tc = min(Tc, -(-n // (LANES * R)) * LANES * R)
             for C in c_candidates:
-                if (Tc, C) in tried:
-                    continue
-                tried.add((Tc, C))
-                try:
-                    dt = _time_stripe(m, n, Tc, C)
-                except Exception:
-                    continue
-                rows.append({"plan": "stripe", "T": Tc, "C": C,
-                             "s": dt, "gcups": gcups(m * n, dt)})
+                for U in unrolls:
+                    if C % U or (Tc, R, C, U) in tried:
+                        continue
+                    tried.add((Tc, R, C, U))
+                    try:
+                        dt = _time_stripe(m, n, Tc, C, R=R, unroll=U)
+                    except Exception:
+                        continue
+                    rows.append({"plan": "stripe", "T": Tc, "R": R, "C": C,
+                                 "unroll": U, "s": dt,
+                                 "gcups": gcups(m * n, dt)})
         best = max(rows, key=lambda r: r["gcups"])
         table["entries"].append({"m": m, "n": n, "best": best, "all": rows})
         if verbose:
             print(f"size {s}: best {best['plan']} T={best['T']} "
-                  f"C={best['C']} {best['gcups']:.1f} GCUPS")
+                  f"R={best['R']} C={best['C']} U={best['unroll']} "
+                  f"{best['gcups']:.1f} GCUPS")
     return table
 
 

@@ -117,7 +117,8 @@ def align(
 
     if plan == "stripe":
         from ..kernels.pallas_fill import stripe_fill_supported
-        if return_matrices or not stripe_fill_supported(m, n, want_tb):
+        if return_matrices or not stripe_fill_supported(m, n, want_tb,
+                                                        scoring):
             plan = "scan"     # stripe never materializes H
 
     if plan == "scan":
@@ -166,7 +167,7 @@ def _fill_fn_for_bench(m: int, n: int, scoring: Scoring = Scoring()):
     plan = choose_plan(m, n)
     if plan == "stripe":
         from ..kernels.pallas_fill import stripe_fill_supported
-        if not stripe_fill_supported(m, n, traceback=False):
+        if not stripe_fill_supported(m, n, traceback=False, scoring=scoring):
             plan = "scan"
     if plan == "stripe":
         from ..kernels.pallas_fill import stripe_score_fn

@@ -6,24 +6,32 @@ launches one thread per cell of one anti-diagonal
 three rolling diagonal buffers in unified memory
 (rotated-cuda/sw-rotated-cuda-unified.cu:225-241), this kernel:
 
-* processes the matrix in **stripes of T rows** (T = 1024 default, held as a
-  (T/128, 128) int32 register tile = full VPU lanes);
+* processes the matrix in **stripes of T = 128*SUB*R rows**; each of the
+  L = 128*SUB lanes owns **R consecutive rows** (register blocking), so the
+  expensive cross-lane data movement happens once per R cells;
 * sweeps the stripe's anti-diagonals with a **row-stationary systolic
-  layout**: lane k is row k+1 of the stripe; per step, LEFT is the same lane
-  one step back, UP/DIAG are lane k-1 one/two steps back — one linearized
-  lane-shift (two `pltpu.roll`s + select) implements the dependency;
+  layout**: lane k processes rows [k*R+1, (k+1)*R] at column j = t - k + 1
+  on step t. Within a lane, UP/DIAG dependencies for rows r>0 are this
+  step's / last step's own registers — only row r=0 needs the neighbouring
+  lane's bottom row, one linearized lane-shift (two `pltpu.roll`s + select);
 * slides the **query window** one lane per step: lane 0 ingests a[t] at step
-  t (a chunk of `a` is loaded 128-aligned and rolled one lane per step), so
-  substitution scoring is a single vector compare — no gathers, no rotated
-  storage;
-* chains stripes through a **bottom-row boundary buffer** in VMEM scratch
+  t, so substitution scoring is a single vector compare — no gathers, no
+  rotated storage;
+* drops all validity masking: with negative mismatch/gap penalties,
+  pre-start lanes provably stay at the zero floor (sentinel query codes
+  force mismatches; every inflow is <= 0), and post-finish lanes compute
+  garbage that strictly decays by >=1 per step — it can never equal the
+  true maximum, so the max/argmax reductions are unaffected;
+* chains stripes through a **bottom-row boundary ring** in VMEM scratch
   (persistent across the sequential TPU grid), the analog of the reference's
   data-residency lesson (v6.3's device-resident H/P,
   omp_smithW-v6.3-target-inlined.cpp:237-332): nothing round-trips to HBM
   between stripes except the optional predecessor stream;
-* tracks the global max with per-lane (first-step-wins) registers reduced
-  once per stripe — replacing `omp critical` / atomicCAS retry loops with
-  race-free vector selects.
+* tracks the global max with per-lane packed (score*R + (R-1-r)) registers
+  under a strict-> update — exactly row-major first-occurrence per lane —
+  reduced once per stripe, replacing `omp critical` / atomicCAS retry loops
+  (omp_smithW.c:384-387, cuda_global_mem_smithW.cu:246-260) with race-free
+  vector selects.
 
 All state lives in VMEM/SMEM scratch; steps are chunked (C per grid step) so
 the predecessor stream pipelines to HBM through Pallas's automatic double
@@ -46,17 +54,14 @@ from ..core.config import DIAGONAL, LEFT, NONE, UP, EngineConfig, Scoring
 LANES = 128
 BIG = 2**30
 
-# Practical single-kernel width cap: Q + boundary row must fit VMEM
+# Practical single-kernel width cap: Q + boundary ring must fit VMEM
 # (4 bytes * ~2m each; 16 MB VMEM). Beyond this, the multi-chip pipeline or
 # host-level column chunking takes over.
 MAX_WIDTH = 1 << 20
 
 
 def choose_stripe_rows(m: int, n: int, t_max: int = 16384) -> int:
-    """Pick the stripe height minimizing total steps = stripes * (m + T):
-    big T amortizes the per-step dependency latency; small T shrinks the
-    diagonal ramp bubble and stripe padding. Exhaustive over stripe counts
-    (cheap: <= n/128 candidates)."""
+    """R=1 legacy helper: stripe height minimizing steps = stripes*(m+T)."""
     best_T, best_steps = LANES, None
     s_max = -(-n // LANES)
     for s_cnt in range(1, s_max + 1):
@@ -69,8 +74,67 @@ def choose_stripe_rows(m: int, n: int, t_max: int = 16384) -> int:
     return best_T
 
 
-def stripe_fill_supported(m: int, n: int, traceback: bool) -> bool:
-    return m >= 2 and n >= 1 and m <= MAX_WIDTH
+# Cost model for (T, R), calibrated on v5e at 25632^2 (see git history):
+# cycles/step ~ max(LAT(R), BETA * vregs * (per_row*R + per_step)) where the
+# latency floor LAT covers the cross-step dependency chain and per-step
+# plumbing that the unrolled loop cannot hide, and the throughput term
+# counts vector instructions. Relative choice is what matters.
+_LAT0, _LATR = 200.0, 10.0
+_BETA = 0.7
+_COST_LIN = (10, 10)   # per-row, per-step vector instr factors (linear gap)
+_COST_AFF = (16, 12)
+
+DEFAULT_CHUNK = 128
+DEFAULT_UNROLL = 32
+
+
+def choose_params(m: int, n: int, affine: bool = False,
+                  r_max: int = 8, sub_max: int = 128) -> tuple:
+    """Pick (T, R) minimizing the modeled fill time. T = 128*SUB*R."""
+    per_row, per_step = _COST_AFF if affine else _COST_LIN
+    best = (LANES, 1)
+    best_cost = None
+    for R in (1, 2, 4, 8):
+        if R > r_max:
+            continue
+        for SUB in range(1, sub_max + 1):
+            T = LANES * SUB * R
+            stripes = -(-n // T)
+            if stripes > 1 and (stripes - 1) * T >= n:
+                continue                      # a smaller SUB covers n too
+            L = LANES * SUB
+            steps = stripes * (m + L - 1)
+            vregs = -(-SUB // 8)    # (SUB, 128) int32 tile = ceil(SUB/8) vregs
+            cost = steps * max(_LAT0 + _LATR * R,
+                               _BETA * vregs * (per_row * R + per_step))
+            if best_cost is None or cost < best_cost:
+                best_cost, best = cost, (T, R)
+    return best
+
+
+def _auto_unroll(C: int, interpret: bool) -> int:
+    if interpret:
+        return 1          # interpret mode: keep tracing cheap
+    u = DEFAULT_UNROLL
+    while C % u:
+        u //= 2
+    return max(u, 1)
+
+
+def stripe_fill_supported(m: int, n: int, traceback: bool,
+                          scoring: Scoring = Scoring()) -> bool:
+    if not (m >= 2 and n >= 1 and m <= MAX_WIDTH):
+        return False
+    return _penalties_negative(scoring)
+
+
+def _penalties_negative(scoring: Scoring) -> bool:
+    """The unmasked kernel's precondition (see module docstring)."""
+    if scoring.mismatch >= 0:
+        return False
+    if scoring.is_affine:
+        return scoring.gap_open < 0 and scoring.gap_extend < 0
+    return scoring.gap < 0
 
 
 def _interpret_default() -> bool:
@@ -81,27 +145,30 @@ def _interpret_default() -> bool:
         return True
 
 
-def _kernel(scoring: Scoring, T: int, C: int, m: int, n: int,
+def _kernel(scoring: Scoring, T: int, R: int, C: int, m: int, n: int,
             steps: int, num_chunks: int, return_p: bool,
-            batch: bool = False):
-    sub_rows = T // LANES
+            batch: bool = False, unroll: int = 1):
+    L = T // R                       # lanes per stripe
+    sub_rows = L // LANES
+    logR = R.bit_length() - 1        # R is a power of two
     match = int(scoring.match)
     mismatch = int(scoring.mismatch)
-    gap = int(scoring.gap)
     affine = scoring.is_affine
     if affine:
         g_open = int(scoring.gap_open)
         g_ext = int(scoring.gap_extend)
         neg = -(1 << 24)
-    # Boundary-row ring indexed by step: bot[t] == bottom-lane value of step
-    # t of the stripe above (= H(stripe_top - 1, j = t - T + 2)). Written one
-    # aligned C-slice per chunk, read T-2 elements ahead, so a single buffer
+    else:
+        gap = int(scoring.gap)
+    # Boundary-row ring indexed by step: bot[t] == bottom-row value of step
+    # t of the stripe above (= H(stripe_top - 1, j = t - L + 2)). Written one
+    # aligned C-slice per chunk, read L-1 elements ahead, so a single buffer
     # serves producer (this stripe) and consumer (next stripe).
-    bot_len = num_chunks * C + T + C + 256
+    bot_len = num_chunks * C + L + C + 256
 
     def kernel(a_ref, b_ref, *rest):
-        # Batch mode ('many reads packed in lanes'): an extra reset-mask
-        # input marks read-start lanes whose UP/DIAG inflow is forced to the
+        # Batch mode ('many reads packed in rows'): an extra reset-mask
+        # input marks read-start rows whose UP/DIAG inflow is forced to the
         # zero boundary, making each read's DP independent; per-lane best
         # registers are exported so the host reduces per read.
         if batch:
@@ -115,48 +182,42 @@ def _kernel(scoring: Scoring, T: int, C: int, m: int, n: int,
         if return_p:
             p_ref = rest[0]
             rest = rest[1:]
-        # Chunk-persistent state. The wavefront registers are carried through
-        # the step loop PRE-ROLLED: (c1, c2) are the lane/sublane rolls of
-        # the previous step's H row (so the UP/DIAG shifts are two selects,
-        # not two rolls), (p1, p2) the rolls from two steps back, (w1, w2)
-        # the rolls of the query window. Rolling happens once per step on the
-        # freshly computed hn/wv — 4 rolls/step instead of 6, and the roll
-        # wraparound delivers the bottom-lane value at [0, 0] for free.
+        # Scratch: hp holds the R per-row wavefronts of the previous step;
+        # (c1, c2) the lane/sublane rolls of the previous step's bottom row
+        # (r = R-1); hs the previous step's row-0 UP operand (which is
+        # exactly this step's row-0 DIAG operand — the ring shifts by one
+        # per step); (w1, w2) the rolls of the query window.
         if affine:
-            (hv, c1, c2, p1, p2, w1, w2, best, best_t, rc, bot,
-             ev, fr1, fr2, fbot) = rest
+            (hp, c1, c2, hs, w1, w2, best, best_t, rc, bot,
+             ep, f1, f2, fbot) = rest
         else:
-            (hv, c1, c2, p1, p2, w1, w2, best, best_t, rc, bot) = rest
+            (hp, c1, c2, hs, w1, w2, best, best_t, rc, bot) = rest
 
         s_idx = pl.program_id(0)
         c_idx = pl.program_id(1)
 
         col = jax.lax.broadcasted_iota(jnp.int32, (sub_rows, LANES), 1)
         row = jax.lax.broadcasted_iota(jnp.int32, (sub_rows, LANES), 0)
-        lin = row * LANES + col                     # lane id k; row i = k+1
+        lin = row * LANES + col                     # lane id k
         origin = lin == 0
         col0 = col == 0
 
-        # rows beyond n (stripe padding) are permanently invalid
-        rowlim = n - s_idx * T - 1                  # lane valid iff lin <= rowlim
-
         @pl.when(c_idx == 0)
         def _init_stripe():
-            zero = jnp.zeros((sub_rows, LANES), jnp.int32)
-            hv[...] = zero
-            c1[...] = zero
-            c2[...] = zero
-            p1[...] = zero
-            p2[...] = zero
-            w1[...] = zero - 1                      # sentinel codes
-            w2[...] = zero - 1
-            best[...] = zero
-            best_t[...] = zero
+            zero = jnp.zeros((R, sub_rows, LANES), jnp.int32)
+            hp[...] = zero
+            c1[...] = zero[0]
+            c2[...] = zero[0]
+            hs[...] = zero[0]
+            w1[...] = zero[0] - 1                   # sentinel codes
+            w2[...] = zero[0] - 1
+            best[...] = zero[0]
+            best_t[...] = zero[0]
             rc[...] = zero
             if affine:
-                ev[...] = zero + neg
-                fr1[...] = zero + neg
-                fr2[...] = zero + neg
+                ep[...] = zero + neg
+                f1[...] = zero[0] + neg
+                f2[...] = zero[0] + neg
 
             @pl.when(s_idx == 0)
             def _():
@@ -165,136 +226,189 @@ def _kernel(scoring: Scoring, T: int, C: int, m: int, n: int,
                     # F(0, j) = -inf: no vertical gap enters from row 0
                     fbot[...] = jnp.full((1, bot_len), neg, jnp.int32)
 
-        btile = b_ref[0]
+        btiles = [b_ref[0, r] for r in range(R)]
         if batch:
-            gmask = greset_ref[0] != 0
+            gmasks = [greset_ref[0, r] != 0 for r in range(R)]
         ciota = jax.lax.broadcasted_iota(jnp.int32, (1, C), 1)
 
         # Chunk-start aligned vector loads (Mosaic requires 128-multiple lane
         # offsets); per-step boundary scalars come from registers rolled one
         # lane per step:
-        #   bw[0, 126 + tl] = bot_ring[c*C + T - 2 + tl] = H(row above, j = t)
+        #   bw[0, 127 + tl] = bot_ring[c*C + L - 1 + tl] = H(row above, j=t+1)
         #   av[0, tl]       = a[t] — the query code entering lane 0 at step t
-        bw0 = bot[0:1, pl.ds(c_idx * C + T - 128, C + 128)]
+        bw0 = bot[0:1, pl.ds(c_idx * C + L - 128, C + 128)]
         av0 = a_ref[0:1, pl.ds(c_idx * C, C)]
         if affine:
-            fw0 = fbot[0:1, pl.ds(c_idx * C + T - 128, C + 128)]
+            fw0 = fbot[0:1, pl.ds(c_idx * C + L - 128, C + 128)]
 
         def lane_rolls(x):
             r1 = pltpu.roll(x, 1, axis=1)
             r2 = pltpu.roll(r1, 1, axis=0)
             return r1, r2
 
-        def step(tl, carry):
-            # Steps past the stripe's true extent (the chunk-padding tail)
-            # are harmless: every lane is invalid there, hn collapses to 0,
-            # and the strict-> best update never fires.
-            if affine:
-                (h1v, hr1, hr2, q1, q2, wr1, wr2, botbuf, bw, av,
-                 e1v, f1r1, f1r2, fw, fbuf) = carry
-            else:
-                h1v, hr1, hr2, q1, q2, wr1, wr2, botbuf, bw, av = carry
-            t = c_idx * C + tl
+        def make_step(track_rc):
+            def step(tl, carry):
+                # Steps past the stripe's true extent (the chunk-padding
+                # tail) are harmless: every lane is post-finish there and its
+                # decaying garbage can never reach the true maximum.
+                if affine:
+                    (hvs, hr1, hr2, hsv, wr1, wr2, botbuf, bw, av,
+                     evs, fv1, fv2, fw, fbuf) = carry
+                else:
+                    hvs, hr1, hr2, hsv, wr1, wr2, botbuf, bw, av = carry
+                t = c_idx * C + tl
 
-            di_in = bw[0, 126]
-            up_in = bw[0, 127]
-            h1s = jnp.where(origin, up_in, jnp.where(col0, hr2, hr1))
-            h2s = jnp.where(origin, di_in, jnp.where(col0, q2, q1))
-            if batch:
-                # read-start lanes see the zero top boundary, not the
-                # previous read's bottom row
-                h1s = jnp.where(gmask, 0, h1s)
-                h2s = jnp.where(gmask, 0, h2s)
-            wv = jnp.where(origin, av[0, 0], jnp.where(col0, wr2, wr1))
-
-            valid = (lin >= t - m + 1) & (lin <= rowlim)
-
-            sub = jnp.where(wv == btile, match, mismatch)
-            diag = h2s + sub
-            if affine:
-                f_sh = jnp.where(origin, fw[0, 127],
-                                 jnp.where(col0, f1r2, f1r1))
+                up_in = bw[0, 127]
+                h_top = jnp.where(origin, up_in, jnp.where(col0, hr2, hr1))
+                wv = jnp.where(origin, av[0, 0], jnp.where(col0, wr2, wr1))
                 if batch:
-                    f_sh = jnp.where(gmask, neg, f_sh)
-                e_new = jnp.maximum(h1v + g_open, e1v + g_ext)
-                f_new = jnp.maximum(h1s + g_open, f_sh + g_ext)
-                up = f_new
-                left = e_new
-                e_out = jnp.where(valid, e_new, neg)
-                f_out = jnp.where(valid, f_new, neg)
-            else:
-                up = h1s + gap
-                left = h1v + gap
+                    h_top = jnp.where(gmasks[0], 0, h_top)
+                if affine:
+                    f_top = jnp.where(origin, fw[0, 127],
+                                      jnp.where(col0, fv2, fv1))
+                    if batch:
+                        f_top = jnp.where(gmasks[0], neg, f_top)
 
-            zero = jnp.zeros_like(h1v)
-            if return_p:
-                hn = zero
-                pn = zero
-                take = diag > hn
-                hn = jnp.where(take, diag, hn)
-                pn = jnp.where(take, jnp.int32(DIAGONAL), pn)
-                take = up > hn
-                hn = jnp.where(take, up, hn)
-                pn = jnp.where(take, jnp.int32(UP), pn)
-                take = left > hn
-                hn = jnp.where(take, left, hn)
-                pn = jnp.where(take, jnp.int32(LEFT), pn)
-                pn = jnp.where(valid, pn, jnp.int32(NONE))
-                p_ref[0, tl] = pn
-            else:
-                hn = jnp.maximum(jnp.maximum(diag, up),
-                                 jnp.maximum(left, zero))
-            hn = jnp.where(valid, hn, zero)
+                new_h = []
+                new_e = []
+                up = h_top
+                dg = hsv                     # row-0 DIAG = prev step's h_top
+                if affine:
+                    fprev = f_top
+                packed = None
+                for r in range(R):
+                    if r > 0:
+                        dg = hvs[r - 1]
+                        if batch:
+                            up = jnp.where(gmasks[r], 0, up)
+                            dg = jnp.where(gmasks[r], 0, dg)
+                            if affine:
+                                fprev = jnp.where(gmasks[r], neg, fprev)
+                    sub = jnp.where(wv == btiles[r], match, mismatch)
+                    diag = dg + sub
+                    if affine:
+                        e_new = jnp.maximum(hvs[r] + g_open, evs[r] + g_ext)
+                        f_new = jnp.maximum(up + g_open, fprev + g_ext)
+                        u_val, l_val = f_new, e_new
+                        new_e.append(e_new)
+                        fprev = f_new
+                    else:
+                        if return_p:
+                            # predecessor capture needs UP and LEFT apart
+                            u_val = up + gap
+                            l_val = hvs[r] + gap
+                        else:
+                            # fold the shared gap add: max(up,left)+gap
+                            ul = jnp.maximum(up, hvs[r]) + gap
 
-            # first-occurrence max per lane (strict >, so the smallest
-            # step — i.e. smallest j — wins per row; serial_smithW.c:240)
-            better = hn > best[...]
-            best[...] = jnp.where(better, hn, best[...])
-            best_t[...] = jnp.where(better, t, best_t[...])
+                    if return_p:
+                        zero = jnp.zeros_like(diag)
+                        hn = zero
+                        pn = zero
+                        take = diag > hn
+                        hn = jnp.where(take, diag, hn)
+                        pn = jnp.where(take, jnp.int32(DIAGONAL), pn)
+                        take = u_val > hn
+                        hn = jnp.where(take, u_val, hn)
+                        pn = jnp.where(take, jnp.int32(UP), pn)
+                        take = l_val > hn
+                        hn = jnp.where(take, l_val, hn)
+                        pn = jnp.where(take, jnp.int32(LEFT), pn)
+                        p_ref[0, tl, r] = pn
+                    elif affine:
+                        hn = jnp.maximum(jnp.maximum(diag, u_val),
+                                         jnp.maximum(l_val, 0))
+                    else:
+                        hn = jnp.maximum(jnp.maximum(diag, ul), 0)
+                    new_h.append(hn)
+                    up = hn
+                    pk = hn if R == 1 else (hn << logR) + (R - 1 - r)
+                    packed = pk if r == 0 else jnp.maximum(packed, pk)
 
-            # right-edge capture for pipeline halos / last_cell
-            rc[...] = jnp.where(lin == t - m + 1, hn, rc[...])
+                # row-major first occurrence per lane: strict > on the
+                # packed (score, R-1-r) value keeps the smallest row among
+                # equal scores and, within a row, the earliest step
+                # (= smallest j; serial_smithW.c:240)
+                better = packed > best[...]
+                best[...] = jnp.where(better, packed, best[...])
+                best_t[...] = jnp.where(better, t, best_t[...])
 
-            nr1, nr2 = lane_rolls(hn)
-            nw1, nw2 = lane_rolls(wv)
-            # the roll wraparound parks hn[T-1 lane] at nr2[0, 0]: exactly
-            # the bottom-row value this stripe exports to the next one
-            botbuf = jnp.where(ciota == tl, nr2[0, 0], botbuf)
+                if track_rc:
+                    # right-edge capture for pipeline halos / last_cell
+                    edge = lin == t - m + 1
+                    for r in range(R):
+                        rc[r] = jnp.where(edge, new_h[r], rc[r])
 
-            out = (hn, nr1, nr2, hr1, hr2, nw1, nw2, botbuf,
-                   pltpu.roll(bw, C + 127, axis=1),
-                   pltpu.roll(av, C - 1, axis=1))
+                nr1, nr2 = lane_rolls(new_h[R - 1])
+                nw1, nw2 = lane_rolls(wv)
+                # the roll wraparound parks the bottom row's last-lane value
+                # at nr2[0, 0]: exactly what this stripe exports to the next
+                botbuf = jnp.where(ciota == tl, nr2[0, 0], botbuf)
+
+                out = (tuple(new_h), nr1, nr2, h_top, nw1, nw2, botbuf,
+                       pltpu.roll(bw, C + 127, axis=1),
+                       pltpu.roll(av, C - 1, axis=1))
+                if affine:
+                    nf1, nf2 = lane_rolls(fprev)          # fprev == f[R-1]
+                    fbuf = jnp.where(ciota == tl, nf2[0, 0], fbuf)
+                    out = out + (tuple(new_e), nf1, nf2,
+                                 pltpu.roll(fw, C + 127, axis=1), fbuf)
+                return out
+            return step
+
+        def run_chunk(track_rc):
+            carry0 = (tuple(hp[r] for r in range(R)), c1[...], c2[...],
+                      hs[...], w1[...], w2[...],
+                      jnp.zeros((1, C), jnp.int32), bw0, av0)
             if affine:
-                nf1, nf2 = lane_rolls(f_out)
-                fbuf = jnp.where(ciota == tl, nf2[0, 0], fbuf)
-                out = out + (e_out, nf1, nf2,
-                             pltpu.roll(fw, C + 127, axis=1), fbuf)
-            return out
+                carry0 = carry0 + (tuple(ep[r] for r in range(R)),
+                                   f1[...], f2[...], fw0,
+                                   jnp.full((1, C), neg, jnp.int32))
+            step = make_step(track_rc)
+            if unroll == 1:
+                carry = jax.lax.fori_loop(0, C, step, carry0)
+            else:
+                def block(blk, c):
+                    for u in range(unroll):
+                        c = step(blk * unroll + u, c)
+                    return c
+                carry = jax.lax.fori_loop(0, C // unroll, block, carry0)
+            # persist wavefront state for the next chunk; flush boundaries
+            for r in range(R):
+                hp[r] = carry[0][r]
+            c1[...], c2[...], hs[...], w1[...], w2[...] = carry[1:6]
+            bot[0:1, pl.ds(c_idx * C, C)] = carry[6]
+            if affine:
+                for r in range(R):
+                    ep[r] = carry[9][r]
+                f1[...], f2[...] = carry[10], carry[11]
+                fbot[0:1, pl.ds(c_idx * C, C)] = carry[13]
 
-        carry0 = (hv[...], c1[...], c2[...], p1[...], p2[...],
-                  w1[...], w2[...], jnp.zeros((1, C), jnp.int32), bw0, av0)
-        if affine:
-            carry0 = carry0 + (ev[...], fr1[...], fr2[...], fw0,
-                               jnp.full((1, C), neg, jnp.int32))
-        carry = jax.lax.fori_loop(0, C, step, carry0)
+        # The right-column capture only fires while some lane sits at column
+        # m, i.e. steps t in [m-1, m-1+L): chunks outside that window run
+        # the steady-phase body without the edge selects.
+        base = c_idx * C
+        touches_edge = jnp.logical_and(base + C > m - 1, base < m - 1 + L)
 
-        # persist wavefront state for the next chunk; flush boundary slices
-        hv[...], c1[...], c2[...], p1[...], p2[...], w1[...], w2[...] = \
-            carry[:7]
-        bot[0:1, pl.ds(c_idx * C, C)] = carry[7]
-        if affine:
-            ev[...], fr1[...], fr2[...] = carry[10], carry[11], carry[12]
-            fbot[0:1, pl.ds(c_idx * C, C)] = carry[14]
+        @pl.when(touches_edge)
+        def _edge_chunk():
+            run_chunk(True)
+
+        @pl.when(jnp.logical_not(touches_edge))
+        def _steady_chunk():
+            run_chunk(False)
 
         @pl.when(c_idx == num_chunks - 1)
         def _finish_stripe():
             bv = best[...]
-            s_star = jnp.max(bv)
-            li = jnp.where(bv == s_star, lin, BIG)
-            k_star = jnp.min(li)
-            t_star = jnp.max(jnp.where(lin == k_star, best_t[...], -1))
+            sc = bv >> logR if R > 1 else bv
+            s_star = jnp.max(sc)
+            rowv = (lin << logR) + (R - 1 - (bv & (R - 1))) if R > 1 else lin
+            li = jnp.where(sc == s_star, rowv, BIG)
+            row_star = jnp.min(li)
+            t_star = jnp.max(jnp.where(li == row_star, best_t[...], -1))
             best_ref[s_idx, 0] = s_star
-            best_ref[s_idx, 1] = k_star
+            best_ref[s_idx, 1] = row_star
             best_ref[s_idx, 2] = t_star
             rc_ref[0] = rc[...]
             if batch:
@@ -310,50 +424,70 @@ class StripeOut(NamedTuple):
     max_j: jax.Array
     last_cell: jax.Array
     right_col: jax.Array            # (n+1,) int32
-    p_stripes: Optional[jax.Array]  # (S, steps_pad, T) int32 diag-major or None
+    p_stripes: Optional[jax.Array]  # (S, steps_pad, R, L) diag-major or None
 
 
-def _build_inputs(a_codes: np.ndarray, b_codes: np.ndarray, T: int, C: int):
+def _check_packing(m: int, n: int, R: int, scoring: Scoring):
+    if R & (R - 1):
+        raise ValueError(f"R must be a power of two, got {R}")
+    if not _penalties_negative(scoring):
+        raise ValueError(
+            "stripe kernel requires negative mismatch/gap penalties "
+            "(use plan='scan' for degenerate scorings)")
+    hi = max(abs(int(scoring.match)), 1) * min(m, n)
+    if hi * R >= (1 << 30):
+        raise ValueError("score range too large for packed argmax; lower R")
+
+
+def _build_inputs(a_codes: np.ndarray, b_codes: np.ndarray, T: int, C: int,
+                  R: int = 1):
     m, n = len(a_codes), len(b_codes)
+    L = T // R
     num_stripes = -(-n // T)
-    steps = m + T - 1
+    steps = m + L - 1
     num_chunks = -(-steps // C)
     # a, sentinel-padded (-1) to the chunked step count: ap[0, t] = a[t]
     ap = np.full((1, num_chunks * C), -1, dtype=np.int32)
     ap[0, :m] = a_codes.astype(np.int32)
-    # b padded with sentinel -2 (never matches codes or the a sentinel)
+    # b padded with sentinel -2 (never matches codes or the a sentinel);
+    # lane lin's row r is global stripe row lin*R + r -> b[..., r, lin]
     bp = np.full((num_stripes * T,), -2, dtype=np.int32)
     bp[:n] = b_codes.astype(np.int32)
-    bt = bp.reshape(num_stripes, T // LANES, LANES)
-    return ap, bt, num_stripes
+    bt = (bp.reshape(num_stripes, L, R).transpose(0, 2, 1)
+          .reshape(num_stripes, R, L // LANES, LANES))
+    return ap, np.ascontiguousarray(bt), num_stripes
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("scoring", "T", "C", "m", "n", "return_p", "interpret"),
+    static_argnames=("scoring", "T", "R", "C", "m", "n", "return_p",
+                     "interpret", "unroll"),
 )
-def _stripe_call(q, bt, greset=None, *, scoring, T, C, m, n, return_p,
-                 interpret):
+def _stripe_call(q, bt, greset=None, *, scoring, T, R=1, C=256, m, n,
+                 return_p, interpret, unroll=1):
     num_stripes = bt.shape[0]
-    steps = m + T - 1
+    L = T // R
+    steps = m + L - 1
     num_chunks = -(-steps // C)
-    sub_rows = T // LANES
-    batch = greset is not None
+    sub_rows = L // LANES
 
-    kernel = _kernel(scoring, T, C, m, n, steps, num_chunks, return_p,
-                     batch=batch)
+    if C % unroll:
+        raise ValueError(f"C={C} must be a multiple of unroll={unroll}")
+    kernel = _kernel(scoring, T, R, C, m, n, steps, num_chunks, return_p,
+                     batch=greset is not None, unroll=unroll)
+    batch = greset is not None
 
     out_shape = [
         jax.ShapeDtypeStruct((num_stripes, 8), jnp.int32),                 # best
-        jax.ShapeDtypeStruct((num_stripes, sub_rows, LANES), jnp.int32),   # rc
+        jax.ShapeDtypeStruct((num_stripes, R, sub_rows, LANES), jnp.int32),  # rc
     ]
     out_specs = [
-        pl.BlockSpec(memory_space=pltpu.SMEM),    # best: full array, indexed by stripe
-        pl.BlockSpec((1, sub_rows, LANES), lambda s, c: (s, 0, 0),
+        pl.BlockSpec(memory_space=pltpu.SMEM),    # best: full, stripe-indexed
+        pl.BlockSpec((1, R, sub_rows, LANES), lambda s, c: (s, 0, 0, 0),
                      memory_space=pltpu.VMEM),
     ]
     if batch:
-        for _ in range(2):                        # per-lane best, best_t
+        for _ in range(2):                        # per-lane packed best, t
             out_shape.append(jax.ShapeDtypeStruct(
                 (num_stripes, sub_rows, LANES), jnp.int32))
             out_specs.append(pl.BlockSpec(
@@ -361,36 +495,40 @@ def _stripe_call(q, bt, greset=None, *, scoring, T, C, m, n, return_p,
                 memory_space=pltpu.VMEM))
     if return_p:
         out_shape.append(jax.ShapeDtypeStruct(
-            (num_stripes, num_chunks * C, sub_rows, LANES), jnp.int32))
+            (num_stripes, num_chunks * C, R, sub_rows, LANES), jnp.int32))
         out_specs.append(pl.BlockSpec(
-            (1, C, sub_rows, LANES), lambda s, c: (s, c, 0, 0),
+            (1, C, R, sub_rows, LANES), lambda s, c: (s, c, 0, 0, 0),
             memory_space=pltpu.VMEM))
 
     tile = pltpu.VMEM((sub_rows, LANES), jnp.int32)
-    scratch = [tile] * 7 + [                        # hv,c1,c2,p1,p2,w1,w2
-        tile,                                       # best
-        tile,                                       # best_t
-        tile,                                       # rc
-        pltpu.VMEM((1, num_chunks * C + T + C + 256),
-                   jnp.int32),                      # bottom-row boundary ring
+    rtile = pltpu.VMEM((R, sub_rows, LANES), jnp.int32)
+    ring = pltpu.VMEM((1, num_chunks * C + L + C + 256), jnp.int32)
+    scratch = [
+        rtile,                                  # hp (R per-row wavefronts)
+        tile, tile,                             # c1, c2
+        tile,                                   # hs
+        tile, tile,                             # w1, w2
+        tile,                                   # best (packed)
+        tile,                                   # best_t
+        rtile,                                  # rc
+        ring,                                   # bottom-row boundary ring
     ]
     if scoring.is_affine:
         scratch += [
-            tile,                                   # e value
-            tile, tile,                             # f rolls
-            pltpu.VMEM((1, num_chunks * C + T + C + 256),
-                       jnp.int32),                  # F boundary ring
+            rtile,                              # ep
+            tile, tile,                         # f1, f2
+            ring,                               # F boundary ring
         ]
 
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.VMEM),      # a_pad (full)
-        pl.BlockSpec((1, sub_rows, LANES), lambda s, c: (s, 0, 0),
+        pl.BlockSpec((1, R, sub_rows, LANES), lambda s, c: (s, 0, 0, 0),
                      memory_space=pltpu.VMEM),      # b stripe
     ]
     args = [q, bt]
     if batch:
-        in_specs.append(pl.BlockSpec((1, sub_rows, LANES),
-                                     lambda s, c: (s, 0, 0),
+        in_specs.append(pl.BlockSpec((1, R, sub_rows, LANES),
+                                     lambda s, c: (s, 0, 0, 0),
                                      memory_space=pltpu.VMEM))  # reset mask
         args.append(greset)
 
@@ -409,29 +547,39 @@ def _stripe_call(q, bt, greset=None, *, scoring, T, C, m, n, return_p,
     return outs
 
 
+def _lane_major_to_rowmajor(x: np.ndarray, T: int, R: int) -> np.ndarray:
+    """(S, R, sub, 128) per-stripe lane-major values -> flat row order."""
+    S = x.shape[0]
+    L = T // R
+    return (x.reshape(S, R, L).transpose(0, 2, 1).reshape(S * T))
+
+
 def stripe_fill_raw(
     a_codes: np.ndarray,
     b_codes: np.ndarray,
     scoring: Scoring = Scoring(),
     T: Optional[int] = None,
-    C: int = 256,
+    R: Optional[int] = None,
+    C: int = DEFAULT_CHUNK,
     return_p: bool = False,
+    unroll: Optional[int] = None,
     interpret: Optional[bool] = None,
 ) -> StripeOut:
     """Run the stripe kernel; returns device arrays + host-reduced best."""
     m, n = len(a_codes), len(b_codes)
     if interpret is None:
         interpret = _interpret_default()
-    if T is None:
-        T = choose_stripe_rows(m, n)
-    T = min(T, max(LANES, ((n + LANES - 1) // LANES) * LANES))
-    ap, bt, num_stripes = _build_inputs(a_codes, b_codes, T, C)
+    T, R = _resolve_params(m, n, T, R, scoring)
+    _check_packing(m, n, R, scoring)
+    ap, bt, num_stripes = _build_inputs(a_codes, b_codes, T, C, R)
 
+    if unroll is None:
+        unroll = _auto_unroll(C, interpret)
     outs = _stripe_call(
-        jnp.asarray(ap), jnp.asarray(bt), scoring=scoring, T=T, C=C,
-        m=m, n=n, return_p=return_p, interpret=interpret)
+        jnp.asarray(ap), jnp.asarray(bt), scoring=scoring, T=T, R=R, C=C,
+        m=m, n=n, return_p=return_p, interpret=interpret, unroll=unroll)
     best = np.asarray(outs[0])
-    rc = np.asarray(outs[1]).reshape(num_stripes * T)[:n]
+    rc = _lane_major_to_rowmajor(np.asarray(outs[1]), T, R)[:n]
     p_stripes = outs[2] if return_p else None
 
     # lexicographic reduce across stripes: score desc, then stripe asc
@@ -440,11 +588,12 @@ def stripe_fill_raw(
     s_star = int(scores.max(initial=0))
     if s_star <= 0:
         bi = bj = 0
+        s_star = 0
     else:
         sidx = int(np.argmax(scores == s_star))
-        k, t = int(best[sidx, 1]), int(best[sidx, 2])
-        bi = sidx * T + k + 1
-        bj = t - k + 1
+        rowv, t = int(best[sidx, 1]), int(best[sidx, 2])
+        bi = sidx * T + rowv + 1
+        bj = t - (rowv // R) + 1
     right_col = np.concatenate([[0], rc]).astype(np.int32)
     last_cell = int(right_col[n])
     return StripeOut(
@@ -454,13 +603,28 @@ def stripe_fill_raw(
     )
 
 
+def _resolve_params(m, n, T, R, scoring) -> tuple:
+    if T is None and R is None:
+        T, R = choose_params(m, n, affine=scoring.is_affine)
+    elif R is None:
+        R = 1
+    elif T is None:
+        T, _ = choose_params(m, n, affine=scoring.is_affine, r_max=R)
+    if T % (LANES * R):
+        raise ValueError(f"T={T} must be a multiple of 128*R (R={R})")
+    # never use more stripes than needed to cover n
+    T = min(T, -(-n // (LANES * R)) * LANES * R)
+    return T, R
+
+
 def stripe_fill(a_codes, b_codes, scoring: Scoring = Scoring(),
                 config: EngineConfig = EngineConfig(),
                 return_p: bool = False, return_h: bool = False):
     """Engine adapter: returns (FillOut-like, P row-major or None, H=None)."""
     out = stripe_fill_raw(
         np.asarray(a_codes, np.int8), np.asarray(b_codes, np.int8),
-        scoring=scoring, T=config.stripe_rows, return_p=return_p)
+        scoring=scoring, T=config.stripe_rows, R=config.stripe_rows_per_lane,
+        return_p=return_p)
     P = None
     if return_p and out.p_stripes is not None:
         P = p_stripes_to_rowmajor(
@@ -472,62 +636,71 @@ def stripe_fill(a_codes, b_codes, scoring: Scoring = Scoring(),
 
 
 def p_stripes_to_rowmajor(p: np.ndarray, n: int, m: int) -> np.ndarray:
-    """(S, steps_pad, sub, 128) diag-major P -> padded (n+1, m+1) int8.
+    """(S, steps_pad, R, sub, 128) diag-major P -> padded (n+1, m+1) int8.
 
-    Stripe-local cell (i_l = k+1, j = t-k+1) lives at [s, t, k//128, k%128].
+    Stripe-local cell (i_l = lin*R + r + 1, j = t - lin + 1) lives at
+    [s, t, r, lin // 128, lin % 128].
     """
-    S, steps_pad, sub, lanes = p.shape
-    T = sub * lanes
+    S, steps_pad, R, sub, lanes = p.shape
+    L = sub * lanes
+    T = L * R
     out = np.zeros((n + 1, m + 1), dtype=np.int8)
-    pf = p.reshape(S, steps_pad, T)
+    pf = p.reshape(S, steps_pad, R, L)
     for s in range(S):
         rows = min(T, n - s * T)
         if rows <= 0:
             break
-        kk = np.arange(rows)[:, None]          # stripe-local lane
+        il = np.arange(rows)                   # stripe-local row - 1
+        kk = (il // R)[:, None]                # lane
+        rr = (il % R)[:, None]
         jj = np.arange(1, m + 1)[None, :]
-        tt = kk + jj - 1                       # step where (k, j) was computed
-        out[s * T + 1: s * T + rows + 1, 1:] = pf[s, tt, kk].astype(np.int8)
+        tt = kk + jj - 1                       # step where (lane, j) ran
+        out[s * T + 1: s * T + rows + 1, 1:] = \
+            pf[s, tt, rr, kk].astype(np.int8)
     return out
 
 
 def stripe_score_fn(m: int, n: int, scoring: Scoring = Scoring(),
-                    T: Optional[int] = None, C: int = 256):
+                    T: Optional[int] = None, R: Optional[int] = None,
+                    C: int = DEFAULT_CHUNK, unroll: Optional[int] = None):
     """Jittable (a, b) -> (max_score, max_i, max_j) using the stripe kernel
     with the cross-stripe reduction done on device (for benching)."""
     interpret = _interpret_default()
-    if T is None:
-        T = choose_stripe_rows(m, n)
-    T = min(T, max(LANES, ((n + LANES - 1) // LANES) * LANES))
+    T, R = _resolve_params(m, n, T, R, scoring)
+    _check_packing(m, n, R, scoring)
+    u = _auto_unroll(C, interpret) if unroll is None else unroll
 
     def fn(a, b):
         # inputs as device arrays of codes; build q/bt on device
-        ap, bt = _device_inputs(a, b, m, n, T, C)
-        outs = _stripe_call(ap, bt, scoring=scoring, T=T, C=C, m=m, n=n,
-                            return_p=False, interpret=interpret)
+        ap, bt = _device_inputs(a, b, m, n, T, C, R)
+        outs = _stripe_call(ap, bt, scoring=scoring, T=T, R=R, C=C, m=m,
+                            n=n, return_p=False, interpret=interpret,
+                            unroll=u)
         best = outs[0]
         scores = best[:, 0]
         s_star = jnp.max(scores)
         sidx = jnp.argmax(scores == s_star).astype(jnp.int32)
-        k = best[sidx, 1]
+        rowv = best[sidx, 1]
         t = best[sidx, 2]
         has = s_star > 0
-        bi = jnp.where(has, sidx * T + k + 1, 0)
-        bj = jnp.where(has, t - k + 1, 0)
-        return s_star, bi, bj
+        bi = jnp.where(has, sidx * T + rowv + 1, 0)
+        bj = jnp.where(has, t - rowv // R + 1, 0)
+        return jnp.maximum(s_star, 0), bi, bj
 
     return fn
 
 
-def _device_inputs(a, b, m, n, T, C):
+def _device_inputs(a, b, m, n, T, C, R=1):
+    L = T // R
     num_stripes = -(-n // T)
-    steps = m + T - 1
+    steps = m + L - 1
     num_chunks = -(-steps // C)
     ap = jnp.full((1, num_chunks * C), -1, jnp.int32)
     ap = ap.at[0, :m].set(a.astype(jnp.int32))
     bp = jnp.full((num_stripes * T,), -2, jnp.int32)
     bp = bp.at[:n].set(b.astype(jnp.int32))
-    bt = bp.reshape(num_stripes, T // LANES, LANES)
+    bt = (bp.reshape(num_stripes, L, R).transpose(0, 2, 1)
+          .reshape(num_stripes, R, L // LANES, LANES))
     return ap, bt
 
 
@@ -542,43 +715,73 @@ def batch_fill_raw(
     window: np.ndarray,         # (W,) int8 target sequence
     scoring: Scoring = Scoring(),
     T: Optional[int] = None,
-    C: int = 256,
+    R: Optional[int] = None,
+    C: int = DEFAULT_CHUNK,
+    unroll: Optional[int] = None,
     interpret: Optional[bool] = None,
 ) -> BatchStripeOut:
-    """Batch mode of the stripe kernel: B reads packed back-to-back in lanes
-    (read g owns lanes [g*r, (g+1)*r)), a reset mask forcing the zero top
+    """Batch mode of the stripe kernel: B reads packed back-to-back in rows
+    (read g owns rows [g*r, (g+1)*r)), a reset mask forcing the zero top
     boundary at every read start, per-lane max registers exported and
     reduced per read on the host — BASELINE config 3's layout (many short
-    reads, one target window), one kernel sweep for the whole batch."""
-    B, r = reads.shape
+    reads, one target window), one kernel sweep for the whole batch.
+
+    R must divide the read length so no lane straddles two reads (each
+    lane's packed best then attributes to exactly one read)."""
+    B, rlen = reads.shape
     W = len(window)
-    n = B * r
+    n = B * rlen
     if interpret is None:
         interpret = _interpret_default()
+    if R is None:
+        R = next(r for r in (8, 4, 2, 1)
+                 if rlen % r == 0 and (T is None or T % (LANES * r) == 0))
+    elif rlen % R:
+        raise ValueError(f"R={R} must divide the read length {rlen}")
     if T is None:
-        T = choose_stripe_rows(W, n)
-    T = min(T, max(LANES, ((n + LANES - 1) // LANES) * LANES))
+        T, _ = choose_params(W, n, affine=scoring.is_affine, r_max=R)
+        T = -(-T // (LANES * R)) * LANES * R
+    T, R = _resolve_params(W, n, T, R, scoring)
+    _check_packing(W, n, R, scoring)
 
     ap, bt, num_stripes = _build_inputs(
-        np.asarray(window, np.int8), reads.reshape(-1), T, C)
+        np.asarray(window, np.int8), reads.reshape(-1), T, C, R)
     gr = np.zeros((num_stripes * T,), np.int32)
-    gr[np.arange(B) * r] = 1
-    grt = gr.reshape(num_stripes, T // LANES, LANES)
+    gr[np.arange(B) * rlen] = 1
+    L = T // R
+    grt = (gr.reshape(num_stripes, L, R).transpose(0, 2, 1)
+           .reshape(num_stripes, R, L // LANES, LANES))
 
+    if unroll is None:
+        unroll = _auto_unroll(C, interpret)
     outs = _stripe_call(
-        jnp.asarray(ap), jnp.asarray(bt), jnp.asarray(grt),
-        scoring=scoring, T=T, C=C, m=W, n=n, return_p=False,
-        interpret=interpret)
-    lbest = np.asarray(outs[2]).reshape(num_stripes * T)[:n].reshape(B, r)
-    lbest_t = np.asarray(outs[3]).reshape(num_stripes * T)[:n].reshape(B, r)
+        jnp.asarray(ap), jnp.asarray(bt), jnp.asarray(np.ascontiguousarray(grt)),
+        scoring=scoring, T=T, R=R, C=C, m=W, n=n, return_p=False,
+        interpret=interpret, unroll=unroll)
+    lanes_total = num_stripes * L
+    lpacked = np.asarray(outs[2]).reshape(lanes_total)
+    lbest_t = np.asarray(outs[3]).reshape(lanes_total)
+    lanes_per_read = rlen // R
+    lp = lpacked[: B * lanes_per_read].reshape(B, lanes_per_read)
+    lt = lbest_t[: B * lanes_per_read].reshape(B, lanes_per_read)
 
-    scores = lbest.max(axis=1)
-    row = np.argmax(lbest == scores[:, None], axis=1)      # min read row
-    t_at = lbest_t[np.arange(B), row]
-    lane = np.arange(B) * r + row
-    read_i = (row + 1).astype(np.int32)
-    win_j = (t_at - lane + 1).astype(np.int32)
+    if R > 1:
+        lsc = lp >> (R.bit_length() - 1)
+        lrr = (R - 1) - (lp & (R - 1))
+    else:
+        lsc, lrr = lp, np.zeros_like(lp)
+    scores = lsc.max(axis=1)
+    lane_in_read = np.argmax(lsc == scores[:, None], axis=1)
+    ar = np.arange(B)
+    r_at = lrr[ar, lane_in_read]
+    t_at = lt[ar, lane_in_read]
+    glane = ar * lanes_per_read + lane_in_read
+    read_i = (lane_in_read * R + r_at + 1).astype(np.int32)
+    # column decode uses the within-stripe lane: each stripe sweeps its own
+    # step counter, so j = t - (glane mod L) + 1
+    win_j = (t_at - glane % L + 1).astype(np.int32)
     nohit = scores <= 0
+    scores = np.maximum(scores, 0)
     read_i[nohit] = 0
     win_j[nohit] = 0
     return BatchStripeOut(scores.astype(np.int32), read_i, win_j)

@@ -10,11 +10,12 @@ from swtpu.core.encode import encode, random_pair
 from swtpu.kernels.pallas_fill import (p_stripes_to_rowmajor, stripe_fill_raw)
 
 
-def check(m, n, T=128, C=128, scoring=swtpu.Scoring(), seed=None):
+def check(m, n, T=128, C=128, R=None, scoring=swtpu.Scoring(), seed=None):
     a, b = random_pair(m, n, seed=seed if seed is not None else m * 31 + n)
     ref = oracle.fill(a, b, scoring) if not scoring.is_affine \
         else oracle.fill_loop(a, b, scoring)
-    out = stripe_fill_raw(a, b, scoring=scoring, T=T, C=C, return_p=True)
+    out = stripe_fill_raw(a, b, scoring=scoring, T=T, C=C, R=R,
+                          return_p=True)
     assert int(out.max_score) == ref.max_score
     assert (int(out.max_i), int(out.max_j)) == ref.max_ij
     assert int(out.last_cell) == int(ref.H[-1, -1])
@@ -55,6 +56,58 @@ def test_multi_chunk():
 def test_affine_stripe():
     check(80, 200, scoring=swtpu.Scoring(mode="affine", gap_open=-5,
                                          gap_extend=-1))
+
+
+def test_register_blocked_r2():
+    check(70, 300, T=512, R=2)          # 2 stripes, rows split across lanes
+
+
+def test_register_blocked_r4():
+    check(120, 600, T=512, C=256, R=4)
+
+
+def test_register_blocked_r8():
+    check(90, 1100, T=1024, R=8)        # 2 stripes of 128 lanes x 8 rows
+
+
+def test_register_blocked_r8_affine():
+    check(80, 1030, T=1024, R=8,
+          scoring=swtpu.Scoring(mode="affine", gap_open=-5, gap_extend=-1))
+
+
+def test_register_blocked_tie_positions():
+    # repeated sequence creates many tied maxima; packed argmax must keep
+    # the row-major first occurrence across rows of one lane
+    a = np.tile(encode("ACGT"), 12)
+    b = np.tile(encode("ACGT"), 40)
+    ref = oracle.fill(a, b)
+    out = stripe_fill_raw(a, b, T=256, C=128, R=2, return_p=True)
+    assert int(out.max_score) == ref.max_score
+    assert (int(out.max_i), int(out.max_j)) == ref.max_ij
+
+
+def test_choose_params_covers_shapes():
+    from swtpu.kernels.pallas_fill import choose_params
+    for m, n in ((100, 100), (25632, 25632), (2000, 145002), (64, 70000)):
+        T, R = choose_params(m, n)
+        assert T % (128 * R) == 0
+        assert R in (1, 2, 4, 8)
+
+
+def test_batch_register_blocked():
+    from swtpu.kernels.pallas_fill import batch_fill_raw
+    from swtpu.core.encode import random_batch
+    rng_w = np.random.default_rng(3)
+    B, r, W = 7, 24, 120
+    reads, _ = random_batch(B, r, 1, seed=9)
+    window = rng_w.integers(0, 4, W).astype(np.int8)
+    window[40:40 + r] = reads[5]
+    out = batch_fill_raw(reads, window, T=1024, C=128, R=8)
+    for g in range(B):
+        ref = oracle.fill(window, reads[g])
+        assert int(out.scores[g]) == ref.max_score, g
+        if ref.max_score > 0:
+            assert (int(out.read_i[g]), int(out.win_j[g])) == ref.max_ij, g
 
 
 def test_score_fn_device_reduce():
