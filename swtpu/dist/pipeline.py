@@ -30,6 +30,8 @@ from jax.sharding import Mesh, PartitionSpec as P
 from ..core.config import Scoring
 from ..kernels.scan_fill import scan_fill
 
+LANES = 128
+
 
 class PipelineResult(NamedTuple):
     max_score: jax.Array   # () int32
@@ -38,12 +40,33 @@ class PipelineResult(NamedTuple):
     last_cell: jax.Array   # () int32 H[n, m]
 
 
+def _mesh_platform(mesh: Mesh) -> str:
+    return mesh.devices.flat[0].platform
+
+
+def _block_fill_plan(mesh: Mesh, mc: int, block_rows: int, scoring: Scoring,
+                     block_fill: str) -> str:
+    """'stripe' iff the Pallas block kernel applies (TPU mesh, linear gap,
+    block_rows a multiple of 128); 'scan' otherwise."""
+    if block_fill != "auto":
+        return block_fill
+    from ..kernels.pallas_fill import _penalties_negative
+    if (_mesh_platform(mesh) == "tpu" and not scoring.is_affine
+            and _penalties_negative(scoring) and block_rows % LANES == 0
+            and mc >= 2):
+        return "stripe"
+    return "scan"
+
+
 def make_pipeline(mesh: Mesh, m: int, n: int, block_rows: int,
-                  scoring: Scoring = Scoring(), axis: str = "seq"):
+                  scoring: Scoring = Scoring(), axis: str = "seq",
+                  block_fill: str = "auto"):
     """Build a jitted (a, b) -> PipelineResult for an (n x m) single pair.
 
     `a` is sharded over `axis` (m must divide by D); `b` is replicated.
     `block_rows` (R) is the row-block height; n must divide by R.
+    Per-stage block fills run the Pallas stripe kernel on TPU
+    (`block_fill='stripe'`), falling back to the XLA scan plan elsewhere.
     """
     D = mesh.shape[axis]
     if m % D:
@@ -56,6 +79,22 @@ def make_pipeline(mesh: Mesh, m: int, n: int, block_rows: int,
     stages = nblocks + D - 1
     perm = [(i, i + 1) for i in range(D - 1)]
 
+    plan = _block_fill_plan(mesh, mc, block_rows, scoring, block_fill)
+    if plan == "stripe":
+        from ..kernels.pallas_fill import stripe_block_fn
+        rk = next(r for r in (8, 4, 2, 1) if block_rows % (LANES * r) == 0)
+        sfn = stripe_block_fn(mc, block_rows, scoring=scoring,
+                              T=block_rows, R=rk,
+                              interpret=_mesh_platform(mesh) != "tpu")
+
+    def block(a_shard, b_block, top_row, left_col):
+        if plan == "stripe":
+            return sfn(a_shard, b_block, top_row, left_col)
+        out = scan_fill(a_shard, b_block, scoring=scoring,
+                        top_row=top_row, left_col=left_col)
+        return (out.max_score, out.max_i, out.max_j, out.last_cell,
+                out.bottom_row, out.right_col)
+
     def local(a_shard, b_full):
         d = lax.axis_index(axis)
 
@@ -66,30 +105,27 @@ def make_pipeline(mesh: Mesh, m: int, n: int, block_rows: int,
             rc = jnp.clip(r, 0, nblocks - 1)
             b_block = lax.dynamic_slice(b_full, (rc * R,), (R,))
 
-            out = scan_fill(
-                a_shard, b_block, scoring=scoring,
-                top_row=prev_bottom, left_col=left_in,
-            )
+            (o_score, o_i, o_j, _o_last, o_bottom, o_right) = block(
+                a_shard, b_block, prev_bottom, left_in)
 
             # global coordinates of this block's first-occurrence max
-            gi = rc * R + out.max_i
-            gj = d * mc + out.max_j
-            has = active & (out.max_score > 0)
-            better = (out.max_score > bs) & has
-            tie = (out.max_score == bs) & has & (
+            gi = rc * R + o_i
+            gj = d * mc + o_j
+            has = active & (o_score > 0)
+            better = (o_score > bs) & has
+            tie = (o_score == bs) & has & (
                 (gi < bi) | ((gi == bi) & (gj < bj)))
             upd = better | tie
-            bs = jnp.where(upd, out.max_score, bs)
+            bs = jnp.where(upd, o_score, bs)
             bi = jnp.where(upd, gi, bi)
             bj = jnp.where(upd, gj, bj)
             last = jnp.where(active & (rc == nblocks - 1) & (d == D - 1),
-                             out.bottom_row[mc], last)
+                             o_bottom[mc], last)
 
-            prev_bottom = jnp.where(active, out.bottom_row, prev_bottom)
+            prev_bottom = jnp.where(active, o_bottom, prev_bottom)
             # halo: my right edge becomes the next device's left edge at
             # stage t+1 (device d+1 then works block r = t+1-(d+1) = t-d).
-            halo = jnp.where(active, out.right_col,
-                             jnp.zeros_like(out.right_col))
+            halo = jnp.where(active, o_right, jnp.zeros_like(o_right))
             left_next = lax.ppermute(halo, axis, perm) if perm else \
                 jnp.zeros_like(halo)
             return (prev_bottom, left_next, bs, bi, bj, last)
@@ -153,3 +189,15 @@ def dryrun(mesh: Mesh) -> None:
     assert int(res.max_score) == ref.max_score, (
         int(res.max_score), ref.max_score)
     assert (int(res.max_i), int(res.max_j)) == ref.max_ij
+
+    # the Pallas stripe block fill through the same pipeline (the TPU path,
+    # interpret-mode here)
+    n2 = 256
+    a2, b2 = random_pair(m, n2, seed=1)
+    fn = make_pipeline(mesh, m, n2, block_rows=128, axis=axis,
+                       block_fill="stripe")
+    res2 = fn(jnp.asarray(a2), jnp.asarray(b2))
+    ref2 = oracle.fill(a2, b2)
+    assert int(res2.max_score) == ref2.max_score, (
+        int(res2.max_score), ref2.max_score)
+    assert (int(res2.max_i), int(res2.max_j)) == ref2.max_ij

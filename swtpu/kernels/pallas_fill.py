@@ -147,7 +147,8 @@ def _interpret_default() -> bool:
 
 def _kernel(scoring: Scoring, T: int, R: int, C: int, m: int, n: int,
             steps: int, num_chunks: int, return_p: bool,
-            batch: bool = False, unroll: int = 1):
+            batch: bool = False, unroll: int = 1,
+            boundary: bool = False, want_bottom: bool = False):
     L = T // R                       # lanes per stripe
     sub_rows = L // LANES
     logR = R.bit_length() - 1        # R is a power of two
@@ -174,6 +175,13 @@ def _kernel(scoring: Scoring, T: int, R: int, C: int, m: int, n: int,
         if batch:
             greset_ref = rest[0]
             rest = rest[1:]
+        if boundary:
+            # top_ref: the bottom-row ring pre-filled with the caller's top
+            # boundary row; lc_ref: per-(row, lane) left-column values
+            # ([0] = H(i, 0) for the LEFT operand at j=1, [1] = H(i-1, 0)
+            # for the DIAG operand), injected on each lane's first step.
+            top_ref, lc_ref = rest[0], rest[1]
+            rest = rest[2:]
         best_ref, rc_ref = rest[0], rest[1]
         rest = rest[2:]
         if batch:
@@ -181,6 +189,9 @@ def _kernel(scoring: Scoring, T: int, R: int, C: int, m: int, n: int,
             rest = rest[2:]
         if return_p:
             p_ref = rest[0]
+            rest = rest[1:]
+        if want_bottom:
+            bot = rest[0]           # ring exposed as an output
             rest = rest[1:]
         # Scratch: hp holds the R per-row wavefronts of the previous step;
         # (c1, c2) the lane/sublane rolls of the previous step's bottom row
@@ -190,6 +201,8 @@ def _kernel(scoring: Scoring, T: int, R: int, C: int, m: int, n: int,
         if affine:
             (hp, c1, c2, hs, w1, w2, best, best_t, rc, bot,
              ep, f1, f2, fbot) = rest
+        elif want_bottom:
+            (hp, c1, c2, hs, w1, w2, best, best_t, rc) = rest
         else:
             (hp, c1, c2, hs, w1, w2, best, best_t, rc, bot) = rest
 
@@ -221,14 +234,24 @@ def _kernel(scoring: Scoring, T: int, R: int, C: int, m: int, n: int,
 
             @pl.when(s_idx == 0)
             def _():
-                bot[...] = jnp.zeros((1, bot_len), jnp.int32)
+                if boundary:
+                    bot[...] = top_ref[...]
+                else:
+                    bot[...] = jnp.zeros((1, bot_len), jnp.int32)
                 if affine:
                     # F(0, j) = -inf: no vertical gap enters from row 0
                     fbot[...] = jnp.full((1, bot_len), neg, jnp.int32)
 
+            # (row-0 DIAG for the very first step — the H(0,0) corner — is
+            # delivered by the left-column inject at t == lin == 0, so the
+            # plain zero init of hs is correct in the boundary case too.)
+
         btiles = [b_ref[0, r] for r in range(R)]
         if batch:
             gmasks = [greset_ref[0, r] != 0 for r in range(R)]
+        if boundary:
+            lcl = [lc_ref[0, 0, r] for r in range(R)]   # H(i, 0)
+            lcd = [lc_ref[0, 1, r] for r in range(R)]   # H(i-1, 0)
         ciota = jax.lax.broadcasted_iota(jnp.int32, (1, C), 1)
 
         # Chunk-start aligned vector loads (Mosaic requires 128-multiple lane
@@ -246,7 +269,7 @@ def _kernel(scoring: Scoring, T: int, R: int, C: int, m: int, n: int,
             r2 = pltpu.roll(r1, 1, axis=0)
             return r1, r2
 
-        def make_step(track_rc):
+        def make_step(track_rc, inject=False):
             def step(tl, carry):
                 # Steps past the stripe's true extent (the chunk-padding
                 # tail) are harmless: every lane is post-finish there and its
@@ -275,6 +298,10 @@ def _kernel(scoring: Scoring, T: int, R: int, C: int, m: int, n: int,
                 dg = hsv                     # row-0 DIAG = prev step's h_top
                 if affine:
                     fprev = f_top
+                if inject:
+                    # each lane's first step computes column j=1: swap in the
+                    # caller's left-column boundary for LEFT and DIAG
+                    first = lin == t
                 packed = None
                 for r in range(R):
                     if r > 0:
@@ -284,10 +311,14 @@ def _kernel(scoring: Scoring, T: int, R: int, C: int, m: int, n: int,
                             dg = jnp.where(gmasks[r], 0, dg)
                             if affine:
                                 fprev = jnp.where(gmasks[r], neg, fprev)
+                    lv = hvs[r]
+                    if inject:
+                        dg = jnp.where(first, lcd[r], dg)
+                        lv = jnp.where(first, lcl[r], lv)
                     sub = jnp.where(wv == btiles[r], match, mismatch)
                     diag = dg + sub
                     if affine:
-                        e_new = jnp.maximum(hvs[r] + g_open, evs[r] + g_ext)
+                        e_new = jnp.maximum(lv + g_open, evs[r] + g_ext)
                         f_new = jnp.maximum(up + g_open, fprev + g_ext)
                         u_val, l_val = f_new, e_new
                         new_e.append(e_new)
@@ -296,10 +327,10 @@ def _kernel(scoring: Scoring, T: int, R: int, C: int, m: int, n: int,
                         if return_p:
                             # predecessor capture needs UP and LEFT apart
                             u_val = up + gap
-                            l_val = hvs[r] + gap
+                            l_val = lv + gap
                         else:
                             # fold the shared gap add: max(up,left)+gap
-                            ul = jnp.maximum(up, hvs[r]) + gap
+                            ul = jnp.maximum(up, lv) + gap
 
                     if return_p:
                         zero = jnp.zeros_like(diag)
@@ -356,7 +387,7 @@ def _kernel(scoring: Scoring, T: int, R: int, C: int, m: int, n: int,
                 return out
             return step
 
-        def run_chunk(track_rc):
+        def run_chunk(track_rc, inject=False):
             carry0 = (tuple(hp[r] for r in range(R)), c1[...], c2[...],
                       hs[...], w1[...], w2[...],
                       jnp.zeros((1, C), jnp.int32), bw0, av0)
@@ -364,7 +395,7 @@ def _kernel(scoring: Scoring, T: int, R: int, C: int, m: int, n: int,
                 carry0 = carry0 + (tuple(ep[r] for r in range(R)),
                                    f1[...], f2[...], fw0,
                                    jnp.full((1, C), neg, jnp.int32))
-            step = make_step(track_rc)
+            step = make_step(track_rc, inject)
             if unroll == 1:
                 carry = jax.lax.fori_loop(0, C, step, carry0)
             else:
@@ -384,19 +415,25 @@ def _kernel(scoring: Scoring, T: int, R: int, C: int, m: int, n: int,
                 f1[...], f2[...] = carry[10], carry[11]
                 fbot[0:1, pl.ds(c_idx * C, C)] = carry[13]
 
-        # The right-column capture only fires while some lane sits at column
-        # m, i.e. steps t in [m-1, m-1+L): chunks outside that window run
-        # the steady-phase body without the edge selects.
+        # Specialize the step body per chunk: the right-column capture only
+        # fires for steps t in [m-1, m-1+L), the left-boundary inject only
+        # for t in [0, L). Trace only the (rc, inject) combos that actually
+        # occur over the chunk grid; the common steady phase pays neither.
         base = c_idx * C
         touches_edge = jnp.logical_and(base + C > m - 1, base < m - 1 + L)
-
-        @pl.when(touches_edge)
-        def _edge_chunk():
-            run_chunk(True)
-
-        @pl.when(jnp.logical_not(touches_edge))
-        def _steady_chunk():
-            run_chunk(False)
+        combos = set()
+        for cb in range(0, num_chunks * C, C):
+            rc_on = cb + C > m - 1 and cb < m - 1 + L
+            inj_on = boundary and cb < L
+            combos.add((rc_on, inj_on))
+        if boundary:
+            injecting = base < L
+        for rc_on, inj_on in sorted(combos):
+            pred = touches_edge if rc_on else jnp.logical_not(touches_edge)
+            if boundary:
+                ipred = injecting if inj_on else jnp.logical_not(injecting)
+                pred = jnp.logical_and(pred, ipred)
+            pl.when(pred)(functools.partial(run_chunk, rc_on, inj_on))
 
         @pl.when(c_idx == num_chunks - 1)
         def _finish_stripe():
@@ -458,24 +495,37 @@ def _build_inputs(a_codes: np.ndarray, b_codes: np.ndarray, T: int, C: int,
     return ap, np.ascontiguousarray(bt), num_stripes
 
 
+def _ring_len(m: int, T: int, R: int, C: int) -> int:
+    L = T // R
+    num_chunks = -(-(m + L - 1) // C)
+    return num_chunks * C + L + C + 256
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("scoring", "T", "R", "C", "m", "n", "return_p",
-                     "interpret", "unroll"),
+                     "interpret", "unroll", "want_bottom"),
 )
-def _stripe_call(q, bt, greset=None, *, scoring, T, R=1, C=256, m, n,
-                 return_p, interpret, unroll=1):
+def _stripe_call(q, bt, greset=None, top=None, lc=None, *, scoring, T, R=1,
+                 C=256, m, n, return_p, interpret, unroll=1,
+                 want_bottom=False):
     num_stripes = bt.shape[0]
     L = T // R
     steps = m + L - 1
     num_chunks = -(-steps // C)
     sub_rows = L // LANES
+    boundary = top is not None
+    batch = greset is not None
 
     if C % unroll:
         raise ValueError(f"C={C} must be a multiple of unroll={unroll}")
+    if (boundary or want_bottom) and scoring.is_affine:
+        raise NotImplementedError("boundary injection is linear-gap only")
+    if boundary and batch:
+        raise ValueError("boundary injection and batch mode are exclusive")
     kernel = _kernel(scoring, T, R, C, m, n, steps, num_chunks, return_p,
-                     batch=greset is not None, unroll=unroll)
-    batch = greset is not None
+                     batch=batch, unroll=unroll, boundary=boundary,
+                     want_bottom=want_bottom)
 
     out_shape = [
         jax.ShapeDtypeStruct((num_stripes, 8), jnp.int32),                 # best
@@ -499,10 +549,17 @@ def _stripe_call(q, bt, greset=None, *, scoring, T, R=1, C=256, m, n,
         out_specs.append(pl.BlockSpec(
             (1, C, R, sub_rows, LANES), lambda s, c: (s, c, 0, 0, 0),
             memory_space=pltpu.VMEM))
+    rlen = _ring_len(m, T, R, C)
+    if want_bottom:
+        # expose the boundary ring as an output: after the last stripe it
+        # holds the whole fill's bottom row (H[n, j] at ring[j + L - 2])
+        out_shape.append(jax.ShapeDtypeStruct((1, rlen), jnp.int32))
+        out_specs.append(pl.BlockSpec((1, rlen), lambda s, c: (0, 0),
+                                      memory_space=pltpu.VMEM))
 
     tile = pltpu.VMEM((sub_rows, LANES), jnp.int32)
     rtile = pltpu.VMEM((R, sub_rows, LANES), jnp.int32)
-    ring = pltpu.VMEM((1, num_chunks * C + L + C + 256), jnp.int32)
+    ring = pltpu.VMEM((1, rlen), jnp.int32)
     scratch = [
         rtile,                                  # hp (R per-row wavefronts)
         tile, tile,                             # c1, c2
@@ -511,8 +568,9 @@ def _stripe_call(q, bt, greset=None, *, scoring, T, R=1, C=256, m, n,
         tile,                                   # best (packed)
         tile,                                   # best_t
         rtile,                                  # rc
-        ring,                                   # bottom-row boundary ring
     ]
+    if not want_bottom:
+        scratch.append(ring)                    # bottom-row boundary ring
     if scoring.is_affine:
         scratch += [
             rtile,                              # ep
@@ -531,6 +589,12 @@ def _stripe_call(q, bt, greset=None, *, scoring, T, R=1, C=256, m, n,
                                      lambda s, c: (s, 0, 0, 0),
                                      memory_space=pltpu.VMEM))  # reset mask
         args.append(greset)
+    if boundary:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))  # top ring
+        in_specs.append(pl.BlockSpec(
+            (1, 2, R, sub_rows, LANES), lambda s, c: (s, 0, 0, 0, 0),
+            memory_space=pltpu.VMEM))                           # left cols
+        args.extend([top, lc])
 
     outs = pl.pallas_call(
         kernel,
@@ -785,3 +849,76 @@ def batch_fill_raw(
     read_i[nohit] = 0
     win_j[nohit] = 0
     return BatchStripeOut(scores.astype(np.int32), read_i, win_j)
+
+
+def stripe_block_fn(m: int, n: int, scoring: Scoring = Scoring(),
+                    T: Optional[int] = None, R: Optional[int] = None,
+                    C: int = DEFAULT_CHUNK, unroll: Optional[int] = None,
+                    interpret: Optional[bool] = None):
+    """Jittable boundary-injected block fill for the multi-chip pipeline.
+
+    Returns fn(a, b, top_row, left_col) -> (max_score, max_i, max_j,
+    last_cell, bottom_row, right_col) with scan_fill's boundary semantics
+    (top_row/left_col are the padded H values of row 0 / column 0, both of
+    which include the shared H[0,0] corner). All inputs/outputs are device
+    arrays so the fn composes with shard_map + ppermute halo exchange.
+    """
+    if scoring.is_affine:
+        raise NotImplementedError("stripe block fill is linear-gap only")
+    if interpret is None:
+        interpret = _interpret_default()
+    T, R = _resolve_params(m, n, T, R, scoring)
+    _check_packing(m, n, R, scoring)
+    L = T // R
+    num_stripes = -(-n // T)
+    if num_stripes * T != n:
+        # the ring only holds the true matrix bottom row if the last stripe's
+        # bottom lane is row n exactly
+        raise ValueError(f"n={n} must be a multiple of the stripe height "
+                         f"T={T} for bottom-row export")
+    rlen = _ring_len(m, T, R, C)
+    u = _auto_unroll(C, interpret) if unroll is None else unroll
+
+    def fn(a, b, top_row, left_col):
+        ap, bt = _device_inputs(a, b, m, n, T, C, R)
+        top = jnp.zeros((1, rlen), jnp.int32)
+        top = jax.lax.dynamic_update_slice(
+            top, top_row.astype(jnp.int32)[None, :], (0, L - 2))
+        # left-column tiles: [0] = H(i, 0) for LEFT at j=1, [1] = H(i-1, 0)
+        # for DIAG; lane-major layout (stripe, r, sub, lane)
+        lp = jnp.zeros((num_stripes * T + 1,), jnp.int32)
+        lp = jax.lax.dynamic_update_slice(lp, left_col.astype(jnp.int32),
+                                          (0,))
+        lcd = (lp[:num_stripes * T].reshape(num_stripes, L, R)
+               .transpose(0, 2, 1).reshape(num_stripes, R, L // LANES, LANES))
+        lcl = (lp[1:num_stripes * T + 1].reshape(num_stripes, L, R)
+               .transpose(0, 2, 1).reshape(num_stripes, R, L // LANES, LANES))
+        lc = jnp.stack([lcl, lcd], axis=1)
+
+        outs = _stripe_call(ap, bt, None, top, lc, scoring=scoring, T=T,
+                            R=R, C=C, m=m, n=n, return_p=False,
+                            interpret=interpret, unroll=u, want_bottom=True)
+        best, rc, ring = outs[0], outs[1], outs[2]
+
+        scores = best[:, 0]
+        s_star = jnp.max(scores)
+        sidx = jnp.argmax(scores == s_star).astype(jnp.int32)
+        rowv = best[sidx, 1]
+        t_star = best[sidx, 2]
+        has = s_star > 0
+        bi = jnp.where(has, sidx * T + rowv + 1, 0)
+        bj = jnp.where(has, t_star - rowv // R + 1, 0)
+
+        # lane-major rc -> row-major right column, corner from top_row[m]
+        rc_rm = (rc.reshape(num_stripes, R, L).transpose(0, 2, 1)
+                 .reshape(num_stripes * T))[:n]
+        right_col = jnp.concatenate([top_row[m:m + 1].astype(jnp.int32),
+                                     rc_rm])
+        bottom_row = jnp.concatenate(
+            [left_col[n:n + 1].astype(jnp.int32),
+             jax.lax.dynamic_slice(ring[0], (L - 1,), (m,))])
+        last_cell = right_col[n]
+        return (jnp.maximum(s_star, 0), bi, bj, last_cell,
+                bottom_row, right_col)
+
+    return fn

@@ -155,3 +155,52 @@ def test_batch_mode_short_padded_reads():
     assert int(out.scores[1]) == 3 * r
     assert int(out.scores[2]) == 48
     assert int(out.win_j[1]) == 50 + r
+
+
+def test_boundary_injected_block_matches_scan():
+    import jax.numpy as jnp
+    from swtpu.kernels.pallas_fill import stripe_block_fn
+    from swtpu.kernels.scan_fill import scan_fill
+    rng = np.random.default_rng(11)
+    m, n = 70, 256
+    a, b = random_pair(m, n, seed=12)
+    top = rng.integers(0, 9, m + 1).astype(np.int32)
+    left = rng.integers(0, 9, n + 1).astype(np.int32)
+    left[0] = top[0]                   # shared H(0,0) corner
+    ref = scan_fill(jnp.asarray(a), jnp.asarray(b),
+                    top_row=jnp.asarray(top), left_col=jnp.asarray(left))
+    for R in (1, 2):
+        fn = stripe_block_fn(m, n, T=256, R=R, C=128)
+        s, i, j, last, bottom, right = fn(
+            jnp.asarray(a), jnp.asarray(b), jnp.asarray(top),
+            jnp.asarray(left))
+        assert int(s) == int(ref.max_score), R
+        assert (int(i), int(j)) == (int(ref.max_i), int(ref.max_j)), R
+        assert int(last) == int(ref.last_cell), R
+        np.testing.assert_array_equal(np.asarray(bottom),
+                                      np.asarray(ref.bottom_row))
+        np.testing.assert_array_equal(np.asarray(right),
+                                      np.asarray(ref.right_col))
+
+
+def test_boundary_injected_multi_stripe():
+    import jax.numpy as jnp
+    from swtpu.kernels.pallas_fill import stripe_block_fn
+    from swtpu.kernels.scan_fill import scan_fill
+    rng = np.random.default_rng(21)
+    m, n = 150, 512                    # 2 stripes of T=256
+    a, b = random_pair(m, n, seed=22)
+    top = rng.integers(0, 7, m + 1).astype(np.int32)
+    left = rng.integers(0, 7, n + 1).astype(np.int32)
+    left[0] = top[0]
+    ref = scan_fill(jnp.asarray(a), jnp.asarray(b),
+                    top_row=jnp.asarray(top), left_col=jnp.asarray(left))
+    fn = stripe_block_fn(m, n, T=256, R=2, C=128)
+    s, i, j, last, bottom, right = fn(
+        jnp.asarray(a), jnp.asarray(b), jnp.asarray(top), jnp.asarray(left))
+    assert int(s) == int(ref.max_score)
+    assert (int(i), int(j)) == (int(ref.max_i), int(ref.max_j))
+    np.testing.assert_array_equal(np.asarray(bottom),
+                                  np.asarray(ref.bottom_row))
+    np.testing.assert_array_equal(np.asarray(right),
+                                  np.asarray(ref.right_col))

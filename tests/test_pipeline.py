@@ -44,3 +44,26 @@ def test_pipeline_tie_first_occurrence(mesh):
     res = pipeline_align(a, b, mesh, block_rows=16)
     assert int(res.max_score) == ref.max_score
     assert (int(res.max_i), int(res.max_j)) == ref.max_ij
+
+
+def test_pipeline_stripe_block_fill_matches_oracle():
+    """Force the Pallas stripe block fill (interpret mode) through the
+    multi-device pipeline and compare with the single-matrix oracle."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import Mesh
+    from swtpu.core import oracle
+    from swtpu.core.encode import random_pair
+    from swtpu.dist.pipeline import make_pipeline
+
+    devs = jax.devices()[:4]
+    mesh = Mesh(np.array(devs), ("seq",))
+    m, n = 4 * 24, 256                # 2 row blocks of 128
+    a, b = random_pair(m, n, seed=33)
+    fn = make_pipeline(mesh, m, n, block_rows=128, block_fill="stripe")
+    res = fn(jnp.asarray(a), jnp.asarray(b))
+    ref = oracle.fill(a, b)
+    assert int(res.max_score) == ref.max_score
+    assert (int(res.max_i), int(res.max_j)) == ref.max_ij
+    assert int(res.last_cell) == int(ref.H[-1, -1])
