@@ -52,29 +52,77 @@ def _window_scorer(scoring: Scoring):
     return jax.vmap(one, in_axes=(0, None))
 
 
+def _searcher_plan(mesh: Optional[Mesh], qlen: int, window: int,
+                   scoring: Scoring, plan: str) -> str:
+    if plan != "auto":
+        return plan
+    from ..kernels.pallas_fill import _penalties_negative
+    if mesh is not None:
+        platform = mesh.devices.flat[0].platform
+    else:
+        from ..dispatch.plan import current_platform
+        platform = current_platform()
+    if (platform == "tpu" and not scoring.is_affine
+            and _penalties_negative(scoring) and window >= 2):
+        return "stripe"
+    return "scan"
+
+
 def make_searcher(mesh: Optional[Mesh], qlen: int, shard_len: int,
-                  window: int = 4096, scoring: Scoring = Scoring(),
-                  axis: str = "data"):
+                  window: int = 32768, scoring: Scoring = Scoring(),
+                  axis: str = "data", plan: str = "auto",
+                  interpret: Optional[bool] = None):
     """Build a jitted searcher.
 
     queries: (B, qlen) int8 (pad reads with -3 sentinel), replicated.
     ref_sharded: (D, shard_len + qlen) int8 — each row is a device's shard
     plus a qlen halo from the next shard (build with `shard_reference`).
     Returns SearchHits with global reference positions.
+
+    On TPU meshes the per-window scorer is the Pallas batch stripe kernel
+    (reads packed in rows, reset masks between them — one kernel sweep per
+    window for the whole batch); elsewhere the vmapped XLA scan.
     """
     ext = shard_len + qlen                 # shard + boundary halo
     step = window - qlen                   # window stride (qlen overlap)
     nwin = max(1, -(-max(1, ext - qlen) // step))
-    score_batch = _window_scorer(scoring)
+    plan = _searcher_plan(mesh, qlen, window, scoring, plan)
+    if plan == "stripe":
+        from ..kernels.pallas_fill import batch_score_fn
+        _stripe_cache = {}
+
+        def _stripe_fn(B):
+            if B not in _stripe_cache:
+                _stripe_cache[B] = batch_score_fn(
+                    B, qlen, window, scoring=scoring, interpret=interpret)
+            return _stripe_cache[B]
+
+        def prepare_reads(queries):
+            # window-invariant read tiling, hoisted out of the window loop
+            return _stripe_fn(queries.shape[0]).prepare(queries)
+
+        def score_batch(prepared, win, B):
+            return _stripe_fn(B).score_prepared(prepared, win)
+    else:
+        _scan_scorer = _window_scorer(scoring)
+
+        def prepare_reads(queries):
+            return queries
+
+        def score_batch(prepared, win, B):
+            return _scan_scorer(prepared, win)
 
     def local(queries, ref_shard, d):
         # ref_shard: (ext,) int8
+        B = queries.shape[0]
+        prepared = prepare_reads(queries)
+
         def scan_windows(w, carry):
             bs, bp, be = carry
             off = w * step
             off = jnp.minimum(off, ext - window)
             win = lax.dynamic_slice(ref_shard, (off,), (window,))
-            s, qi, wj = score_batch(queries, win)
+            s, qi, wj = score_batch(prepared, win, B)
             pos = d * shard_len + off + wj - 1       # global 0-based end col
             # prefer higher score; tie -> lower global position
             better = (s > bs) | ((s == bs) & (pos < bp) & (s > 0))
@@ -83,7 +131,6 @@ def make_searcher(mesh: Optional[Mesh], qlen: int, shard_len: int,
             be = jnp.where(better, qi, be)
             return bs, bp, be
 
-        B = queries.shape[0]
         init = (jnp.zeros((B,), jnp.int32),
                 jnp.full((B,), 2**31 - 1, jnp.int32),
                 jnp.zeros((B,), jnp.int32))
@@ -145,7 +192,7 @@ def pad_queries(queries: list[np.ndarray], qlen: int) -> np.ndarray:
 
 
 def search(queries, reference, mesh: Optional[Mesh] = None,
-           window: int = 4096, scoring: Scoring = Scoring(),
+           window: int = 32768, scoring: Scoring = Scoring(),
            axis: str = "data") -> SearchHits:
     """Convenience one-shot search (builds shards + searcher)."""
     queries = np.asarray(queries, np.int8)

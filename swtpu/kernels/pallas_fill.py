@@ -794,14 +794,22 @@ def batch_fill_raw(
     lane's packed best then attributes to exactly one read)."""
     B, rlen = reads.shape
     W = len(window)
-    n = B * rlen
     if interpret is None:
         interpret = _interpret_default()
     if R is None:
         R = next(r for r in (8, 4, 2, 1)
-                 if rlen % r == 0 and (T is None or T % (LANES * r) == 0))
+                 if T is None or T % (LANES * r) == 0)
+        if rlen % R:
+            # pad every read to a multiple of R with the -3 sentinel: the
+            # padding rows mismatch everywhere, their values strictly decay,
+            # and they can never displace a real row's maximum
+            pad = -(-rlen // R) * R - rlen
+            reads = np.concatenate(
+                [reads, np.full((B, pad), -3, np.int8)], axis=1)
+            rlen += pad
     elif rlen % R:
         raise ValueError(f"R={R} must divide the read length {rlen}")
+    n = B * rlen
     if T is None:
         T, _ = choose_params(W, n, affine=scoring.is_affine, r_max=R)
         T = -(-T // (LANES * R)) * LANES * R
@@ -921,4 +929,88 @@ def stripe_block_fn(m: int, n: int, scoring: Scoring = Scoring(),
         return (jnp.maximum(s_star, 0), bi, bj, last_cell,
                 bottom_row, right_col)
 
+    return fn
+
+
+def batch_score_fn(B: int, rlen: int, W: int,
+                   scoring: Scoring = Scoring(),
+                   T: Optional[int] = None, R: Optional[int] = None,
+                   C: int = DEFAULT_CHUNK, unroll: Optional[int] = None,
+                   interpret: Optional[bool] = None):
+    """Jittable batch scorer: fn(reads (B, rlen) int, window (W,) int) ->
+    (scores (B,), read_i (B,), win_j (B,)) — the device-resident form of
+    `batch_fill_raw` for use inside shard_map / window-scan loops (the
+    reads tiling is loop-invariant; only the window changes per call).
+    Pad reads with the -3 sentinel; rlen should be a multiple of 8 for the
+    full register-blocking win."""
+    if interpret is None:
+        interpret = _interpret_default()
+    if R is None:
+        R = next(r for r in (8, 4, 2, 1)
+                 if rlen % r == 0 and (T is None or T % (LANES * r) == 0))
+    elif rlen % R:
+        raise ValueError(f"R={R} must divide the padded read length {rlen}")
+    n = B * rlen
+    if T is None:
+        T, _ = choose_params(W, n, affine=scoring.is_affine, r_max=R)
+        T = -(-T // (LANES * R)) * LANES * R
+    T, R = _resolve_params(W, n, T, R, scoring)
+    _check_packing(W, n, R, scoring)
+    u = _auto_unroll(C, interpret) if unroll is None else unroll
+    L = T // R
+    num_stripes = -(-n // T)
+    lanes_per_read = rlen // R
+
+    steps = W + L - 1
+    num_chunks = -(-steps // C)
+
+    def prepare(reads):
+        """Window-invariant read tiling + reset mask; call once, reuse the
+        result across every window scored against the same batch."""
+        gr = jnp.zeros((num_stripes * T,), jnp.int32)
+        gr = gr.at[jnp.arange(B) * rlen].set(1)
+        grt = (gr.reshape(num_stripes, L, R).transpose(0, 2, 1)
+               .reshape(num_stripes, R, L // LANES, LANES))
+        bp = jnp.full((num_stripes * T,), -2, jnp.int32)
+        bp = bp.at[:n].set(reads.reshape(-1).astype(jnp.int32))
+        bt = (bp.reshape(num_stripes, L, R).transpose(0, 2, 1)
+              .reshape(num_stripes, R, L // LANES, LANES))
+        return bt, grt
+
+    def score_prepared(prepared, window):
+        bt, grt = prepared
+        ap = jnp.full((1, num_chunks * C), -1, jnp.int32)
+        ap = ap.at[0, :W].set(window.astype(jnp.int32))
+        outs = _stripe_call(ap, bt, grt, scoring=scoring, T=T, R=R, C=C,
+                            m=W, n=n, return_p=False, interpret=interpret,
+                            unroll=u)
+        lanes_total = num_stripes * L
+        lp = outs[2].reshape(lanes_total)[:B * lanes_per_read] \
+            .reshape(B, lanes_per_read)
+        lt = outs[3].reshape(lanes_total)[:B * lanes_per_read] \
+            .reshape(B, lanes_per_read)
+        if R > 1:
+            lsc = lp >> (R.bit_length() - 1)
+            lrr = (R - 1) - (lp & (R - 1))
+        else:
+            lsc, lrr = lp, jnp.zeros_like(lp)
+        scores = jnp.max(lsc, axis=1)
+        lane_in_read = jnp.argmax(lsc == scores[:, None], axis=1) \
+            .astype(jnp.int32)
+        ar = jnp.arange(B)
+        r_at = lrr[ar, lane_in_read]
+        t_at = lt[ar, lane_in_read]
+        glane = ar * lanes_per_read + lane_in_read
+        read_i = lane_in_read * R + r_at + 1
+        win_j = t_at - glane % L + 1
+        has = scores > 0
+        return (jnp.maximum(scores, 0),
+                jnp.where(has, read_i, 0).astype(jnp.int32),
+                jnp.where(has, win_j, 0).astype(jnp.int32))
+
+    def fn(reads, window):
+        return score_prepared(prepare(reads), window)
+
+    fn.prepare = prepare
+    fn.score_prepared = score_prepared
     return fn

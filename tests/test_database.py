@@ -84,3 +84,31 @@ def test_no_hit():
     hits = search(pad_queries([read], 16), ref, mesh=None, window=128)
     assert int(hits.scores[0]) == 0
     assert int(hits.ref_pos[0]) == -1
+
+
+def test_search_stripe_plan_matches_scan():
+    """The Pallas batch-kernel window scorer (interpret mode) must agree
+    with the vmapped scan scorer across shards and windows."""
+    import jax.numpy as jnp
+    import numpy as np
+    from swtpu.dist.database import (make_searcher, pad_queries,
+                                     shard_reference)
+
+    rng = np.random.default_rng(17)
+    ref = rng.integers(0, 4, 600).astype(np.int8)
+    reads = [ref[37:61].copy(), ref[333:357].copy(),
+             rng.integers(0, 4, 24).astype(np.int8)]
+    queries = pad_queries(reads, 24)
+    shards, shard_len = shard_reference(ref, 2, 24)
+    kw = dict(qlen=24, shard_len=shard_len, window=128)
+    scan_fn = make_searcher(None, plan="scan", **kw)
+    stripe_fn = make_searcher(None, plan="stripe", interpret=True, **kw)
+    q, s = jnp.asarray(queries), jnp.asarray(shards[:1])
+    a = scan_fn(q, s)
+    b = stripe_fn(q, s)
+    np.testing.assert_array_equal(np.asarray(a.scores), np.asarray(b.scores))
+    np.testing.assert_array_equal(np.asarray(a.ref_pos),
+                                  np.asarray(b.ref_pos))
+    np.testing.assert_array_equal(np.asarray(a.read_end),
+                                  np.asarray(b.read_end))
+    assert int(b.scores[0]) == 72          # planted 24-mer, 3*24
