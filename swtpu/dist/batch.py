@@ -41,12 +41,47 @@ def _pair_fill(a, b, scoring, band):
     return out.max_score, out.max_i, out.max_j
 
 
+_pairs_cache = {}
+
+
+def _use_pairs_kernel(scoring: Scoring, band, m: int, n: int,
+                      plan: str, interpret: Optional[bool]) -> bool:
+    if plan == "stripe":
+        return True
+    if plan != "auto" or band is not None:
+        return False
+    from ..dispatch.plan import current_platform
+    from ..kernels.pallas_fill import _penalties_negative
+    # measured on v5e: the pair-grid kernel wins once each pair has enough
+    # rows to fill lanes and enough cells to amortize its launch; thin or
+    # tiny pairs stay on the vmapped scan
+    return (current_platform() == "tpu" and _penalties_negative(scoring)
+            and m >= 2 and n >= 512 and m * n >= (1 << 20))
+
+
 def batch_score(a_batch, b_batch, scoring: Scoring = Scoring(),
-                band: Optional[int] = None) -> BatchHits:
-    """Single-device batched scoring (vmap over pairs)."""
+                band: Optional[int] = None, plan: str = "auto",
+                interpret: Optional[bool] = None) -> BatchHits:
+    """Single-device batched scoring.
+
+    On TPU (linear or affine, no band) every shard runs ONE Pallas program
+    with a pair grid dimension (kernels.pallas_fill.pairs_score_fn);
+    elsewhere, the vmapped XLA scan."""
+    a_batch = jnp.asarray(a_batch)
+    b_batch = jnp.asarray(b_batch)
+    B, m = a_batch.shape
+    n = b_batch.shape[1]
+    if _use_pairs_kernel(scoring, band, m, n, plan, interpret):
+        from ..kernels.pallas_fill import pairs_score_fn
+        key = (B, m, n, scoring, interpret)
+        if key not in _pairs_cache:
+            _pairs_cache[key] = pairs_score_fn(B, m, n, scoring=scoring,
+                                               interpret=interpret)
+        s, i, j = _pairs_cache[key](a_batch, b_batch)
+        return BatchHits(s, i, j)
     s, i, j = jax.vmap(
         functools.partial(_pair_fill, scoring=scoring, band=band)
-    )(jnp.asarray(a_batch), jnp.asarray(b_batch))
+    )(a_batch, b_batch)
     return BatchHits(s, i, j)
 
 

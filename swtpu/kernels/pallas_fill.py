@@ -148,7 +148,8 @@ def _interpret_default() -> bool:
 def _kernel(scoring: Scoring, T: int, R: int, C: int, m: int, n: int,
             steps: int, num_chunks: int, return_p: bool,
             batch: bool = False, unroll: int = 1,
-            boundary: bool = False, want_bottom: bool = False):
+            boundary: bool = False, want_bottom: bool = False,
+            pairs: bool = False):
     L = T // R                       # lanes per stripe
     sub_rows = L // LANES
     logR = R.bit_length() - 1        # R is a power of two
@@ -206,8 +207,13 @@ def _kernel(scoring: Scoring, T: int, R: int, C: int, m: int, n: int,
         else:
             (hp, c1, c2, hs, w1, w2, best, best_t, rc, bot) = rest
 
-        s_idx = pl.program_id(0)
-        c_idx = pl.program_id(1)
+        # with a leading pair grid dimension, the scratch state simply
+        # re-initializes at each pair's (stripe 0, chunk 0)
+        g0 = 1 if pairs else 0
+        if pairs:
+            p_idx = pl.program_id(0)
+        s_idx = pl.program_id(g0)
+        c_idx = pl.program_id(g0 + 1)
 
         col = jax.lax.broadcasted_iota(jnp.int32, (sub_rows, LANES), 1)
         row = jax.lax.broadcasted_iota(jnp.int32, (sub_rows, LANES), 0)
@@ -444,10 +450,16 @@ def _kernel(scoring: Scoring, T: int, R: int, C: int, m: int, n: int,
             li = jnp.where(sc == s_star, rowv, BIG)
             row_star = jnp.min(li)
             t_star = jnp.max(jnp.where(li == row_star, best_t[...], -1))
-            best_ref[s_idx, 0] = s_star
-            best_ref[s_idx, 1] = row_star
-            best_ref[s_idx, 2] = t_star
-            rc_ref[0] = rc[...]
+            if pairs:
+                best_ref[p_idx, s_idx, 0] = s_star
+                best_ref[p_idx, s_idx, 1] = row_star
+                best_ref[p_idx, s_idx, 2] = t_star
+                rc_ref[0, 0] = rc[...]
+            else:
+                best_ref[s_idx, 0] = s_star
+                best_ref[s_idx, 1] = row_star
+                best_ref[s_idx, 2] = t_star
+                rc_ref[0] = rc[...]
             if batch:
                 lbest_ref[0] = bv
                 lbest_t_ref[0] = best_t[...]
@@ -1013,4 +1025,99 @@ def batch_score_fn(B: int, rlen: int, W: int,
 
     fn.prepare = prepare
     fn.score_prepared = score_prepared
+    return fn
+
+
+def pairs_score_fn(B: int, m: int, n: int,
+                   scoring: Scoring = Scoring(),
+                   T: Optional[int] = None, R: Optional[int] = None,
+                   C: int = DEFAULT_CHUNK, unroll: Optional[int] = None,
+                   interpret: Optional[bool] = None):
+    """Jittable batched-pairs scorer: fn(a_batch (B, m), b_batch (B, n)) ->
+    (scores, max_i, max_j), each (B,) int32.
+
+    Unlike `batch_score_fn` (many reads vs ONE shared window), every pair
+    here has its own query: the kernel gains a leading grid dimension over
+    pairs, and the per-stripe scratch state simply re-initializes at each
+    pair's first (stripe, chunk). This is BASELINE config 3's data-parallel
+    layout executed as one Pallas program per device shard instead of a
+    vmapped XLA scan."""
+    if interpret is None:
+        interpret = _interpret_default()
+    T, R = _resolve_params(m, n, T, R, scoring)
+    _check_packing(m, n, R, scoring)
+    L = T // R
+    sub_rows = L // LANES
+    num_stripes = -(-n // T)
+    steps = m + L - 1
+    num_chunks = -(-steps // C)
+    u = _auto_unroll(C, interpret) if unroll is None else unroll
+    if C % u:
+        raise ValueError(f"C={C} must be a multiple of unroll={u}")
+
+    kernel = _kernel(scoring, T, R, C, m, n, steps, num_chunks,
+                     return_p=False, unroll=u, pairs=True)
+
+    out_shape = (
+        jax.ShapeDtypeStruct((B, num_stripes, 8), jnp.int32),
+        jax.ShapeDtypeStruct((B, num_stripes, R, sub_rows, LANES),
+                             jnp.int32),
+    )
+    out_specs = (
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, 1, R, sub_rows, LANES),
+                     lambda p, s, c: (p, s, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+    )
+    tile = pltpu.VMEM((sub_rows, LANES), jnp.int32)
+    rtile = pltpu.VMEM((R, sub_rows, LANES), jnp.int32)
+    ring = pltpu.VMEM((1, _ring_len(m, T, R, C)), jnp.int32)
+    scratch = [rtile, tile, tile, tile, tile, tile, tile, tile, rtile, ring]
+    if scoring.is_affine:
+        scratch += [rtile, tile, tile, ring]
+    in_specs = (
+        pl.BlockSpec((1, 1, num_chunks * C), lambda p, s, c: (p, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, R, sub_rows, LANES),
+                     lambda p, s, c: (p, s, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+    )
+
+    def kernel3(a_ref, b_ref, *rest):
+        # drop the leading pair-block dim so the 2D kernel body applies
+        # (.at keeps these as ref views, not loads)
+        return kernel(a_ref.at[0], b_ref.at[0], *rest)
+
+    call = pl.pallas_call(
+        kernel3,
+        grid=(B, num_stripes, num_chunks),
+        in_specs=in_specs,
+        out_shape=out_shape,
+        out_specs=out_specs,
+        scratch_shapes=scratch,
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
+        ),
+    )
+
+    def fn(a_batch, b_batch):
+        ap = jnp.full((B, 1, num_chunks * C), -1, jnp.int32)
+        ap = ap.at[:, 0, :m].set(a_batch.astype(jnp.int32))
+        bp = jnp.full((B, num_stripes * T), -2, jnp.int32)
+        bp = bp.at[:, :n].set(b_batch.astype(jnp.int32))
+        bt = (bp.reshape(B, num_stripes, L, R).transpose(0, 1, 3, 2)
+              .reshape(B, num_stripes, R, sub_rows, LANES))
+        best, _rc = call(ap, bt)
+        sc = best[:, :, 0]                       # (B, S)
+        s_star = jnp.max(sc, axis=1)
+        sidx = jnp.argmax(sc == s_star[:, None], axis=1).astype(jnp.int32)
+        ar = jnp.arange(B)
+        rowv = best[ar, sidx, 1]
+        t_star = best[ar, sidx, 2]
+        has = s_star > 0
+        bi = jnp.where(has, sidx * T + rowv + 1, 0)
+        bj = jnp.where(has, t_star - rowv // R + 1, 0)
+        return jnp.maximum(s_star, 0), bi, bj
+
     return fn

@@ -49,3 +49,39 @@ def test_best_hit_reducer(mesh):
     assert int(best.score) == top
     assert int(best.pair) == first
     assert (int(best.max_i), int(best.max_j)) == refs[first].max_ij
+
+
+def test_pairs_kernel_matches_oracle():
+    """The pair-grid Pallas scorer (interpret mode) vs per-pair oracle."""
+    import numpy as np
+    import jax.numpy as jnp
+    from swtpu.core import oracle
+    from swtpu.core.encode import random_batch
+    from swtpu.kernels.pallas_fill import pairs_score_fn
+
+    B, m, n = 6, 40, 300
+    aa, bb = random_batch(B, m, n, seed=13)
+    fn = pairs_score_fn(B, m, n, T=256, R=2, C=128, interpret=True)
+    s, i, j = fn(jnp.asarray(aa), jnp.asarray(bb))
+    for g in range(B):
+        ref = oracle.fill(aa[g], bb[g])
+        assert int(s[g]) == ref.max_score, g
+        if ref.max_score > 0:
+            assert (int(i[g]), int(j[g])) == ref.max_ij, g
+
+
+def test_batch_score_stripe_plan_matches_scan():
+    import numpy as np
+    from swtpu.core.encode import random_batch
+    from swtpu.dist.batch import batch_score
+
+    B, m, n = 4, 64, 128
+    aa, bb = random_batch(B, m, n, seed=14)
+    scan = batch_score(aa, bb, plan="scan")
+    stripe = batch_score(aa, bb, plan="stripe", interpret=True)
+    np.testing.assert_array_equal(np.asarray(scan.scores),
+                                  np.asarray(stripe.scores))
+    np.testing.assert_array_equal(np.asarray(scan.max_i),
+                                  np.asarray(stripe.max_i))
+    np.testing.assert_array_equal(np.asarray(scan.max_j),
+                                  np.asarray(stripe.max_j))
