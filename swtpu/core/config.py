@@ -77,7 +77,9 @@ class EngineConfig:
 
     # lax.scan full-matrix fill is fastest below this many cells (compile
     # overhead amortization; the CUTOFF=1024 analog at a coarser granularity).
-    scan_max_cells: int = 1 << 22
+    # Measured on v5e: the stripe kernel wins from ~128^2 up (both are
+    # dispatch-latency-bound below that).
+    scan_max_cells: int = 1 << 14
     # Pallas stripe kernel parameters. None = auto (cost-model choice;
     # kernels.pallas_fill.choose_params).
     stripe_rows: Optional[int] = None        # rows per stripe (T = 128*SUB*R)

@@ -763,7 +763,7 @@ def stripe_score_fn(m: int, n: int, scoring: Scoring = Scoring(),
         bj = jnp.where(has, t - rowv // R + 1, 0)
         return jnp.maximum(s_star, 0), bi, bj
 
-    return fn
+    return jax.jit(fn)
 
 
 def _device_inputs(a, b, m, n, T, C, R=1):
@@ -941,7 +941,7 @@ def stripe_block_fn(m: int, n: int, scoring: Scoring = Scoring(),
         return (jnp.maximum(s_star, 0), bi, bj, last_cell,
                 bottom_row, right_col)
 
-    return fn
+    return jax.jit(fn)
 
 
 def batch_score_fn(B: int, rlen: int, W: int,
@@ -1020,11 +1020,10 @@ def batch_score_fn(B: int, rlen: int, W: int,
                 jnp.where(has, read_i, 0).astype(jnp.int32),
                 jnp.where(has, win_j, 0).astype(jnp.int32))
 
-    def fn(reads, window):
-        return score_prepared(prepare(reads), window)
-
-    fn.prepare = prepare
-    fn.score_prepared = score_prepared
+    fn = jax.jit(lambda reads, window: score_prepared(prepare(reads),
+                                                      window))
+    fn.prepare = jax.jit(prepare)
+    fn.score_prepared = jax.jit(score_prepared)
     return fn
 
 
@@ -1120,4 +1119,4 @@ def pairs_score_fn(B: int, m: int, n: int,
         bj = jnp.where(has, t_star - rowv // R + 1, 0)
         return jnp.maximum(s_star, 0), bi, bj
 
-    return fn
+    return jax.jit(fn)
