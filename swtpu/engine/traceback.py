@@ -33,6 +33,58 @@ from ..core.config import DIAGONAL, LEFT, NONE, UP, Scoring
 from ..core.encode import DNA_ALPHABET
 from ..kernels.scan_fill import diag_to_rowmajor, scan_fill
 
+_STRIPE_MIN_CELLS = 1 << 20
+
+
+def _use_stripe(m: int, n: int, scoring: Scoring) -> bool:
+    from ..dispatch.plan import current_platform
+    from ..kernels.pallas_fill import _penalties_negative
+    return (current_platform() == "tpu" and not scoring.is_affine
+            and _penalties_negative(scoring) and m >= 2 and n >= 1
+            and m * n >= _STRIPE_MIN_CELLS)
+
+
+_fn_cache = {}
+
+
+def _cached(kind, m, n, scoring, **kw):
+    key = (kind, m, n, scoring, tuple(sorted(kw.items())))
+    if key not in _fn_cache:
+        from ..kernels import pallas_fill as pf
+        maker = {"score": pf.stripe_score_fn, "block": pf.stripe_block_fn}
+        _fn_cache[key] = maker[kind](m, n, scoring, **kw)
+        if len(_fn_cache) > 64:
+            _fn_cache.pop(next(iter(_fn_cache)))
+    return _fn_cache[key]
+
+
+def _local_score(a: np.ndarray, b: np.ndarray, scoring: Scoring):
+    """Score-only forward pass: (max_score, max_i, max_j)."""
+    m, n = len(a), len(b)
+    if _use_stripe(m, n, scoring):
+        fn = _cached("score", m, n, scoring)
+        s, i, j = fn(jnp.asarray(a), jnp.asarray(b))
+        return int(s), int(i), int(j)
+    out = scan_fill(jnp.asarray(a), jnp.asarray(b), scoring=scoring)
+    return int(out.max_score), int(out.max_i), int(out.max_j)
+
+
+def _nw_argmax(a: np.ndarray, b: np.ndarray, scoring: Scoring,
+               top: np.ndarray, left: np.ndarray):
+    """Global-mode fill with injected boundaries; returns
+    (max_score, max_i, max_j). Used by the anchored reverse pass, whose
+    max is guaranteed positive."""
+    m, n = len(a), len(b)
+    if _use_stripe(m, n, scoring):
+        fn = _cached("block", m, n, scoring, local=False, want_bottom=False)
+        s, i, j, _, _, _ = fn(jnp.asarray(a), jnp.asarray(b),
+                              jnp.asarray(top), jnp.asarray(left))
+        return int(s), int(i), int(j)
+    out = scan_fill(jnp.asarray(a), jnp.asarray(b), scoring=scoring,
+                    local=False, top_row=jnp.asarray(top),
+                    left_col=jnp.asarray(left))
+    return int(out.max_score), int(out.max_i), int(out.max_j)
+
 
 class Located(NamedTuple):
     score: int
@@ -46,11 +98,9 @@ def locate(a: np.ndarray, b: np.ndarray,
            scoring: Scoring = Scoring()) -> Optional[Located]:
     """Find score + start/end cells of the optimal local alignment with two
     score-only passes (no P matrix)."""
-    out = scan_fill(jnp.asarray(a), jnp.asarray(b), scoring=scoring)
-    score = int(out.max_score)
+    score, ei, ej = _local_score(a, b, scoring)
     if score <= 0:
         return None
-    ei, ej = int(out.max_i), int(out.max_j)
     # Anchored reverse pass over the clipped reversed prefixes: global-mode
     # DP with -inf boundaries (except the origin) scores only paths that
     # START at the forward end cell, so its argmax is the true START of a
@@ -63,11 +113,8 @@ def locate(a: np.ndarray, b: np.ndarray,
     top = np.full((ej + 1,), NEG, np.int32)
     left = np.full((ei + 1,), NEG, np.int32)
     top[0] = left[0] = 0
-    rout = scan_fill(jnp.asarray(ar), jnp.asarray(br), scoring=scoring,
-                     local=False, top_row=jnp.asarray(top),
-                     left_col=jnp.asarray(left))
-    assert int(rout.max_score) == score, (int(rout.max_score), score)
-    ri, rj = int(rout.max_i), int(rout.max_j)
+    rs, ri, rj = _nw_argmax(ar, br, scoring, top, left)
+    assert rs == score, (rs, score)
     si = ei - ri + 1
     sj = ej - rj + 1
     return Located(score, si, sj, ei, ej)
@@ -122,10 +169,18 @@ def _nw_last_row(a: np.ndarray, b: np.ndarray, scoring: Scoring) -> np.ndarray:
     if n == 0:
         return scoring.gap * np.arange(m + 1)
     g = scoring.gap
-    top = jnp.asarray(g * np.arange(m + 1), jnp.int32)
-    left = jnp.asarray(g * np.arange(n + 1), jnp.int32)
+    top = (g * np.arange(m + 1)).astype(np.int32)
+    left = (g * np.arange(n + 1)).astype(np.int32)
+    if _use_stripe(n, m, scoring):
+        # transposed stripe fill: the bottom row of (a, b) is the right
+        # column of (b, a), which the kernel exports for any length
+        fn = _cached("block", n, m, scoring, local=False, want_bottom=False)
+        _, _, _, _, _, right = fn(jnp.asarray(b), jnp.asarray(a),
+                                  jnp.asarray(left), jnp.asarray(top))
+        return np.asarray(right).astype(np.int64)
     out = scan_fill(jnp.asarray(a), jnp.asarray(b), scoring=scoring,
-                    local=False, top_row=top, left_col=left)
+                    local=False, top_row=jnp.asarray(top),
+                    left_col=jnp.asarray(left))
     return np.asarray(out.bottom_row).astype(np.int64)
 
 
@@ -174,8 +229,75 @@ def hirschberg(a: np.ndarray, b: np.ndarray, scoring: Scoring = Scoring()):
     return loc.score, loc, ra, rb
 
 
+def _stripe_window_walk(sub_a, sub_b, wn, wm, scoring):
+    """LOCAL P-capture refill on the stripe kernel + an ON-DEVICE walk of
+    the predecessor chain. The P tensor (O(window) int32) never leaves the
+    chip — only the O(path) code sequence does. The window's bottom-right
+    corner is the located end cell, so walking from there reproduces an
+    optimal path; the zero-floor NONE stop is the located start."""
+    import jax
+    from jax import lax
+    from ..kernels import pallas_fill as pf
+
+    T, R = pf._resolve_params(wm, wn, None, None, scoring, return_p=True)
+    pf._check_packing(wm, wn, R, scoring)
+    ap, bt, S = pf._build_inputs(sub_a, sub_b, T, pf.DEFAULT_CHUNK, R)
+    interp = pf._interpret_default()
+    outs = pf._stripe_call(
+        jnp.asarray(ap), jnp.asarray(bt), scoring=scoring, T=T, R=R,
+        C=pf.DEFAULT_CHUNK, m=wm, n=wn, return_p=True, interpret=interp,
+        unroll=pf._auto_unroll(pf.DEFAULT_CHUNK, interp))
+    pdev = outs[2]                 # (S, steps_pad, R, sub, 128) on device
+
+    @jax.jit
+    def walk(p):
+        cap = wn + wm
+
+        def body(carry):
+            i, j, pos, codes = carry
+            li = i - 1
+            s_ = li // T
+            lin = (li % T) // R
+            r_ = li % R
+            t_ = lin + j - 1
+            code = p[s_, t_, r_, lin // 128, lin % 128]
+            codes = codes.at[pos].set(code.astype(jnp.int8))
+            di = jnp.where(code == DIAGONAL, 1, jnp.where(code == UP, 1, 0))
+            dj = jnp.where(code == DIAGONAL, 1, jnp.where(code == LEFT, 1, 0))
+            # pos always advances; a written NONE terminates via cond and
+            # is trimmed on the host
+            return i - di, j - dj, pos + 1, codes
+
+        def cond(carry):
+            i, j, pos, codes = carry
+            moved = (pos == 0) | (codes[pos - 1] != NONE)
+            return (i > 0) & (j > 0) & moved & (pos < cap)
+
+        codes0 = jnp.full((cap,), jnp.int8(NONE))
+        i, j, pos, codes = lax.while_loop(
+            cond, body, (jnp.int32(wn), jnp.int32(wm), jnp.int32(0), codes0))
+        return pos, codes
+
+    pos, codes = walk(pdev)
+    npos = int(pos)
+    cds = np.asarray(codes)[:npos]
+    if npos and cds[-1] == NONE:
+        cds = cds[:-1]
+    out_a, out_b = [], []
+    i, j = wn, wm
+    for code in cds:
+        if code == DIAGONAL:
+            out_a.append(sub_a[j - 1]); out_b.append(sub_b[i - 1])
+            i -= 1; j -= 1
+        elif code == UP:
+            out_a.append(-1); out_b.append(sub_b[i - 1]); i -= 1
+        else:
+            out_a.append(sub_a[j - 1]); out_b.append(-1); j -= 1
+    return out_a[::-1], out_b[::-1]
+
+
 def windowed(a: np.ndarray, b: np.ndarray, scoring: Scoring = Scoring(),
-             max_window_cells: int = 1 << 26):
+             max_window_cells: Optional[int] = None):
     """Locate, then refill only the alignment window with predecessors and
     walk it. Falls back to hirschberg() when the window exceeds the budget."""
     if scoring.is_affine:
@@ -185,10 +307,19 @@ def windowed(a: np.ndarray, b: np.ndarray, scoring: Scoring = Scoring(),
         return None
     wm = loc.end_j - loc.start_j + 1
     wn = loc.end_i - loc.start_i + 1
+    if max_window_cells is None:
+        # the stripe refill keeps P on-device (int32 in HBM) and walks it
+        # there, so the budget is HBM, not transfer: 2^29 cells = 2 GB of P
+        max_window_cells = (1 << 30) if _use_stripe(wm, wn, scoring) \
+            else (1 << 26)
     if wm * wn > max_window_cells:
         return hirschberg(a, b, scoring)
     sub_a = np.asarray(a[loc.start_j - 1: loc.end_j])
     sub_b = np.asarray(b[loc.start_i - 1: loc.end_i])
+    if _use_stripe(wm, wn, scoring):
+        ca, cb = _stripe_window_walk(sub_a, sub_b, wn, wm, scoring)
+        ra, rb = _render(ca, cb)
+        return loc.score, loc, ra, rb
     g = scoring.gap
     top = jnp.asarray(g * np.arange(wm + 1), jnp.int32)
     left = jnp.asarray(g * np.arange(wn + 1), jnp.int32)

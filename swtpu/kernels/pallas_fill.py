@@ -89,8 +89,11 @@ DEFAULT_UNROLL = 32
 
 
 def choose_params(m: int, n: int, affine: bool = False,
-                  r_max: int = 8, sub_max: int = 128) -> tuple:
-    """Pick (T, R) minimizing the modeled fill time. T = 128*SUB*R."""
+                  r_max: int = 8, sub_max: int = 128,
+                  t_cap: Optional[int] = None) -> tuple:
+    """Pick (T, R) minimizing the modeled fill time. T = 128*SUB*R.
+    t_cap bounds the stripe height (the P-capture path needs C*T*4 bytes
+    of double-buffered VMEM for its output block)."""
     per_row, per_step = _COST_AFF if affine else _COST_LIN
     best = (LANES, 1)
     best_cost = None
@@ -99,6 +102,8 @@ def choose_params(m: int, n: int, affine: bool = False,
             continue
         for SUB in range(1, sub_max + 1):
             T = LANES * SUB * R
+            if t_cap is not None and T > t_cap:
+                continue
             stripes = -(-n // T)
             if stripes > 1 and (stripes - 1) * T >= n:
                 continue                      # a smaller SUB covers n too
@@ -149,7 +154,7 @@ def _kernel(scoring: Scoring, T: int, R: int, C: int, m: int, n: int,
             steps: int, num_chunks: int, return_p: bool,
             batch: bool = False, unroll: int = 1,
             boundary: bool = False, want_bottom: bool = False,
-            pairs: bool = False):
+            pairs: bool = False, local: bool = True):
     L = T // R                       # lanes per stripe
     sub_rows = L // LANES
     logR = R.bit_length() - 1        # R is a power of two
@@ -355,11 +360,17 @@ def _kernel(scoring: Scoring, T: int, R: int, C: int, m: int, n: int,
                     elif affine:
                         hn = jnp.maximum(jnp.maximum(diag, u_val),
                                          jnp.maximum(l_val, 0))
-                    else:
+                    elif local:
                         hn = jnp.maximum(jnp.maximum(diag, ul), 0)
+                    else:
+                        # global (NW) mode: no zero floor. Deep negatives
+                        # are clamped for the packed argmax only (callers
+                        # use the max solely when it is positive).
+                        hn = jnp.maximum(diag, ul)
                     new_h.append(hn)
                     up = hn
-                    pk = hn if R == 1 else (hn << logR) + (R - 1 - r)
+                    hpk = hn if local else jnp.maximum(hn, -8)
+                    pk = hpk if R == 1 else (hpk << logR) + (R - 1 - r)
                     packed = pk if r == 0 else jnp.maximum(packed, pk)
 
                 # row-major first occurrence per lane: strict > on the
@@ -467,6 +478,25 @@ def _kernel(scoring: Scoring, T: int, R: int, C: int, m: int, n: int,
     return kernel
 
 
+@jax.jit
+def _pack_p(p):
+    """Pack predecessor codes (0..3) 16-per-int32 along the steps axis
+    for cheap device->host transfer; `_unpack_p` reverses on the host."""
+    S, steps, R, sub, lanes = p.shape
+    pr = p.reshape(S, steps // 16, 16, R, sub, lanes)
+    shifts = (2 * jnp.arange(16, dtype=jnp.int32))[None, None, :, None,
+                                                   None, None]
+    return jnp.sum(pr << shifts, axis=2)
+
+
+def _unpack_p(packed: np.ndarray) -> np.ndarray:
+    S, sp16, R, sub, lanes = packed.shape
+    out = np.empty((S, sp16, 16, R, sub, lanes), np.int8)
+    for k in range(16):
+        out[:, :, k] = ((packed >> (2 * k)) & 3).astype(np.int8)
+    return out.reshape(S, sp16 * 16, R, sub, lanes)
+
+
 class StripeOut(NamedTuple):
     max_score: jax.Array
     max_i: jax.Array
@@ -516,11 +546,11 @@ def _ring_len(m: int, T: int, R: int, C: int) -> int:
 @functools.partial(
     jax.jit,
     static_argnames=("scoring", "T", "R", "C", "m", "n", "return_p",
-                     "interpret", "unroll", "want_bottom"),
+                     "interpret", "unroll", "want_bottom", "local"),
 )
 def _stripe_call(q, bt, greset=None, top=None, lc=None, *, scoring, T, R=1,
                  C=256, m, n, return_p, interpret, unroll=1,
-                 want_bottom=False):
+                 want_bottom=False, local=True):
     num_stripes = bt.shape[0]
     L = T // R
     steps = m + L - 1
@@ -535,9 +565,13 @@ def _stripe_call(q, bt, greset=None, top=None, lc=None, *, scoring, T, R=1,
         raise NotImplementedError("boundary injection is linear-gap only")
     if boundary and batch:
         raise ValueError("boundary injection and batch mode are exclusive")
+    if not local and not (boundary and not return_p and not batch):
+        raise NotImplementedError(
+            "global (NW) mode requires boundary injection; P capture and "
+            "batch mode are not supported there")
     kernel = _kernel(scoring, T, R, C, m, n, steps, num_chunks, return_p,
                      batch=batch, unroll=unroll, boundary=boundary,
-                     want_bottom=want_bottom)
+                     want_bottom=want_bottom, local=local)
 
     out_shape = [
         jax.ShapeDtypeStruct((num_stripes, 8), jnp.int32),                 # best
@@ -645,7 +679,7 @@ def stripe_fill_raw(
     m, n = len(a_codes), len(b_codes)
     if interpret is None:
         interpret = _interpret_default()
-    T, R = _resolve_params(m, n, T, R, scoring)
+    T, R = _resolve_params(m, n, T, R, scoring, return_p=return_p)
     _check_packing(m, n, R, scoring)
     ap, bt, num_stripes = _build_inputs(a_codes, b_codes, T, C, R)
 
@@ -656,7 +690,14 @@ def stripe_fill_raw(
         m=m, n=n, return_p=return_p, interpret=interpret, unroll=unroll)
     best = np.asarray(outs[0])
     rc = _lane_major_to_rowmajor(np.asarray(outs[1]), T, R)[:n]
-    p_stripes = outs[2] if return_p else None
+    p_stripes = None
+    if return_p:
+        p_stripes = outs[2]
+        if p_stripes.shape[1] % 16 == 0:
+            # 2-bit pack on device: 16x smaller transfer off the chip
+            p_stripes = _unpack_p(np.asarray(_pack_p(p_stripes)))
+        else:
+            p_stripes = np.asarray(p_stripes).astype(np.int8)
 
     # lexicographic reduce across stripes: score desc, then stripe asc
     # (smaller stripe = smaller row, matching first-occurrence row-major)
@@ -679,13 +720,20 @@ def stripe_fill_raw(
     )
 
 
-def _resolve_params(m, n, T, R, scoring) -> tuple:
+# P capture writes a (C, T) int32 block per chunk, double-buffered; keep it
+# well under the 16 MB VMEM budget (with C=128: T <= 4096 -> 4 MB buffers).
+P_T_CAP = 4096
+
+
+def _resolve_params(m, n, T, R, scoring, return_p=False) -> tuple:
+    cap = P_T_CAP if return_p else None
     if T is None and R is None:
-        T, R = choose_params(m, n, affine=scoring.is_affine)
+        T, R = choose_params(m, n, affine=scoring.is_affine, t_cap=cap)
     elif R is None:
         R = 1
     elif T is None:
-        T, _ = choose_params(m, n, affine=scoring.is_affine, r_max=R)
+        T, _ = choose_params(m, n, affine=scoring.is_affine, r_max=R,
+                             t_cap=cap)
     if T % (LANES * R):
         raise ValueError(f"T={T} must be a multiple of 128*R (R={R})")
     # never use more stripes than needed to cover n
@@ -715,24 +763,30 @@ def p_stripes_to_rowmajor(p: np.ndarray, n: int, m: int) -> np.ndarray:
     """(S, steps_pad, R, sub, 128) diag-major P -> padded (n+1, m+1) int8.
 
     Stripe-local cell (i_l = lin*R + r + 1, j = t - lin + 1) lives at
-    [s, t, r, lin // 128, lin % 128].
+    [s, t, r, lin // 128, lin % 128]. The map is constant-stride in every
+    index, so it is a zero-copy `as_strided` view followed by one
+    contiguous transpose-copy per stripe (a fancy-index gather here costs
+    minutes at 10^9 cells).
     """
     S, steps_pad, R, sub, lanes = p.shape
     L = sub * lanes
     T = L * R
     out = np.zeros((n + 1, m + 1), dtype=np.int8)
-    pf = p.reshape(S, steps_pad, R, L)
+    pf = np.ascontiguousarray(p.reshape(S, steps_pad, R, L)).astype(
+        np.int8, copy=False)
+    es = pf.itemsize
     for s in range(S):
         rows = min(T, n - s * T)
         if rows <= 0:
             break
-        il = np.arange(rows)                   # stripe-local row - 1
-        kk = (il // R)[:, None]                # lane
-        rr = (il % R)[:, None]
-        jj = np.arange(1, m + 1)[None, :]
-        tt = kk + jj - 1                       # step where (lane, j) ran
-        out[s * T + 1: s * T + rows + 1, 1:] = \
-            pf[s, tt, rr, kk].astype(np.int8)
+        # V[lane, j-1, r] = pf[s, lane + j - 1, r, lane]
+        V = np.lib.stride_tricks.as_strided(
+            pf[s],
+            shape=(L, m, R),
+            strides=((R * L + 1) * es, R * L * es, L * es),
+        )
+        blk = np.ascontiguousarray(V.transpose(0, 2, 1)).reshape(T, m)
+        out[s * T + 1: s * T + rows + 1, 1:] = blk[:rows]
     return out
 
 
@@ -874,14 +928,22 @@ def batch_fill_raw(
 def stripe_block_fn(m: int, n: int, scoring: Scoring = Scoring(),
                     T: Optional[int] = None, R: Optional[int] = None,
                     C: int = DEFAULT_CHUNK, unroll: Optional[int] = None,
-                    interpret: Optional[bool] = None):
-    """Jittable boundary-injected block fill for the multi-chip pipeline.
+                    interpret: Optional[bool] = None, local: bool = True,
+                    want_bottom: bool = True):
+    """Jittable boundary-injected block fill for the multi-chip pipeline
+    and the linear-space traceback passes.
 
     Returns fn(a, b, top_row, left_col) -> (max_score, max_i, max_j,
     last_cell, bottom_row, right_col) with scan_fill's boundary semantics
     (top_row/left_col are the padded H values of row 0 / column 0, both of
     which include the shared H[0,0] corner). All inputs/outputs are device
     arrays so the fn composes with shard_map + ppermute halo exchange.
+
+    local=False runs the global (Needleman-Wunsch) recurrence — no zero
+    floor, boundaries as injected; the (max, position) outputs are valid
+    only when the true max is positive (the anchored-reverse contract).
+    want_bottom=False skips the bottom-row export (then bottom_row is
+    last_cell only) and lifts the n % T divisibility requirement.
     """
     if scoring.is_affine:
         raise NotImplementedError("stripe block fill is linear-gap only")
@@ -891,7 +953,7 @@ def stripe_block_fn(m: int, n: int, scoring: Scoring = Scoring(),
     _check_packing(m, n, R, scoring)
     L = T // R
     num_stripes = -(-n // T)
-    if num_stripes * T != n:
+    if want_bottom and num_stripes * T != n:
         # the ring only holds the true matrix bottom row if the last stripe's
         # bottom lane is row n exactly
         raise ValueError(f"n={n} must be a multiple of the stripe height "
@@ -917,8 +979,10 @@ def stripe_block_fn(m: int, n: int, scoring: Scoring = Scoring(),
 
         outs = _stripe_call(ap, bt, None, top, lc, scoring=scoring, T=T,
                             R=R, C=C, m=m, n=n, return_p=False,
-                            interpret=interpret, unroll=u, want_bottom=True)
-        best, rc, ring = outs[0], outs[1], outs[2]
+                            interpret=interpret, unroll=u,
+                            want_bottom=want_bottom, local=local)
+        best, rc = outs[0], outs[1]
+        ring = outs[2] if want_bottom else None
 
         scores = best[:, 0]
         s_star = jnp.max(scores)
@@ -934,9 +998,12 @@ def stripe_block_fn(m: int, n: int, scoring: Scoring = Scoring(),
                  .reshape(num_stripes * T))[:n]
         right_col = jnp.concatenate([top_row[m:m + 1].astype(jnp.int32),
                                      rc_rm])
-        bottom_row = jnp.concatenate(
-            [left_col[n:n + 1].astype(jnp.int32),
-             jax.lax.dynamic_slice(ring[0], (L - 1,), (m,))])
+        if want_bottom:
+            bottom_row = jnp.concatenate(
+                [left_col[n:n + 1].astype(jnp.int32),
+                 jax.lax.dynamic_slice(ring[0], (L - 1,), (m,))])
+        else:
+            bottom_row = right_col[n:n + 1]
         last_cell = right_col[n]
         return (jnp.maximum(s_star, 0), bi, bj, last_cell,
                 bottom_row, right_col)

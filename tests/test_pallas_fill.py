@@ -204,3 +204,53 @@ def test_boundary_injected_multi_stripe():
                                   np.asarray(ref.bottom_row))
     np.testing.assert_array_equal(np.asarray(right),
                                   np.asarray(ref.right_col))
+
+
+def test_nw_mode_matches_scan():
+    """Global (NW) stripe mode vs scan_fill(local=False): argmax (for the
+    anchored-reverse contract, max > 0) and the right column (used
+    transposed as the Hirschberg bottom row)."""
+    import jax.numpy as jnp
+    from swtpu.kernels.pallas_fill import stripe_block_fn
+    from swtpu.kernels.scan_fill import scan_fill
+
+    m, n = 90, 300
+    a, b = random_pair(m, n, seed=41)
+    b[:m] = a          # strong diagonal so the NW max is positive
+    g = swtpu.Scoring().gap
+    top = (g * np.arange(m + 1)).astype(np.int32)
+    left = (g * np.arange(n + 1)).astype(np.int32)
+    ref = scan_fill(jnp.asarray(a), jnp.asarray(b), local=False,
+                    top_row=jnp.asarray(top), left_col=jnp.asarray(left))
+    fn = stripe_block_fn(m, n, T=256, R=2, C=128, local=False,
+                         want_bottom=False)
+    s, i, j, last, _, right = fn(jnp.asarray(a), jnp.asarray(b),
+                                 jnp.asarray(top), jnp.asarray(left))
+    assert int(ref.max_score) > 0
+    assert int(s) == int(ref.max_score)
+    assert (int(i), int(j)) == (int(ref.max_i), int(ref.max_j))
+    assert int(last) == int(ref.last_cell)
+    np.testing.assert_array_equal(np.asarray(right),
+                                  np.asarray(ref.right_col))
+
+
+def test_nw_anchored_reverse_boundaries():
+    """NW stripe mode with the locate() -inf boundary pattern."""
+    import jax.numpy as jnp
+    from swtpu.kernels.pallas_fill import stripe_block_fn
+    from swtpu.kernels.scan_fill import scan_fill
+
+    m, n = 70, 260
+    a, b = random_pair(m, n, seed=43)
+    NEG = -(1 << 30)
+    top = np.full((m + 1,), NEG, np.int32); top[0] = 0
+    left = np.full((n + 1,), NEG, np.int32); left[0] = 0
+    ref = scan_fill(jnp.asarray(a), jnp.asarray(b), local=False,
+                    top_row=jnp.asarray(top), left_col=jnp.asarray(left))
+    fn = stripe_block_fn(m, n, T=128, R=1, C=128, local=False,
+                         want_bottom=False)
+    s, i, j, _, _, _ = fn(jnp.asarray(a), jnp.asarray(b),
+                          jnp.asarray(top), jnp.asarray(left))
+    if int(ref.max_score) > 0:
+        assert int(s) == int(ref.max_score)
+        assert (int(i), int(j)) == (int(ref.max_i), int(ref.max_j))

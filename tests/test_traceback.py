@@ -85,3 +85,27 @@ def test_no_alignment():
     b = encode("TTTT")
     assert tb.locate(a, b) is None
     assert tb.windowed(a, b) is None
+
+
+def test_stripe_window_walk_matches_oracle():
+    """Device-resident predecessor walk (interpret mode) vs the oracle's
+    host backtrack on the same window."""
+    import numpy as np
+    import swtpu
+    from swtpu.core import oracle
+    from swtpu.core.encode import random_pair
+    from swtpu.engine.traceback import _render, _stripe_window_walk
+
+    m, n = 120, 300
+    a, b = random_pair(m, n, seed=77)
+    b[40:90] = a[10:60]               # planted block
+    ref = oracle.fill(a, b)
+    ei, ej = ref.max_ij
+    # window = everything up to the end cell (start at 1,1 for simplicity)
+    sub_a, sub_b = a[:ej], b[:ei]
+    ca, cb = _stripe_window_walk(sub_a, sub_b, ei, ej, swtpu.Scoring())
+    ra, rb = _render(ca, cb)
+    s = swtpu.Scoring()
+    sc = sum(s.gap if '-' in (x, y) else (s.match if x == y else s.mismatch)
+             for x, y in zip(ra, rb))
+    assert sc == ref.max_score
