@@ -35,11 +35,11 @@ def bench_stripe():
     from swtpu.kernels import pallas_fill as pf
 
     a, b = random_pair(M, N, seed=0)
-    T, R = pf.choose_params(M, N)
+    T, R, CB = pf.choose_params(M, N)
     C = pf.DEFAULT_CHUNK
-    ap, bt, S = pf._build_inputs(a, b, T, C, R)
+    ap, bt, S = pf._build_inputs(a, b, T, C, R, CB)
     apj, btj = jnp.asarray(ap), jnp.asarray(bt)
-    kw = dict(scoring=Scoring(), T=T, R=R, C=C, m=M, n=N,
+    kw = dict(scoring=Scoring(), T=T, R=R, C=C, CB=CB, m=M, n=N,
               return_p=False, interpret=False,
               unroll=pf._auto_unroll(C, False))
 
@@ -57,7 +57,7 @@ def bench_stripe():
         best = np.asarray(outs[0])
         times.append((time.perf_counter() - t0) / K)
     return (min(times), int(best[:, 0].max()), compile_s,
-            f"stripe(T={T},R={R},C={C})")
+            f"stripe(T={T},R={R},CB={CB},C={C})")
 
 
 def bench_scan():

@@ -42,13 +42,13 @@ def _time_plan(plan, m, n, repeats, k=5):
     a, b = random_pair(m, n, seed=0)
     if plan == "stripe":
         from .kernels import pallas_fill as pf
-        T, R = pf.choose_params(m, n)
+        T, R, CB = pf.choose_params(m, n)
         C = pf.DEFAULT_CHUNK
         interp = pf._interpret_default()
-        ap, bt, _ = pf._build_inputs(a, b, T, C, R)
+        ap, bt, _ = pf._build_inputs(a, b, T, C, R, CB)
         apj, btj = jnp.asarray(ap), jnp.asarray(bt)
         from .core.config import Scoring
-        kw = dict(scoring=Scoring(), T=T, R=R, C=C, m=m, n=n,
+        kw = dict(scoring=Scoring(), T=T, R=R, C=C, CB=CB, m=m, n=n,
                   unroll=pf._auto_unroll(C, interp),
                   return_p=False, interpret=interp)
         t0 = time.perf_counter()

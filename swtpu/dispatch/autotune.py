@@ -83,7 +83,7 @@ def sweep(sizes=(512, 2048, 8192, 25632),
                      "unroll": None, "s": dt, "gcups": gcups(m * n, dt)})
         tried = set()
         for R in r_candidates:
-            Tc, _ = choose_params(m, n, r_max=R)
+            Tc, _, _ = choose_params(m, n, r_max=R, cb_max=1)
             Tc = -(-Tc // (LANES * R)) * LANES * R
             Tc = min(Tc, -(-n // (LANES * R)) * LANES * R)
             for C in c_candidates:

@@ -239,7 +239,8 @@ def _stripe_window_walk(sub_a, sub_b, wn, wm, scoring):
     from jax import lax
     from ..kernels import pallas_fill as pf
 
-    T, R = pf._resolve_params(wm, wn, None, None, scoring, return_p=True)
+    T, R, _ = pf._resolve_params(wm, wn, None, None, scoring,
+                                 return_p=True, CB=1)
     pf._check_packing(wm, wn, R, scoring)
     ap, bt, S = pf._build_inputs(sub_a, sub_b, T, pf.DEFAULT_CHUNK, R)
     interp = pf._interpret_default()
@@ -260,7 +261,7 @@ def _stripe_window_walk(sub_a, sub_b, wn, wm, scoring):
             lin = (li % T) // R
             r_ = li % R
             t_ = lin + j - 1
-            code = p[s_, t_, r_, lin // 128, lin % 128]
+            code = p[s_, t_, 0, r_, lin // 128, lin % 128]
             codes = codes.at[pos].set(code.astype(jnp.int8))
             di = jnp.where(code == DIAGONAL, 1, jnp.where(code == UP, 1, 0))
             dj = jnp.where(code == DIAGONAL, 1, jnp.where(code == LEFT, 1, 0))

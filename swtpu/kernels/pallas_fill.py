@@ -74,13 +74,14 @@ def choose_stripe_rows(m: int, n: int, t_max: int = 16384) -> int:
     return best_T
 
 
-# Cost model for (T, R), calibrated on v5e at 25632^2 (see git history):
-# cycles/step ~ max(LAT(R), BETA * vregs * (per_row*R + per_step)) where the
-# latency floor LAT covers the cross-step dependency chain and per-step
-# plumbing that the unrolled loop cannot hide, and the throughput term
-# counts vector instructions. Relative choice is what matters.
-_LAT0, _LATR = 200.0, 10.0
-_BETA = 0.7
+# Cost model for (T, R, CB), calibrated on v5e (see git history):
+# cycles/step ~ max(CHAIN(CB), BETA * V) where CHAIN is the cross-step
+# serial dependency cost (rolls -> selects -> in-step (R, CB) chain) and
+# V = CB * vregs * (per_row*R + per_step) counts vector instructions.
+# Measured anchors: (R4,SUB52,CB1)=245, (R8,SUB26,CB2)=427, (R8,SUB26,CB4)
+# =772 cycles/step; 65536^2 single stripe R8: CB1 250, CB2 443.
+_CHAIN0, _CHAINC = 250.0, 175.0
+_BETA = 0.3
 _COST_LIN = (10, 10)   # per-row, per-step vector instr factors (linear gap)
 _COST_AFF = (16, 12)
 
@@ -90,30 +91,34 @@ DEFAULT_UNROLL = 32
 
 def choose_params(m: int, n: int, affine: bool = False,
                   r_max: int = 8, sub_max: int = 128,
-                  t_cap: Optional[int] = None) -> tuple:
-    """Pick (T, R) minimizing the modeled fill time. T = 128*SUB*R.
-    t_cap bounds the stripe height (the P-capture path needs C*T*4 bytes
-    of double-buffered VMEM for its output block)."""
+                  t_cap: Optional[int] = None,
+                  cb_max: int = 2) -> tuple:
+    """Pick (T, R, CB) minimizing the modeled fill time. T = 128*SUB*R.
+    t_cap bounds the stripe height (the P-capture path needs CB*C*T*4
+    bytes of double-buffered VMEM for its output block)."""
     per_row, per_step = _COST_AFF if affine else _COST_LIN
-    best = (LANES, 1)
+    best = (LANES, 1, 1)
     best_cost = None
-    for R in (1, 2, 4, 8):
-        if R > r_max:
+    for CB in (1, 2, 4):
+        if CB > cb_max:
             continue
-        for SUB in range(1, sub_max + 1):
-            T = LANES * SUB * R
-            if t_cap is not None and T > t_cap:
+        for R in (1, 2, 4, 8):
+            if R > r_max:
                 continue
-            stripes = -(-n // T)
-            if stripes > 1 and (stripes - 1) * T >= n:
-                continue                      # a smaller SUB covers n too
-            L = LANES * SUB
-            steps = stripes * (m + L - 1)
-            vregs = -(-SUB // 8)    # (SUB, 128) int32 tile = ceil(SUB/8) vregs
-            cost = steps * max(_LAT0 + _LATR * R,
-                               _BETA * vregs * (per_row * R + per_step))
-            if best_cost is None or cost < best_cost:
-                best_cost, best = cost, (T, R)
+            for SUB in range(1, sub_max + 1):
+                T = LANES * SUB * R
+                if t_cap is not None and T * CB > t_cap:
+                    continue
+                stripes = -(-n // T)
+                if stripes > 1 and (stripes - 1) * T >= n:
+                    continue                  # a smaller SUB covers n too
+                L = LANES * SUB
+                steps = stripes * (-(-m // CB) + L - 1)
+                vregs = -(-SUB // 8)          # ceil(SUB/8) vregs per tile
+                V = CB * vregs * (per_row * R + per_step)
+                cost = steps * max(_CHAIN0 + _CHAINC * (CB - 1), _BETA * V)
+                if best_cost is None or cost < best_cost:
+                    best_cost, best = cost, (T, R, CB)
     return best
 
 
@@ -154,10 +159,11 @@ def _kernel(scoring: Scoring, T: int, R: int, C: int, m: int, n: int,
             steps: int, num_chunks: int, return_p: bool,
             batch: bool = False, unroll: int = 1,
             boundary: bool = False, want_bottom: bool = False,
-            pairs: bool = False, local: bool = True):
+            pairs: bool = False, local: bool = True, CB: int = 1):
     L = T // R                       # lanes per stripe
     sub_rows = L // LANES
     logR = R.bit_length() - 1        # R is a power of two
+    logCB = CB.bit_length() - 1      # CB too
     match = int(scoring.match)
     mismatch = int(scoring.mismatch)
     affine = scoring.is_affine
@@ -167,11 +173,15 @@ def _kernel(scoring: Scoring, T: int, R: int, C: int, m: int, n: int,
         neg = -(1 << 24)
     else:
         gap = int(scoring.gap)
-    # Boundary-row ring indexed by step: bot[t] == bottom-row value of step
-    # t of the stripe above (= H(stripe_top - 1, j = t - L + 2)). Written one
-    # aligned C-slice per chunk, read L-1 elements ahead, so a single buffer
-    # serves producer (this stripe) and consumer (next stripe).
+    # Boundary-row rings (one per column slot) indexed by step:
+    # bot[c][t] == bottom-row value of step t of the stripe above at column
+    # CB*(t-L+1) + c + 1. Written one aligned C-slice per chunk, read L-1
+    # elements ahead, so a single buffer per slot serves producer (this
+    # stripe) and consumer (next stripe).
     bot_len = num_chunks * C + L + C + 256
+    # right-edge capture: column m is computed by exactly one column slot
+    rc_slot = (m - 1) % CB
+    rc_t0 = (m - 1) // CB            # ... by lane (t - rc_t0) at step t
 
     def kernel(a_ref, b_ref, *rest):
         # Batch mode ('many reads packed in rows'): an extra reset-mask
@@ -182,7 +192,7 @@ def _kernel(scoring: Scoring, T: int, R: int, C: int, m: int, n: int,
             greset_ref = rest[0]
             rest = rest[1:]
         if boundary:
-            # top_ref: the bottom-row ring pre-filled with the caller's top
+            # top_ref: the boundary rings pre-filled with the caller's top
             # boundary row; lc_ref: per-(row, lane) left-column values
             # ([0] = H(i, 0) for the LEFT operand at j=1, [1] = H(i-1, 0)
             # for the DIAG operand), injected on each lane's first step.
@@ -197,20 +207,20 @@ def _kernel(scoring: Scoring, T: int, R: int, C: int, m: int, n: int,
             p_ref = rest[0]
             rest = rest[1:]
         if want_bottom:
-            bot = rest[0]           # ring exposed as an output
+            bot = rest[0]           # rings exposed as an output
             rest = rest[1:]
-        # Scratch: hp holds the R per-row wavefronts of the previous step;
-        # (c1, c2) the lane/sublane rolls of the previous step's bottom row
-        # (r = R-1); hs the previous step's row-0 UP operand (which is
-        # exactly this step's row-0 DIAG operand — the ring shifts by one
-        # per step); (w1, w2) the rolls of the query window.
+        # Scratch: hp holds the LAST column slot's R per-row wavefronts of
+        # the previous step; (c1, c2)[c] the lane/sublane rolls of the
+        # previous step's bottom row per slot; hs the previous step's
+        # slot-(CB-1) row-0 UP operand (= this step's slot-0 row-0 DIAG);
+        # (w1, w2)[c] the rolls of the CB query windows.
         if affine:
-            (hp, c1, c2, hs, w1, w2, best, best_t, rc, bot,
+            (hp, c1, c2, hs, w1, w2, best, best_t, bcb, rc, bot,
              ep, f1, f2, fbot) = rest
         elif want_bottom:
-            (hp, c1, c2, hs, w1, w2, best, best_t, rc) = rest
+            (hp, c1, c2, hs, w1, w2, best, best_t, bcb, rc) = rest
         else:
-            (hp, c1, c2, hs, w1, w2, best, best_t, rc, bot) = rest
+            (hp, c1, c2, hs, w1, w2, best, best_t, bcb, rc, bot) = rest
 
         # with a leading pair grid dimension, the scratch state simply
         # re-initializes at each pair's (stripe 0, chunk 0)
@@ -229,29 +239,32 @@ def _kernel(scoring: Scoring, T: int, R: int, C: int, m: int, n: int,
         @pl.when(c_idx == 0)
         def _init_stripe():
             zero = jnp.zeros((R, sub_rows, LANES), jnp.int32)
+            czero = jnp.zeros((CB, sub_rows, LANES), jnp.int32)
             hp[...] = zero
-            c1[...] = zero[0]
-            c2[...] = zero[0]
+            c1[...] = czero
+            c2[...] = czero
             hs[...] = zero[0]
-            w1[...] = zero[0] - 1                   # sentinel codes
-            w2[...] = zero[0] - 1
+            w1[...] = czero - 1                     # sentinel codes
+            w2[...] = czero - 1
             best[...] = zero[0]
             best_t[...] = zero[0]
+            if CB > 1:
+                bcb[...] = zero[0]
             rc[...] = zero
             if affine:
                 ep[...] = zero + neg
-                f1[...] = zero[0] + neg
-                f2[...] = zero[0] + neg
+                f1[...] = czero + neg
+                f2[...] = czero + neg
 
             @pl.when(s_idx == 0)
             def _():
                 if boundary:
                     bot[...] = top_ref[...]
                 else:
-                    bot[...] = jnp.zeros((1, bot_len), jnp.int32)
+                    bot[...] = jnp.zeros((CB, bot_len), jnp.int32)
                 if affine:
                     # F(0, j) = -inf: no vertical gap enters from row 0
-                    fbot[...] = jnp.full((1, bot_len), neg, jnp.int32)
+                    fbot[...] = jnp.full((CB, bot_len), neg, jnp.int32)
 
             # (row-0 DIAG for the very first step — the H(0,0) corner — is
             # delivered by the left-column inject at t == lin == 0, so the
@@ -268,12 +281,14 @@ def _kernel(scoring: Scoring, T: int, R: int, C: int, m: int, n: int,
         # Chunk-start aligned vector loads (Mosaic requires 128-multiple lane
         # offsets); per-step boundary scalars come from registers rolled one
         # lane per step:
-        #   bw[0, 127 + tl] = bot_ring[c*C + L - 1 + tl] = H(row above, j=t+1)
-        #   av[0, tl]       = a[t] — the query code entering lane 0 at step t
-        bw0 = bot[0:1, pl.ds(c_idx * C + L - 128, C + 128)]
-        av0 = a_ref[0:1, pl.ds(c_idx * C, C)]
+        #   bw[c][0, 127+tl] = ring_c[cc*C + L - 1 + tl] = H(above, j_c(t))
+        #   av[c][0, tl]     = a[CB*t + c] — the slot-c query stream
+        bw0 = [bot[c:c + 1, pl.ds(c_idx * C + L - 128, C + 128)]
+               for c in range(CB)]
+        av0 = [a_ref[0, c:c + 1, pl.ds(c_idx * C, C)] for c in range(CB)]
         if affine:
-            fw0 = fbot[0:1, pl.ds(c_idx * C + L - 128, C + 128)]
+            fw0 = [fbot[c:c + 1, pl.ds(c_idx * C + L - 128, C + 128)]
+                   for c in range(CB)]
 
         def lane_rolls(x):
             r1 = pltpu.roll(x, 1, axis=1)
@@ -292,126 +307,176 @@ def _kernel(scoring: Scoring, T: int, R: int, C: int, m: int, n: int,
                     hvs, hr1, hr2, hsv, wr1, wr2, botbuf, bw, av = carry
                 t = c_idx * C + tl
 
-                up_in = bw[0, 127]
-                h_top = jnp.where(origin, up_in, jnp.where(col0, hr2, hr1))
-                wv = jnp.where(origin, av[0, 0], jnp.where(col0, wr2, wr1))
-                if batch:
-                    h_top = jnp.where(gmasks[0], 0, h_top)
-                if affine:
-                    f_top = jnp.where(origin, fw[0, 127],
-                                      jnp.where(col0, fv2, fv1))
+                h_tops, wvs = [], []
+                for c in range(CB):
+                    ht = jnp.where(origin, bw[c][0, 127],
+                                   jnp.where(col0, hr2[c], hr1[c]))
                     if batch:
-                        f_top = jnp.where(gmasks[0], neg, f_top)
-
-                new_h = []
-                new_e = []
-                up = h_top
-                dg = hsv                     # row-0 DIAG = prev step's h_top
+                        ht = jnp.where(gmasks[0], 0, ht)
+                    h_tops.append(ht)
+                    wvs.append(jnp.where(origin, av[c][0, 0],
+                                         jnp.where(col0, wr2[c], wr1[c])))
                 if affine:
-                    fprev = f_top
-                if inject:
-                    # each lane's first step computes column j=1: swap in the
-                    # caller's left-column boundary for LEFT and DIAG
-                    first = lin == t
-                packed = None
-                for r in range(R):
-                    if r > 0:
-                        dg = hvs[r - 1]
+                    f_tops = []
+                    for c in range(CB):
+                        ft = jnp.where(origin, fw[c][0, 127],
+                                       jnp.where(col0, fv2[c], fv1[c]))
                         if batch:
-                            up = jnp.where(gmasks[r], 0, up)
-                            dg = jnp.where(gmasks[r], 0, dg)
-                            if affine:
-                                fprev = jnp.where(gmasks[r], neg, fprev)
-                    lv = hvs[r]
-                    if inject:
-                        dg = jnp.where(first, lcd[r], dg)
-                        lv = jnp.where(first, lcl[r], lv)
-                    sub = jnp.where(wv == btiles[r], match, mismatch)
-                    diag = dg + sub
+                            ft = jnp.where(gmasks[0], neg, ft)
+                        f_tops.append(ft)
+
+                if inject:
+                    # each lane's first step computes column j=1 in slot 0:
+                    # swap in the caller's left boundary for LEFT and DIAG
+                    first = lin == t
+
+                new_h = [[None] * R for _ in range(CB)]
+                new_e = [None] * R
+                f_bots = [None] * CB
+                packed = None
+                for c in range(CB):
+                    up = h_tops[c]
+                    dg = hsv if c == 0 else h_tops[c - 1]
                     if affine:
-                        e_new = jnp.maximum(lv + g_open, evs[r] + g_ext)
-                        f_new = jnp.maximum(up + g_open, fprev + g_ext)
-                        u_val, l_val = f_new, e_new
-                        new_e.append(e_new)
-                        fprev = f_new
-                    else:
-                        if return_p:
-                            # predecessor capture needs UP and LEFT apart
-                            u_val = up + gap
-                            l_val = lv + gap
+                        fprev = f_tops[c]
+                    for r in range(R):
+                        if r > 0:
+                            up = new_h[c][r - 1]
+                            dg = hvs[r - 1] if c == 0 else new_h[c - 1][r - 1]
+                            if batch:
+                                up = jnp.where(gmasks[r], 0, up)
+                                dg = jnp.where(gmasks[r], 0, dg)
+                                if affine:
+                                    fprev = jnp.where(gmasks[r], neg, fprev)
+                        lv = hvs[r] if c == 0 else new_h[c - 1][r]
+                        if inject and c == 0:
+                            dg = jnp.where(first, lcd[r], dg)
+                            lv = jnp.where(first, lcl[r], lv)
+                        sub = jnp.where(wvs[c] == btiles[r], match, mismatch)
+                        diag = dg + sub
+                        if affine:
+                            e_new = jnp.maximum(
+                                lv + g_open,
+                                (evs[r] if c == 0 else new_e[r]) + g_ext)
+                            f_new = jnp.maximum(up + g_open, fprev + g_ext)
+                            u_val, l_val = f_new, e_new
+                            new_e[r] = e_new
+                            fprev = f_new
                         else:
-                            # fold the shared gap add: max(up,left)+gap
-                            ul = jnp.maximum(up, lv) + gap
+                            if return_p:
+                                # pred capture needs UP and LEFT apart
+                                u_val = up + gap
+                                l_val = lv + gap
+                            else:
+                                # fold the shared gap add: max(up,left)+gap
+                                ul = jnp.maximum(up, lv) + gap
 
-                    if return_p:
-                        zero = jnp.zeros_like(diag)
-                        hn = zero
-                        pn = zero
-                        take = diag > hn
-                        hn = jnp.where(take, diag, hn)
-                        pn = jnp.where(take, jnp.int32(DIAGONAL), pn)
-                        take = u_val > hn
-                        hn = jnp.where(take, u_val, hn)
-                        pn = jnp.where(take, jnp.int32(UP), pn)
-                        take = l_val > hn
-                        hn = jnp.where(take, l_val, hn)
-                        pn = jnp.where(take, jnp.int32(LEFT), pn)
-                        p_ref[0, tl, r] = pn
-                    elif affine:
-                        hn = jnp.maximum(jnp.maximum(diag, u_val),
-                                         jnp.maximum(l_val, 0))
-                    elif local:
-                        hn = jnp.maximum(jnp.maximum(diag, ul), 0)
-                    else:
-                        # global (NW) mode: no zero floor. Deep negatives
-                        # are clamped for the packed argmax only (callers
-                        # use the max solely when it is positive).
-                        hn = jnp.maximum(diag, ul)
-                    new_h.append(hn)
-                    up = hn
-                    hpk = hn if local else jnp.maximum(hn, -8)
-                    pk = hpk if R == 1 else (hpk << logR) + (R - 1 - r)
-                    packed = pk if r == 0 else jnp.maximum(packed, pk)
+                        if return_p:
+                            zero = jnp.zeros_like(diag)
+                            hn = zero
+                            pn = zero
+                            take = diag > hn
+                            hn = jnp.where(take, diag, hn)
+                            pn = jnp.where(take, jnp.int32(DIAGONAL), pn)
+                            take = u_val > hn
+                            hn = jnp.where(take, u_val, hn)
+                            pn = jnp.where(take, jnp.int32(UP), pn)
+                            take = l_val > hn
+                            hn = jnp.where(take, l_val, hn)
+                            pn = jnp.where(take, jnp.int32(LEFT), pn)
+                            p_ref[0, tl, c, r] = pn
+                        elif affine:
+                            hn = jnp.maximum(jnp.maximum(diag, u_val),
+                                             jnp.maximum(l_val, 0))
+                        elif local:
+                            hn = jnp.maximum(jnp.maximum(diag, ul), 0)
+                        else:
+                            # global (NW) mode: no zero floor. Deep
+                            # negatives are clamped for the packed argmax
+                            # only (callers use the max solely when it is
+                            # positive).
+                            hn = jnp.maximum(diag, ul)
+                        new_h[c][r] = hn
+                        up = hn
+                        hpk = hn if local else jnp.maximum(hn, -8)
+                        # pack [score | R-1-r | CB-1-c]: tree max picks the
+                        # row-major-first cell within this step
+                        pk = hpk
+                        if R > 1 or CB > 1:
+                            pk = (hpk << (logR + logCB)) + \
+                                ((R - 1 - r) << logCB) + (CB - 1 - c)
+                        packed = pk if packed is None else \
+                            jnp.maximum(packed, pk)
+                    if affine:
+                        f_bots[c] = fprev        # F of row R-1, slot c
 
-                # row-major first occurrence per lane: strict > on the
-                # packed (score, R-1-r) value keeps the smallest row among
-                # equal scores and, within a row, the earliest step
-                # (= smallest j; serial_smithW.c:240)
-                better = packed > best[...]
-                best[...] = jnp.where(better, packed, best[...])
+                # row-major first occurrence per lane: the within-step
+                # winner carries its column in the low bits (compared only
+                # within the step); across steps the strict > runs on the
+                # column-stripped value so a later occurrence of the same
+                # (score, row) never displaces the earlier (smaller-j) one
+                # (serial_smithW.c:240)
+                pk_nc = packed >> logCB if CB > 1 else packed
+                better = pk_nc > best[...]
+                best[...] = jnp.where(better, pk_nc, best[...])
                 best_t[...] = jnp.where(better, t, best_t[...])
+                if CB > 1:
+                    bcb[...] = jnp.where(better, packed & (CB - 1), bcb[...])
 
                 if track_rc:
                     # right-edge capture for pipeline halos / last_cell
-                    edge = lin == t - m + 1
+                    edge = lin == t - rc_t0
                     for r in range(R):
-                        rc[r] = jnp.where(edge, new_h[r], rc[r])
+                        rc[r] = jnp.where(edge, new_h[rc_slot][r], rc[r])
 
-                nr1, nr2 = lane_rolls(new_h[R - 1])
-                nw1, nw2 = lane_rolls(wv)
+                nr = [lane_rolls(new_h[c][R - 1]) for c in range(CB)]
+                nw = [lane_rolls(wvs[c]) for c in range(CB)]
                 # the roll wraparound parks the bottom row's last-lane value
-                # at nr2[0, 0]: exactly what this stripe exports to the next
-                botbuf = jnp.where(ciota == tl, nr2[0, 0], botbuf)
+                # at nr[c][1][0, 0]: exactly what this stripe exports
+                botbuf = tuple(
+                    jnp.where(ciota == tl, nr[c][1][0, 0], botbuf[c])
+                    for c in range(CB))
 
-                out = (tuple(new_h), nr1, nr2, h_top, nw1, nw2, botbuf,
-                       pltpu.roll(bw, C + 127, axis=1),
-                       pltpu.roll(av, C - 1, axis=1))
+                out = (tuple(new_h[CB - 1]),
+                       tuple(x[0] for x in nr), tuple(x[1] for x in nr),
+                       h_tops[CB - 1],
+                       tuple(x[0] for x in nw), tuple(x[1] for x in nw),
+                       botbuf,
+                       tuple(pltpu.roll(bw[c], C + 127, axis=1)
+                             for c in range(CB)),
+                       tuple(pltpu.roll(av[c], C - 1, axis=1)
+                             for c in range(CB)))
                 if affine:
-                    nf1, nf2 = lane_rolls(fprev)          # fprev == f[R-1]
-                    fbuf = jnp.where(ciota == tl, nf2[0, 0], fbuf)
-                    out = out + (tuple(new_e), nf1, nf2,
-                                 pltpu.roll(fw, C + 127, axis=1), fbuf)
+                    nf = [lane_rolls(f_bots[c]) for c in range(CB)]
+                    fbuf = tuple(
+                        jnp.where(ciota == tl, nf[c][1][0, 0], fbuf[c])
+                        for c in range(CB))
+                    out = out + (tuple(new_e),
+                                 tuple(x[0] for x in nf),
+                                 tuple(x[1] for x in nf),
+                                 tuple(pltpu.roll(fw[c], C + 127, axis=1)
+                                       for c in range(CB)),
+                                 fbuf)
                 return out
             return step
 
         def run_chunk(track_rc, inject=False):
-            carry0 = (tuple(hp[r] for r in range(R)), c1[...], c2[...],
-                      hs[...], w1[...], w2[...],
-                      jnp.zeros((1, C), jnp.int32), bw0, av0)
+            carry0 = (tuple(hp[r] for r in range(R)),
+                      tuple(c1[c] for c in range(CB)),
+                      tuple(c2[c] for c in range(CB)),
+                      hs[...],
+                      tuple(w1[c] for c in range(CB)),
+                      tuple(w2[c] for c in range(CB)),
+                      tuple(jnp.zeros((1, C), jnp.int32)
+                            for _ in range(CB)),
+                      tuple(bw0), tuple(av0))
             if affine:
                 carry0 = carry0 + (tuple(ep[r] for r in range(R)),
-                                   f1[...], f2[...], fw0,
-                                   jnp.full((1, C), neg, jnp.int32))
+                                   tuple(f1[c] for c in range(CB)),
+                                   tuple(f2[c] for c in range(CB)),
+                                   tuple(fw0),
+                                   tuple(jnp.full((1, C), neg, jnp.int32)
+                                         for _ in range(CB)))
             step = make_step(track_rc, inject)
             if unroll == 1:
                 carry = jax.lax.fori_loop(0, C, step, carry0)
@@ -424,24 +489,31 @@ def _kernel(scoring: Scoring, T: int, R: int, C: int, m: int, n: int,
             # persist wavefront state for the next chunk; flush boundaries
             for r in range(R):
                 hp[r] = carry[0][r]
-            c1[...], c2[...], hs[...], w1[...], w2[...] = carry[1:6]
-            bot[0:1, pl.ds(c_idx * C, C)] = carry[6]
+            for c in range(CB):
+                c1[c] = carry[1][c]
+                c2[c] = carry[2][c]
+                w1[c] = carry[4][c]
+                w2[c] = carry[5][c]
+                bot[c:c + 1, pl.ds(c_idx * C, C)] = carry[6][c]
+            hs[...] = carry[3]
             if affine:
                 for r in range(R):
                     ep[r] = carry[9][r]
-                f1[...], f2[...] = carry[10], carry[11]
-                fbot[0:1, pl.ds(c_idx * C, C)] = carry[13]
+                for c in range(CB):
+                    f1[c] = carry[10][c]
+                    f2[c] = carry[11][c]
+                    fbot[c:c + 1, pl.ds(c_idx * C, C)] = carry[13][c]
 
         # Specialize the step body per chunk: the right-column capture only
-        # fires for steps t in [m-1, m-1+L), the left-boundary inject only
-        # for t in [0, L). Trace only the (rc, inject) combos that actually
-        # occur over the chunk grid; the common steady phase pays neither.
+        # fires for steps t in [rc_t0, rc_t0+L), the left-boundary inject
+        # only for t in [0, L). Trace only the (rc, inject) combos that
+        # actually occur; the common steady phase pays neither.
         base = c_idx * C
-        touches_edge = jnp.logical_and(base + C > m - 1, base < m - 1 + L)
+        touches_edge = jnp.logical_and(base + C > rc_t0, base < rc_t0 + L)
         combos = set()
-        for cb in range(0, num_chunks * C, C):
-            rc_on = cb + C > m - 1 and cb < m - 1 + L
-            inj_on = boundary and cb < L
+        for cb_ in range(0, num_chunks * C, C):
+            rc_on = cb_ + C > rc_t0 and cb_ < rc_t0 + L
+            inj_on = boundary and cb_ < L
             combos.add((rc_on, inj_on))
         if boundary:
             injecting = base < L
@@ -461,15 +533,22 @@ def _kernel(scoring: Scoring, T: int, R: int, C: int, m: int, n: int,
             li = jnp.where(sc == s_star, rowv, BIG)
             row_star = jnp.min(li)
             t_star = jnp.max(jnp.where(li == row_star, best_t[...], -1))
+            if CB > 1:
+                cb_star = jnp.max(jnp.where(li == row_star, bcb[...], -1))
+                col_star = CB - 1 - cb_star
+            else:
+                col_star = jnp.int32(0)
             if pairs:
                 best_ref[p_idx, s_idx, 0] = s_star
                 best_ref[p_idx, s_idx, 1] = row_star
                 best_ref[p_idx, s_idx, 2] = t_star
+                best_ref[p_idx, s_idx, 3] = col_star
                 rc_ref[0, 0] = rc[...]
             else:
                 best_ref[s_idx, 0] = s_star
                 best_ref[s_idx, 1] = row_star
                 best_ref[s_idx, 2] = t_star
+                best_ref[s_idx, 3] = col_star
                 rc_ref[0] = rc[...]
             if batch:
                 lbest_ref[0] = bv
@@ -482,19 +561,20 @@ def _kernel(scoring: Scoring, T: int, R: int, C: int, m: int, n: int,
 def _pack_p(p):
     """Pack predecessor codes (0..3) 16-per-int32 along the steps axis
     for cheap device->host transfer; `_unpack_p` reverses on the host."""
-    S, steps, R, sub, lanes = p.shape
-    pr = p.reshape(S, steps // 16, 16, R, sub, lanes)
+    S, steps, CB, R, sub, lanes = p.shape
+    pr = p.reshape(S, steps // 16, 16, CB, R, sub, lanes)
     shifts = (2 * jnp.arange(16, dtype=jnp.int32))[None, None, :, None,
-                                                   None, None]
+                                                   None, None, None]
     return jnp.sum(pr << shifts, axis=2)
 
 
 def _unpack_p(packed: np.ndarray) -> np.ndarray:
-    S, sp16, R, sub, lanes = packed.shape
-    out = np.empty((S, sp16, 16, R, sub, lanes), np.int8)
+    S, sp16, CB, R, sub, lanes = packed.shape
+    out = np.empty((16, S, sp16, CB, R, sub, lanes), np.int8)
     for k in range(16):
-        out[:, :, k] = ((packed >> (2 * k)) & 3).astype(np.int8)
-    return out.reshape(S, sp16 * 16, R, sub, lanes)
+        out[k] = ((packed >> (2 * k)) & 3).astype(np.int8)
+    return np.ascontiguousarray(out.transpose(1, 2, 0, 3, 4, 5, 6)) \
+        .reshape(S, sp16 * 16, CB, R, sub, lanes)
 
 
 class StripeOut(NamedTuple):
@@ -506,7 +586,7 @@ class StripeOut(NamedTuple):
     p_stripes: Optional[jax.Array]  # (S, steps_pad, R, L) diag-major or None
 
 
-def _check_packing(m: int, n: int, R: int, scoring: Scoring):
+def _check_packing(m: int, n: int, R: int, scoring: Scoring, CB: int = 1):
     if R & (R - 1):
         raise ValueError(f"R must be a power of two, got {R}")
     if not _penalties_negative(scoring):
@@ -514,46 +594,52 @@ def _check_packing(m: int, n: int, R: int, scoring: Scoring):
             "stripe kernel requires negative mismatch/gap penalties "
             "(use plan='scan' for degenerate scorings)")
     hi = max(abs(int(scoring.match)), 1) * min(m, n)
-    if hi * R >= (1 << 30):
+    if hi * R * CB >= (1 << 30):
         raise ValueError("score range too large for packed argmax; lower R")
 
 
+def _steps(m: int, L: int, CB: int) -> int:
+    return -(-m // CB) + L - 1
+
+
 def _build_inputs(a_codes: np.ndarray, b_codes: np.ndarray, T: int, C: int,
-                  R: int = 1):
+                  R: int = 1, CB: int = 1):
     m, n = len(a_codes), len(b_codes)
     L = T // R
     num_stripes = -(-n // T)
-    steps = m + L - 1
-    num_chunks = -(-steps // C)
-    # a, sentinel-padded (-1) to the chunked step count: ap[0, t] = a[t]
-    ap = np.full((1, num_chunks * C), -1, dtype=np.int32)
-    ap[0, :m] = a_codes.astype(np.int32)
+    num_chunks = -(-_steps(m, L, CB) // C)
+    # a split into CB column-slot streams, sentinel-padded (-1) to the
+    # chunked step count: ap[0, c, t] = a[CB*t + c]
+    ap = np.full((1, CB, num_chunks * C), -1, dtype=np.int32)
+    aa = np.full((CB * num_chunks * C,), -1, np.int32)
+    aa[:m] = a_codes.astype(np.int32)
+    ap[0] = aa.reshape(num_chunks * C, CB).T
     # b padded with sentinel -2 (never matches codes or the a sentinel);
     # lane lin's row r is global stripe row lin*R + r -> b[..., r, lin]
     bp = np.full((num_stripes * T,), -2, dtype=np.int32)
     bp[:n] = b_codes.astype(np.int32)
     bt = (bp.reshape(num_stripes, L, R).transpose(0, 2, 1)
           .reshape(num_stripes, R, L // LANES, LANES))
-    return ap, np.ascontiguousarray(bt), num_stripes
+    return np.ascontiguousarray(ap), np.ascontiguousarray(bt), num_stripes
 
 
-def _ring_len(m: int, T: int, R: int, C: int) -> int:
+def _ring_len(m: int, T: int, R: int, C: int, CB: int = 1) -> int:
     L = T // R
-    num_chunks = -(-(m + L - 1) // C)
+    num_chunks = -(-_steps(m, L, CB) // C)
     return num_chunks * C + L + C + 256
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("scoring", "T", "R", "C", "m", "n", "return_p",
-                     "interpret", "unroll", "want_bottom", "local"),
+                     "interpret", "unroll", "want_bottom", "local", "CB"),
 )
 def _stripe_call(q, bt, greset=None, top=None, lc=None, *, scoring, T, R=1,
                  C=256, m, n, return_p, interpret, unroll=1,
-                 want_bottom=False, local=True):
+                 want_bottom=False, local=True, CB=1):
     num_stripes = bt.shape[0]
     L = T // R
-    steps = m + L - 1
+    steps = _steps(m, L, CB)
     num_chunks = -(-steps // C)
     sub_rows = L // LANES
     boundary = top is not None
@@ -561,6 +647,10 @@ def _stripe_call(q, bt, greset=None, top=None, lc=None, *, scoring, T, R=1,
 
     if C % unroll:
         raise ValueError(f"C={C} must be a multiple of unroll={unroll}")
+    if CB & (CB - 1):
+        raise ValueError(f"CB={CB} must be a power of two")
+    if CB > 1 and batch:
+        raise NotImplementedError("batch mode runs with CB=1")
     if (boundary or want_bottom) and scoring.is_affine:
         raise NotImplementedError("boundary injection is linear-gap only")
     if boundary and batch:
@@ -571,7 +661,7 @@ def _stripe_call(q, bt, greset=None, top=None, lc=None, *, scoring, T, R=1,
             "batch mode are not supported there")
     kernel = _kernel(scoring, T, R, C, m, n, steps, num_chunks, return_p,
                      batch=batch, unroll=unroll, boundary=boundary,
-                     want_bottom=want_bottom, local=local)
+                     want_bottom=want_bottom, local=local, CB=CB)
 
     out_shape = [
         jax.ShapeDtypeStruct((num_stripes, 8), jnp.int32),                 # best
@@ -591,41 +681,44 @@ def _stripe_call(q, bt, greset=None, top=None, lc=None, *, scoring, T, R=1,
                 memory_space=pltpu.VMEM))
     if return_p:
         out_shape.append(jax.ShapeDtypeStruct(
-            (num_stripes, num_chunks * C, R, sub_rows, LANES), jnp.int32))
+            (num_stripes, num_chunks * C, CB, R, sub_rows, LANES),
+            jnp.int32))
         out_specs.append(pl.BlockSpec(
-            (1, C, R, sub_rows, LANES), lambda s, c: (s, c, 0, 0, 0),
+            (1, C, CB, R, sub_rows, LANES), lambda s, c: (s, c, 0, 0, 0, 0),
             memory_space=pltpu.VMEM))
-    rlen = _ring_len(m, T, R, C)
+    rlen = _ring_len(m, T, R, C, CB)
     if want_bottom:
-        # expose the boundary ring as an output: after the last stripe it
-        # holds the whole fill's bottom row (H[n, j] at ring[j + L - 2])
-        out_shape.append(jax.ShapeDtypeStruct((1, rlen), jnp.int32))
-        out_specs.append(pl.BlockSpec((1, rlen), lambda s, c: (0, 0),
+        # expose the boundary rings as an output: after the last stripe
+        # they hold the whole fill's bottom row
+        out_shape.append(jax.ShapeDtypeStruct((CB, rlen), jnp.int32))
+        out_specs.append(pl.BlockSpec((CB, rlen), lambda s, c: (0, 0),
                                       memory_space=pltpu.VMEM))
 
     tile = pltpu.VMEM((sub_rows, LANES), jnp.int32)
     rtile = pltpu.VMEM((R, sub_rows, LANES), jnp.int32)
-    ring = pltpu.VMEM((1, rlen), jnp.int32)
+    ctile = pltpu.VMEM((CB, sub_rows, LANES), jnp.int32)
+    ring = pltpu.VMEM((CB, rlen), jnp.int32)
     scratch = [
         rtile,                                  # hp (R per-row wavefronts)
-        tile, tile,                             # c1, c2
+        ctile, ctile,                           # c1, c2 (per column slot)
         tile,                                   # hs
-        tile, tile,                             # w1, w2
-        tile,                                   # best (packed)
+        ctile, ctile,                           # w1, w2
+        tile,                                   # best (packed, col-less)
         tile,                                   # best_t
+        tile,                                   # bcb (winning column slot)
         rtile,                                  # rc
     ]
     if not want_bottom:
-        scratch.append(ring)                    # bottom-row boundary ring
+        scratch.append(ring)                    # bottom-row boundary rings
     if scoring.is_affine:
         scratch += [
             rtile,                              # ep
-            tile, tile,                         # f1, f2
-            ring,                               # F boundary ring
+            ctile, ctile,                       # f1, f2
+            ring,                               # F boundary rings
         ]
 
     in_specs = [
-        pl.BlockSpec(memory_space=pltpu.VMEM),      # a_pad (full)
+        pl.BlockSpec(memory_space=pltpu.VMEM),      # a streams (1, CB, *)
         pl.BlockSpec((1, R, sub_rows, LANES), lambda s, c: (s, 0, 0, 0),
                      memory_space=pltpu.VMEM),      # b stripe
     ]
@@ -671,6 +764,7 @@ def stripe_fill_raw(
     T: Optional[int] = None,
     R: Optional[int] = None,
     C: int = DEFAULT_CHUNK,
+    CB: int = 1,
     return_p: bool = False,
     unroll: Optional[int] = None,
     interpret: Optional[bool] = None,
@@ -679,15 +773,17 @@ def stripe_fill_raw(
     m, n = len(a_codes), len(b_codes)
     if interpret is None:
         interpret = _interpret_default()
-    T, R = _resolve_params(m, n, T, R, scoring, return_p=return_p)
-    _check_packing(m, n, R, scoring)
-    ap, bt, num_stripes = _build_inputs(a_codes, b_codes, T, C, R)
+    T, R, CB = _resolve_params(m, n, T, R, scoring, return_p=return_p,
+                               CB=CB)
+    _check_packing(m, n, R, scoring, CB)
+    ap, bt, num_stripes = _build_inputs(a_codes, b_codes, T, C, R, CB)
 
     if unroll is None:
         unroll = _auto_unroll(C, interpret)
     outs = _stripe_call(
         jnp.asarray(ap), jnp.asarray(bt), scoring=scoring, T=T, R=R, C=C,
-        m=m, n=n, return_p=return_p, interpret=interpret, unroll=unroll)
+        m=m, n=n, return_p=return_p, interpret=interpret, unroll=unroll,
+        CB=CB)
     best = np.asarray(outs[0])
     rc = _lane_major_to_rowmajor(np.asarray(outs[1]), T, R)[:n]
     p_stripes = None
@@ -709,8 +805,9 @@ def stripe_fill_raw(
     else:
         sidx = int(np.argmax(scores == s_star))
         rowv, t = int(best[sidx, 1]), int(best[sidx, 2])
+        colw = int(best[sidx, 3])
         bi = sidx * T + rowv + 1
-        bj = t - (rowv // R) + 1
+        bj = CB * (t - rowv // R) + colw + 1
     right_col = np.concatenate([[0], rc]).astype(np.int32)
     last_cell = int(right_col[n])
     return StripeOut(
@@ -725,20 +822,25 @@ def stripe_fill_raw(
 P_T_CAP = 4096
 
 
-def _resolve_params(m, n, T, R, scoring, return_p=False) -> tuple:
+def _resolve_params(m, n, T, R, scoring, return_p=False,
+                    CB=None) -> tuple:
     cap = P_T_CAP if return_p else None
     if T is None and R is None:
-        T, R = choose_params(m, n, affine=scoring.is_affine, t_cap=cap)
+        T, R, cb = choose_params(m, n, affine=scoring.is_affine, t_cap=cap)
+        if CB is None:
+            CB = cb
     elif R is None:
         R = 1
     elif T is None:
-        T, _ = choose_params(m, n, affine=scoring.is_affine, r_max=R,
-                             t_cap=cap)
+        T, _, _ = choose_params(m, n, affine=scoring.is_affine, r_max=R,
+                                t_cap=cap, cb_max=1)
+    if CB is None:
+        CB = 1
     if T % (LANES * R):
         raise ValueError(f"T={T} must be a multiple of 128*R (R={R})")
     # never use more stripes than needed to cover n
     T = min(T, -(-n // (LANES * R)) * LANES * R)
-    return T, R
+    return T, R, CB
 
 
 def stripe_fill(a_codes, b_codes, scoring: Scoring = Scoring(),
@@ -760,7 +862,7 @@ def stripe_fill(a_codes, b_codes, scoring: Scoring = Scoring(),
 
 
 def p_stripes_to_rowmajor(p: np.ndarray, n: int, m: int) -> np.ndarray:
-    """(S, steps_pad, R, sub, 128) diag-major P -> padded (n+1, m+1) int8.
+    """(S, steps_pad, CB, R, sub, 128) diag-major P -> (n+1, m+1) int8.
 
     Stripe-local cell (i_l = lin*R + r + 1, j = t - lin + 1) lives at
     [s, t, r, lin // 128, lin % 128]. The map is constant-stride in every
@@ -768,22 +870,23 @@ def p_stripes_to_rowmajor(p: np.ndarray, n: int, m: int) -> np.ndarray:
     contiguous transpose-copy per stripe (a fancy-index gather here costs
     minutes at 10^9 cells).
     """
-    S, steps_pad, R, sub, lanes = p.shape
+    S, steps_pad, CB, R, sub, lanes = p.shape
     L = sub * lanes
     T = L * R
     out = np.zeros((n + 1, m + 1), dtype=np.int8)
-    pf = np.ascontiguousarray(p.reshape(S, steps_pad, R, L)).astype(
+    # fold (t, c) into one axis q = t*CB + c; j - 1 = q - CB*lane
+    pf = np.ascontiguousarray(p.reshape(S, steps_pad * CB, R, L)).astype(
         np.int8, copy=False)
     es = pf.itemsize
     for s in range(S):
         rows = min(T, n - s * T)
         if rows <= 0:
             break
-        # V[lane, j-1, r] = pf[s, lane + j - 1, r, lane]
+        # V[lane, j-1, r] = pf[s, CB*lane + j - 1, r, lane]
         V = np.lib.stride_tricks.as_strided(
             pf[s],
             shape=(L, m, R),
-            strides=((R * L + 1) * es, R * L * es, L * es),
+            strides=((CB * R * L + 1) * es, R * L * es, L * es),
         )
         blk = np.ascontiguousarray(V.transpose(0, 2, 1)).reshape(T, m)
         out[s * T + 1: s * T + rows + 1, 1:] = blk[:rows]
@@ -792,41 +895,43 @@ def p_stripes_to_rowmajor(p: np.ndarray, n: int, m: int) -> np.ndarray:
 
 def stripe_score_fn(m: int, n: int, scoring: Scoring = Scoring(),
                     T: Optional[int] = None, R: Optional[int] = None,
-                    C: int = DEFAULT_CHUNK, unroll: Optional[int] = None):
+                    C: int = DEFAULT_CHUNK, CB: int = 1,
+                    unroll: Optional[int] = None):
     """Jittable (a, b) -> (max_score, max_i, max_j) using the stripe kernel
     with the cross-stripe reduction done on device (for benching)."""
     interpret = _interpret_default()
-    T, R = _resolve_params(m, n, T, R, scoring)
-    _check_packing(m, n, R, scoring)
+    T, R, CB = _resolve_params(m, n, T, R, scoring, CB=CB)
+    _check_packing(m, n, R, scoring, CB)
     u = _auto_unroll(C, interpret) if unroll is None else unroll
 
     def fn(a, b):
         # inputs as device arrays of codes; build q/bt on device
-        ap, bt = _device_inputs(a, b, m, n, T, C, R)
+        ap, bt = _device_inputs(a, b, m, n, T, C, R, CB)
         outs = _stripe_call(ap, bt, scoring=scoring, T=T, R=R, C=C, m=m,
                             n=n, return_p=False, interpret=interpret,
-                            unroll=u)
+                            unroll=u, CB=CB)
         best = outs[0]
         scores = best[:, 0]
         s_star = jnp.max(scores)
         sidx = jnp.argmax(scores == s_star).astype(jnp.int32)
         rowv = best[sidx, 1]
         t = best[sidx, 2]
+        colw = best[sidx, 3]
         has = s_star > 0
         bi = jnp.where(has, sidx * T + rowv + 1, 0)
-        bj = jnp.where(has, t - rowv // R + 1, 0)
+        bj = jnp.where(has, CB * (t - rowv // R) + colw + 1, 0)
         return jnp.maximum(s_star, 0), bi, bj
 
     return jax.jit(fn)
 
 
-def _device_inputs(a, b, m, n, T, C, R=1):
+def _device_inputs(a, b, m, n, T, C, R=1, CB=1):
     L = T // R
     num_stripes = -(-n // T)
-    steps = m + L - 1
-    num_chunks = -(-steps // C)
-    ap = jnp.full((1, num_chunks * C), -1, jnp.int32)
-    ap = ap.at[0, :m].set(a.astype(jnp.int32))
+    num_chunks = -(-_steps(m, L, CB) // C)
+    aa = jnp.full((CB * num_chunks * C,), -1, jnp.int32)
+    aa = aa.at[:m].set(a.astype(jnp.int32))
+    ap = aa.reshape(num_chunks * C, CB).T[None]
     bp = jnp.full((num_stripes * T,), -2, jnp.int32)
     bp = bp.at[:n].set(b.astype(jnp.int32))
     bt = (bp.reshape(num_stripes, L, R).transpose(0, 2, 1)
@@ -877,9 +982,10 @@ def batch_fill_raw(
         raise ValueError(f"R={R} must divide the read length {rlen}")
     n = B * rlen
     if T is None:
-        T, _ = choose_params(W, n, affine=scoring.is_affine, r_max=R)
+        T, _, _ = choose_params(W, n, affine=scoring.is_affine, r_max=R,
+                                cb_max=1)
         T = -(-T // (LANES * R)) * LANES * R
-    T, R = _resolve_params(W, n, T, R, scoring)
+    T, R, _ = _resolve_params(W, n, T, R, scoring, CB=1)
     _check_packing(W, n, R, scoring)
 
     ap, bt, num_stripes = _build_inputs(
@@ -949,7 +1055,7 @@ def stripe_block_fn(m: int, n: int, scoring: Scoring = Scoring(),
         raise NotImplementedError("stripe block fill is linear-gap only")
     if interpret is None:
         interpret = _interpret_default()
-    T, R = _resolve_params(m, n, T, R, scoring)
+    T, R, _ = _resolve_params(m, n, T, R, scoring, CB=1)
     _check_packing(m, n, R, scoring)
     L = T // R
     num_stripes = -(-n // T)
@@ -1031,9 +1137,10 @@ def batch_score_fn(B: int, rlen: int, W: int,
         raise ValueError(f"R={R} must divide the padded read length {rlen}")
     n = B * rlen
     if T is None:
-        T, _ = choose_params(W, n, affine=scoring.is_affine, r_max=R)
+        T, _, _ = choose_params(W, n, affine=scoring.is_affine, r_max=R,
+                                cb_max=1)
         T = -(-T // (LANES * R)) * LANES * R
-    T, R = _resolve_params(W, n, T, R, scoring)
+    T, R, _ = _resolve_params(W, n, T, R, scoring, CB=1)
     _check_packing(W, n, R, scoring)
     u = _auto_unroll(C, interpret) if unroll is None else unroll
     L = T // R
@@ -1058,8 +1165,8 @@ def batch_score_fn(B: int, rlen: int, W: int,
 
     def score_prepared(prepared, window):
         bt, grt = prepared
-        ap = jnp.full((1, num_chunks * C), -1, jnp.int32)
-        ap = ap.at[0, :W].set(window.astype(jnp.int32))
+        ap = jnp.full((1, 1, num_chunks * C), -1, jnp.int32)
+        ap = ap.at[0, 0, :W].set(window.astype(jnp.int32))
         outs = _stripe_call(ap, bt, grt, scoring=scoring, T=T, R=R, C=C,
                             m=W, n=n, return_p=False, interpret=interpret,
                             unroll=u)
@@ -1110,7 +1217,7 @@ def pairs_score_fn(B: int, m: int, n: int,
     vmapped XLA scan."""
     if interpret is None:
         interpret = _interpret_default()
-    T, R = _resolve_params(m, n, T, R, scoring)
+    T, R, _ = _resolve_params(m, n, T, R, scoring, CB=1)
     _check_packing(m, n, R, scoring)
     L = T // R
     sub_rows = L // LANES
@@ -1137,12 +1244,15 @@ def pairs_score_fn(B: int, m: int, n: int,
     )
     tile = pltpu.VMEM((sub_rows, LANES), jnp.int32)
     rtile = pltpu.VMEM((R, sub_rows, LANES), jnp.int32)
+    ctile = pltpu.VMEM((1, sub_rows, LANES), jnp.int32)        # CB == 1
     ring = pltpu.VMEM((1, _ring_len(m, T, R, C)), jnp.int32)
-    scratch = [rtile, tile, tile, tile, tile, tile, tile, tile, rtile, ring]
+    scratch = [rtile, ctile, ctile, tile, ctile, ctile,
+               tile, tile, tile, rtile, ring]
     if scoring.is_affine:
-        scratch += [rtile, tile, tile, ring]
+        scratch += [rtile, ctile, ctile, ring]
     in_specs = (
-        pl.BlockSpec((1, 1, num_chunks * C), lambda p, s, c: (p, 0, 0),
+        pl.BlockSpec((1, 1, 1, num_chunks * C),
+                     lambda p, s, c: (p, 0, 0, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((1, 1, R, sub_rows, LANES),
                      lambda p, s, c: (p, s, 0, 0, 0),
@@ -1168,8 +1278,8 @@ def pairs_score_fn(B: int, m: int, n: int,
     )
 
     def fn(a_batch, b_batch):
-        ap = jnp.full((B, 1, num_chunks * C), -1, jnp.int32)
-        ap = ap.at[:, 0, :m].set(a_batch.astype(jnp.int32))
+        ap = jnp.full((B, 1, 1, num_chunks * C), -1, jnp.int32)
+        ap = ap.at[:, 0, 0, :m].set(a_batch.astype(jnp.int32))
         bp = jnp.full((B, num_stripes * T), -2, jnp.int32)
         bp = bp.at[:, :n].set(b_batch.astype(jnp.int32))
         bt = (bp.reshape(B, num_stripes, L, R).transpose(0, 1, 3, 2)

@@ -89,9 +89,10 @@ def test_register_blocked_tie_positions():
 def test_choose_params_covers_shapes():
     from swtpu.kernels.pallas_fill import choose_params
     for m, n in ((100, 100), (25632, 25632), (2000, 145002), (64, 70000)):
-        T, R = choose_params(m, n)
+        T, R, CB = choose_params(m, n)
         assert T % (128 * R) == 0
         assert R in (1, 2, 4, 8)
+        assert CB in (1, 2, 4)
 
 
 def test_batch_register_blocked():
@@ -254,3 +255,60 @@ def test_nw_anchored_reverse_boundaries():
     if int(ref.max_score) > 0:
         assert int(s) == int(ref.max_score)
         assert (int(i), int(j)) == (int(ref.max_i), int(ref.max_j))
+
+
+def test_column_blocked_cb2():
+    a, b = random_pair(77, 300, seed=51)
+    ref = oracle.fill(a, b)
+    out = stripe_fill_raw(a, b, T=256, C=128, R=2, CB=2, return_p=True)
+    assert int(out.max_score) == ref.max_score
+    assert (int(out.max_i), int(out.max_j)) == ref.max_ij
+    assert int(out.last_cell) == int(ref.H[-1, -1])
+    np.testing.assert_array_equal(out.right_col, ref.H[:, -1])
+    P = p_stripes_to_rowmajor(np.asarray(out.p_stripes), 300, 77)
+    np.testing.assert_array_equal(P, ref.P)
+
+
+def test_column_blocked_cb4_r4():
+    a, b = random_pair(130, 600, seed=52)
+    ref = oracle.fill(a, b)
+    out = stripe_fill_raw(a, b, T=512, C=128, R=4, CB=4, return_p=True)
+    assert int(out.max_score) == ref.max_score
+    assert (int(out.max_i), int(out.max_j)) == ref.max_ij
+    np.testing.assert_array_equal(out.right_col, ref.H[:, -1])
+    P = p_stripes_to_rowmajor(np.asarray(out.p_stripes), 600, 130)
+    np.testing.assert_array_equal(P, ref.P)
+
+
+def test_column_blocked_ties_first_occurrence():
+    # heavy ties: first-occurrence must survive the within-step column
+    # packing and the cross-step column-stripped compare
+    a = np.tile(encode("ACGT"), 13)      # m=52: not a CB multiple
+    b = np.tile(encode("ACGT"), 70)
+    ref = oracle.fill(a, b)
+    for CB in (2, 4):
+        out = stripe_fill_raw(a, b, T=512, C=128, R=4, CB=CB)
+        assert int(out.max_score) == ref.max_score, CB
+        assert (int(out.max_i), int(out.max_j)) == ref.max_ij, CB
+
+
+def test_column_blocked_affine():
+    sc = swtpu.Scoring(mode="affine", gap_open=-5, gap_extend=-1)
+    a, b = random_pair(90, 500, seed=53)
+    ref = oracle.fill_loop(a, b, sc)
+    out = stripe_fill_raw(a, b, scoring=sc, T=256, C=128, R=2, CB=2)
+    assert int(out.max_score) == ref.max_score
+    assert (int(out.max_i), int(out.max_j)) == ref.max_ij
+    np.testing.assert_array_equal(out.right_col, ref.H[:, -1])
+
+
+def test_column_blocked_score_fn():
+    import jax.numpy as jnp
+    from swtpu.kernels.pallas_fill import stripe_score_fn
+    m, n = 95, 260
+    a, b = random_pair(m, n, seed=54)
+    ref = oracle.fill(a, b)
+    fn = stripe_score_fn(m, n, T=128, C=128, CB=2)
+    s, i, j = fn(jnp.asarray(a), jnp.asarray(b))
+    assert int(s) == ref.max_score
+    assert (int(i), int(j)) == ref.max_ij
