@@ -29,15 +29,17 @@ from ..instrument.metrics import gcups
 
 
 def _time_stripe(m: int, n: int, T: int, C: int, R: int = 1,
-                 unroll: int = 1, repeats: int = 2, k: int = 5) -> float:
+                 CB: int = 1, unroll: int = 1, repeats: int = 2,
+                 k: int = 5) -> float:
     from ..core.encode import random_pair
     from ..kernels import pallas_fill as pf
 
     a, b = random_pair(m, n, seed=0)
-    ap, bt, _ = pf._build_inputs(a, b, T, C, R)
+    ap, bt, _ = pf._build_inputs(a, b, T, C, R, CB)
     apj, btj = jnp.asarray(ap), jnp.asarray(bt)
-    kw = dict(scoring=Scoring(), T=T, R=R, C=C, m=m, n=n, unroll=unroll,
-              return_p=False, interpret=pf._interpret_default())
+    kw = dict(scoring=Scoring(), T=T, R=R, C=C, CB=CB, m=m, n=n,
+              unroll=unroll, return_p=False,
+              interpret=pf._interpret_default())
     np.asarray(pf._stripe_call(apj, btj, **kw)[0])    # compile
     best = float("inf")
     for _ in range(repeats):
@@ -68,7 +70,8 @@ def _time_scan(m: int, n: int, repeats: int = 2, k: int = 3) -> float:
 
 def sweep(sizes=(512, 2048, 8192, 25632),
           r_candidates=(1, 2, 4, 8),
-          c_candidates=(128, 256),
+          cb_candidates=(1, 2),
+          c_candidates=(128,),
           unrolls=(8, 32),
           verbose: bool = True) -> dict:
     """Measure all plans over the size grid; returns the tuned table."""
@@ -79,31 +82,34 @@ def sweep(sizes=(512, 2048, 8192, 25632),
         m = n = s
         rows = []
         dt = _time_scan(m, n)
-        rows.append({"plan": "scan", "T": None, "R": None, "C": None,
-                     "unroll": None, "s": dt, "gcups": gcups(m * n, dt)})
+        rows.append({"plan": "scan", "T": None, "R": None, "CB": None,
+                     "C": None, "unroll": None, "s": dt,
+                     "gcups": gcups(m * n, dt)})
         tried = set()
         for R in r_candidates:
             Tc, _, _ = choose_params(m, n, r_max=R, cb_max=1)
             Tc = -(-Tc // (LANES * R)) * LANES * R
             Tc = min(Tc, -(-n // (LANES * R)) * LANES * R)
-            for C in c_candidates:
-                for U in unrolls:
-                    if C % U or (Tc, R, C, U) in tried:
-                        continue
-                    tried.add((Tc, R, C, U))
-                    try:
-                        dt = _time_stripe(m, n, Tc, C, R=R, unroll=U)
-                    except Exception:
-                        continue
-                    rows.append({"plan": "stripe", "T": Tc, "R": R, "C": C,
-                                 "unroll": U, "s": dt,
-                                 "gcups": gcups(m * n, dt)})
+            for CB in cb_candidates:
+                for C in c_candidates:
+                    for U in unrolls:
+                        if C % U or (Tc, R, CB, C, U) in tried:
+                            continue
+                        tried.add((Tc, R, CB, C, U))
+                        try:
+                            dt = _time_stripe(m, n, Tc, C, R=R, CB=CB,
+                                              unroll=U)
+                        except Exception:
+                            continue
+                        rows.append({"plan": "stripe", "T": Tc, "R": R,
+                                     "CB": CB, "C": C, "unroll": U, "s": dt,
+                                     "gcups": gcups(m * n, dt)})
         best = max(rows, key=lambda r: r["gcups"])
         table["entries"].append({"m": m, "n": n, "best": best, "all": rows})
         if verbose:
             print(f"size {s}: best {best['plan']} T={best['T']} "
-                  f"R={best['R']} C={best['C']} U={best['unroll']} "
-                  f"{best['gcups']:.1f} GCUPS")
+                  f"R={best['R']} CB={best['CB']} C={best['C']} "
+                  f"U={best['unroll']} {best['gcups']:.1f} GCUPS")
     return table
 
 
@@ -127,16 +133,19 @@ class Policy:
     def choose(self, m: int, n: int) -> dict:
         if not self.table or not self.table.get("entries"):
             from .plan import choose_plan
-            return {"plan": choose_plan(m, n), "T": None, "C": 256}
+            return {"plan": choose_plan(m, n), "T": None, "R": None,
+                    "CB": None, "C": None, "unroll": None}
         cells = m * n
         entry = min(self.table["entries"],
                     key=lambda e: abs(e["m"] * e["n"] - cells))
         return dict(entry["best"])
 
-    def observe(self, m: int, n: int, plan: str, T, C, seconds: float):
+    def observe(self, m: int, n: int, plan: str, T, C, seconds: float,
+                R=None, CB=None, unroll=None):
         if self.table is None:
             self.table = {"entries": []}
-        row = {"plan": plan, "T": T, "C": C, "s": seconds,
+        row = {"plan": plan, "T": T, "R": R, "CB": CB, "C": C,
+               "unroll": unroll, "s": seconds,
                "gcups": gcups(m * n, seconds)}
         for e in self.table["entries"]:
             if e["m"] == m and e["n"] == n:

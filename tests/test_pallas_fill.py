@@ -312,3 +312,27 @@ def test_column_blocked_score_fn():
     s, i, j = fn(jnp.asarray(a), jnp.asarray(b))
     assert int(s) == ref.max_score
     assert (int(i), int(j)) == ref.max_ij
+
+
+def test_fuzz_configs_vs_oracle():
+    """Random shapes x random (T, R, CB) configs, P + positions exact."""
+    rng = np.random.default_rng(99)
+    for trial in range(14):
+        R = int(rng.choice([1, 2, 4, 8]))
+        CB = int(rng.choice([1, 2, 4]))
+        sub = int(rng.integers(1, 3))
+        stripes = int(rng.integers(1, 3))
+        T = 128 * sub * R
+        n = int(rng.integers(max(1, (stripes - 1) * T + 1), stripes * T + 1))
+        m = int(rng.integers(2, 400))
+        a, b = random_pair(m, n, seed=1000 + trial)
+        ref = oracle.fill(a, b)
+        out = stripe_fill_raw(a, b, T=T, C=128, R=R, CB=CB, return_p=True)
+        ctx = dict(trial=trial, m=m, n=n, T=T, R=R, CB=CB)
+        assert int(out.max_score) == ref.max_score, ctx
+        assert (int(out.max_i), int(out.max_j)) == ref.max_ij, ctx
+        assert int(out.last_cell) == int(ref.H[-1, -1]), ctx
+        np.testing.assert_array_equal(out.right_col, ref.H[:, -1],
+                                      err_msg=str(ctx))
+        P = p_stripes_to_rowmajor(np.asarray(out.p_stripes), n, m)
+        np.testing.assert_array_equal(P, ref.P, err_msg=str(ctx))
