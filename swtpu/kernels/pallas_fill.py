@@ -203,6 +203,9 @@ def _kernel(scoring: Scoring, T: int, R: int, C: int, m: int, n: int,
         if batch:
             lbest_ref, lbest_t_ref = rest[0], rest[1]
             rest = rest[2:]
+            if CB > 1:
+                lbcb_ref = rest[0]
+                rest = rest[1:]
         if return_p:
             p_ref = rest[0]
             rest = rest[1:]
@@ -553,6 +556,8 @@ def _kernel(scoring: Scoring, T: int, R: int, C: int, m: int, n: int,
             if batch:
                 lbest_ref[0] = bv
                 lbest_t_ref[0] = best_t[...]
+                if CB > 1:
+                    lbcb_ref[0] = bcb[...]
 
     return kernel
 
@@ -649,8 +654,6 @@ def _stripe_call(q, bt, greset=None, top=None, lc=None, *, scoring, T, R=1,
         raise ValueError(f"C={C} must be a multiple of unroll={unroll}")
     if CB & (CB - 1):
         raise ValueError(f"CB={CB} must be a power of two")
-    if CB > 1 and batch:
-        raise NotImplementedError("batch mode runs with CB=1")
     if (boundary or want_bottom) and scoring.is_affine:
         raise NotImplementedError("boundary injection is linear-gap only")
     if boundary and batch:
@@ -673,7 +676,7 @@ def _stripe_call(q, bt, greset=None, top=None, lc=None, *, scoring, T, R=1,
                      memory_space=pltpu.VMEM),
     ]
     if batch:
-        for _ in range(2):                        # per-lane packed best, t
+        for _ in range(3 if CB > 1 else 2):      # per-lane best, t[, col]
             out_shape.append(jax.ShapeDtypeStruct(
                 (num_stripes, sub_rows, LANES), jnp.int32))
             out_specs.append(pl.BlockSpec(
@@ -1120,7 +1123,8 @@ def stripe_block_fn(m: int, n: int, scoring: Scoring = Scoring(),
 def batch_score_fn(B: int, rlen: int, W: int,
                    scoring: Scoring = Scoring(),
                    T: Optional[int] = None, R: Optional[int] = None,
-                   C: int = DEFAULT_CHUNK, unroll: Optional[int] = None,
+                   C: int = DEFAULT_CHUNK, CB: int = 2,
+                   unroll: Optional[int] = None,
                    interpret: Optional[bool] = None):
     """Jittable batch scorer: fn(reads (B, rlen) int, window (W,) int) ->
     (scores (B,), read_i (B,), win_j (B,)) — the device-resident form of
@@ -1140,15 +1144,14 @@ def batch_score_fn(B: int, rlen: int, W: int,
         T, _, _ = choose_params(W, n, affine=scoring.is_affine, r_max=R,
                                 cb_max=1)
         T = -(-T // (LANES * R)) * LANES * R
-    T, R, _ = _resolve_params(W, n, T, R, scoring, CB=1)
-    _check_packing(W, n, R, scoring)
+    T, R, CB = _resolve_params(W, n, T, R, scoring, CB=CB)
+    _check_packing(W, n, R, scoring, CB)
     u = _auto_unroll(C, interpret) if unroll is None else unroll
     L = T // R
     num_stripes = -(-n // T)
     lanes_per_read = rlen // R
 
-    steps = W + L - 1
-    num_chunks = -(-steps // C)
+    num_chunks = -(-_steps(W, L, CB) // C)
 
     def prepare(reads):
         """Window-invariant read tiling + reset mask; call once, reuse the
@@ -1165,16 +1168,21 @@ def batch_score_fn(B: int, rlen: int, W: int,
 
     def score_prepared(prepared, window):
         bt, grt = prepared
-        ap = jnp.full((1, 1, num_chunks * C), -1, jnp.int32)
-        ap = ap.at[0, 0, :W].set(window.astype(jnp.int32))
+        aa = jnp.full((CB * num_chunks * C,), -1, jnp.int32)
+        aa = aa.at[:W].set(window.astype(jnp.int32))
+        ap = aa.reshape(num_chunks * C, CB).T[None]
         outs = _stripe_call(ap, bt, grt, scoring=scoring, T=T, R=R, C=C,
-                            m=W, n=n, return_p=False, interpret=interpret,
-                            unroll=u)
+                            CB=CB, m=W, n=n, return_p=False,
+                            interpret=interpret, unroll=u)
         lanes_total = num_stripes * L
-        lp = outs[2].reshape(lanes_total)[:B * lanes_per_read] \
-            .reshape(B, lanes_per_read)
-        lt = outs[3].reshape(lanes_total)[:B * lanes_per_read] \
-            .reshape(B, lanes_per_read)
+        npr = B * lanes_per_read
+
+        def per_read(x):
+            return x.reshape(lanes_total)[:npr].reshape(B, lanes_per_read)
+
+        lp = per_read(outs[2])
+        lt = per_read(outs[3])
+        lcb = per_read(outs[4]) if CB > 1 else None
         if R > 1:
             lsc = lp >> (R.bit_length() - 1)
             lrr = (R - 1) - (lp & (R - 1))
@@ -1186,9 +1194,11 @@ def batch_score_fn(B: int, rlen: int, W: int,
         ar = jnp.arange(B)
         r_at = lrr[ar, lane_in_read]
         t_at = lt[ar, lane_in_read]
+        col_at = (CB - 1 - lcb[ar, lane_in_read]) if CB > 1 else 0
         glane = ar * lanes_per_read + lane_in_read
         read_i = lane_in_read * R + r_at + 1
-        win_j = t_at - glane % L + 1
+        # j = CB*(t - within-stripe lane) + col + 1
+        win_j = CB * (t_at - glane % L) + col_at + 1
         has = scores > 0
         return (jnp.maximum(scores, 0),
                 jnp.where(has, read_i, 0).astype(jnp.int32),
