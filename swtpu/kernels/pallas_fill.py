@@ -767,7 +767,7 @@ def stripe_fill_raw(
     T: Optional[int] = None,
     R: Optional[int] = None,
     C: int = DEFAULT_CHUNK,
-    CB: int = 1,
+    CB: Optional[int] = None,
     return_p: bool = False,
     unroll: Optional[int] = None,
     interpret: Optional[bool] = None,
@@ -898,7 +898,7 @@ def p_stripes_to_rowmajor(p: np.ndarray, n: int, m: int) -> np.ndarray:
 
 def stripe_score_fn(m: int, n: int, scoring: Scoring = Scoring(),
                     T: Optional[int] = None, R: Optional[int] = None,
-                    C: int = DEFAULT_CHUNK, CB: int = 1,
+                    C: int = DEFAULT_CHUNK, CB: Optional[int] = None,
                     unroll: Optional[int] = None):
     """Jittable (a, b) -> (max_score, max_i, max_j) using the stripe kernel
     with the cross-stripe reduction done on device (for benching)."""
