@@ -371,8 +371,12 @@ def _kernel(scoring: Scoring, T: int, R: int, C: int, m: int, n: int,
                                 u_val = up + gap
                                 l_val = lv + gap
                             else:
-                                # fold the shared gap add: max(up,left)+gap
-                                ul = jnp.maximum(up, lv) + gap
+                                # keep the serial up-path short (2 dependent
+                                # ops): everything not involving `up` folds
+                                # into dl first
+                                dl = jnp.maximum(diag, lv + gap)
+                                if local:
+                                    dl = jnp.maximum(dl, 0)
 
                         if return_p:
                             zero = jnp.zeros_like(diag)
@@ -391,14 +395,12 @@ def _kernel(scoring: Scoring, T: int, R: int, C: int, m: int, n: int,
                         elif affine:
                             hn = jnp.maximum(jnp.maximum(diag, u_val),
                                              jnp.maximum(l_val, 0))
-                        elif local:
-                            hn = jnp.maximum(jnp.maximum(diag, ul), 0)
                         else:
-                            # global (NW) mode: no zero floor. Deep
-                            # negatives are clamped for the packed argmax
-                            # only (callers use the max solely when it is
-                            # positive).
-                            hn = jnp.maximum(diag, ul)
+                            # (global/NW mode differs only in dl's floor;
+                            # deep negatives are clamped for the packed
+                            # argmax below — callers use the max solely
+                            # when it is positive)
+                            hn = jnp.maximum(dl, up + gap)
                         new_h[c][r] = hn
                         up = hn
                         hpk = hn if local else jnp.maximum(hn, -8)
