@@ -77,10 +77,11 @@ def align(
     m, n = len(a_codes), len(b_codes)
     want_tb = config.traceback if traceback is None else traceback
     sub_table = None
+    sub_np = None
     if substitution is not None:
+        sub_np = np.asarray(substitution)
         from ..core.substitution import embed_sentinels
-        sub_table = jnp.asarray(embed_sentinels(np.asarray(substitution)))
-        plan = "scan"   # substitution path runs the XLA plan (Pallas: TODO)
+        sub_table = jnp.asarray(embed_sentinels(sub_np))
 
     if m == 0 or n == 0:
         # Degenerate: an empty sequence aligns to nothing (all-zero matrix).
@@ -97,7 +98,8 @@ def align(
     if method == "auto":
         method = "full" if m * n <= config.full_p_max_cells else "windowed"
     if (want_tb and method in ("windowed", "hirschberg")
-            and not scoring.is_affine and not return_matrices):
+            and not scoring.is_affine and not return_matrices
+            and substitution is None):
         from . import traceback as tb
         got = (tb.windowed(a_codes, b_codes, scoring) if method == "windowed"
                else tb.hirschberg(a_codes, b_codes, scoring))
@@ -117,8 +119,15 @@ def align(
 
     if plan == "stripe":
         from ..kernels.pallas_fill import stripe_fill_supported
-        if return_matrices or not stripe_fill_supported(m, n, want_tb,
-                                                        scoring):
+        if sub_np is not None:
+            # substitution mode: only the gap penalties must be negative
+            gaps_ok = (scoring.gap_open < 0 and scoring.gap_extend < 0
+                       if scoring.is_affine else scoring.gap < 0)
+            if return_matrices or not gaps_ok or not (
+                    m >= 2 and n >= 1):
+                plan = "scan"
+        elif return_matrices or not stripe_fill_supported(m, n, want_tb,
+                                                          scoring):
             plan = "scan"     # stripe never materializes H
 
     if plan == "scan":
@@ -137,6 +146,7 @@ def align(
         out, P, H = stripe_fill(
             a_codes, b_codes, scoring=scoring, config=config,
             return_p=want_tb or return_matrices, return_h=return_matrices,
+            substitution=sub_np,
         )
     else:
         raise ValueError(f"unknown plan {plan!r}")

@@ -159,7 +159,8 @@ def _kernel(scoring: Scoring, T: int, R: int, C: int, m: int, n: int,
             steps: int, num_chunks: int, return_p: bool,
             batch: bool = False, unroll: int = 1,
             boundary: bool = False, want_bottom: bool = False,
-            pairs: bool = False, local: bool = True, CB: int = 1):
+            pairs: bool = False, local: bool = True, CB: int = 1,
+            nsym: int = 0):
     L = T // R                       # lanes per stripe
     sub_rows = L // LANES
     logR = R.bit_length() - 1        # R is a power of two
@@ -273,7 +274,15 @@ def _kernel(scoring: Scoring, T: int, R: int, C: int, m: int, n: int,
             # delivered by the left-column inject at t == lin == 0, so the
             # plain zero init of hs is correct in the boundary case too.)
 
-        btiles = [b_ref[0, r] for r in range(R)]
+        if nsym:
+            # substitution-matrix mode: b_ref is a per-symbol query PROFILE
+            # (prof[q][r][lane] = S[q, b_code(row)]; padding rows hold
+            # NEG_SUB) and the per-cell score is a select chain over the
+            # nsym possible query codes — no gathers on the VPU
+            profs = [[b_ref[0, q, r] for r in range(R)]
+                     for q in range(nsym)]
+        else:
+            btiles = [b_ref[0, r] for r in range(R)]
         if batch:
             gmasks = [greset_ref[0, r] != 0 for r in range(R)]
         if boundary:
@@ -355,7 +364,14 @@ def _kernel(scoring: Scoring, T: int, R: int, C: int, m: int, n: int,
                         if inject and c == 0:
                             dg = jnp.where(first, lcd[r], dg)
                             lv = jnp.where(first, lcl[r], lv)
-                        sub = jnp.where(wvs[c] == btiles[r], match, mismatch)
+                        if nsym:
+                            sub = jnp.full_like(dg, -(1 << 20))
+                            for q in range(nsym):
+                                sub = jnp.where(wvs[c] == q, profs[q][r],
+                                                sub)
+                        else:
+                            sub = jnp.where(wvs[c] == btiles[r], match,
+                                            mismatch)
                         diag = dg + sub
                         if affine:
                             e_new = jnp.maximum(
@@ -639,11 +655,12 @@ def _ring_len(m: int, T: int, R: int, C: int, CB: int = 1) -> int:
 @functools.partial(
     jax.jit,
     static_argnames=("scoring", "T", "R", "C", "m", "n", "return_p",
-                     "interpret", "unroll", "want_bottom", "local", "CB"),
+                     "interpret", "unroll", "want_bottom", "local", "CB",
+                     "nsym"),
 )
 def _stripe_call(q, bt, greset=None, top=None, lc=None, *, scoring, T, R=1,
                  C=256, m, n, return_p, interpret, unroll=1,
-                 want_bottom=False, local=True, CB=1):
+                 want_bottom=False, local=True, CB=1, nsym=0):
     num_stripes = bt.shape[0]
     L = T // R
     steps = _steps(m, L, CB)
@@ -664,9 +681,13 @@ def _stripe_call(q, bt, greset=None, top=None, lc=None, *, scoring, T, R=1,
         raise NotImplementedError(
             "global (NW) mode requires boundary injection; P capture and "
             "batch mode are not supported there")
+    if nsym and (batch or boundary):
+        raise NotImplementedError(
+            "substitution-matrix mode: single-pair fills only")
     kernel = _kernel(scoring, T, R, C, m, n, steps, num_chunks, return_p,
                      batch=batch, unroll=unroll, boundary=boundary,
-                     want_bottom=want_bottom, local=local, CB=CB)
+                     want_bottom=want_bottom, local=local, CB=CB,
+                     nsym=nsym)
 
     out_shape = [
         jax.ShapeDtypeStruct((num_stripes, 8), jnp.int32),                 # best
@@ -724,6 +745,10 @@ def _stripe_call(q, bt, greset=None, top=None, lc=None, *, scoring, T, R=1,
 
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.VMEM),      # a streams (1, CB, *)
+        pl.BlockSpec((1, nsym, R, sub_rows, LANES),
+                     lambda s, c: (s, 0, 0, 0, 0),
+                     memory_space=pltpu.VMEM)       # query profile
+        if nsym else
         pl.BlockSpec((1, R, sub_rows, LANES), lambda s, c: (s, 0, 0, 0),
                      memory_space=pltpu.VMEM),      # b stripe
     ]
@@ -755,6 +780,19 @@ def _stripe_call(q, bt, greset=None, top=None, lc=None, *, scoring, T, R=1,
     return outs
 
 
+NEG_SUB = -(1 << 20)
+
+
+def _build_profile(bt: np.ndarray, table: np.ndarray) -> np.ndarray:
+    """(S, R, sub, L) target codes -> (S, nsym, R, sub, L) query profile:
+    prof[s, q, r, :, :] = table[q, bt[s, r]]; padding codes -> NEG_SUB."""
+    nsym = table.shape[0]
+    emb = np.full((nsym, nsym + 4), NEG_SUB, np.int32)
+    emb[:, 4:] = table
+    prof = emb[:, bt + 4]                     # (nsym, S, R, sub, L)
+    return np.ascontiguousarray(prof.transpose(1, 0, 2, 3, 4))
+
+
 def _lane_major_to_rowmajor(x: np.ndarray, T: int, R: int) -> np.ndarray:
     """(S, R, sub, 128) per-stripe lane-major values -> flat row order."""
     S = x.shape[0]
@@ -773,22 +811,42 @@ def stripe_fill_raw(
     return_p: bool = False,
     unroll: Optional[int] = None,
     interpret: Optional[bool] = None,
+    substitution=None,
 ) -> StripeOut:
-    """Run the stripe kernel; returns device arrays + host-reduced best."""
+    """Run the stripe kernel; returns device arrays + host-reduced best.
+
+    ``substitution``: optional (A, A) int score table — protein/BLOSUM
+    mode. The per-stripe query profile prof[q] = S[q, b] replaces the
+    match/mismatch compare (the scan plan's sub_table analog)."""
     m, n = len(a_codes), len(b_codes)
     if interpret is None:
         interpret = _interpret_default()
+    if substitution is not None and CB is None:
+        CB = 1      # the select chain is throughput-bound; CB=2 loses
     T, R, CB = _resolve_params(m, n, T, R, scoring, return_p=return_p,
                                CB=CB)
-    _check_packing(m, n, R, scoring, CB)
+    nsym = 0
+    if substitution is not None:
+        substitution = np.asarray(substitution, np.int32)
+        nsym = substitution.shape[0]
+        hi = max(int(substitution.max()), 1) * min(m, n)
+        if hi * R * CB >= (1 << 30):
+            raise ValueError("score range too large for packed argmax")
+        if not (scoring.gap < 0 if not scoring.is_affine else
+                (scoring.gap_open < 0 and scoring.gap_extend < 0)):
+            raise ValueError("substitution mode needs negative gaps")
+    else:
+        _check_packing(m, n, R, scoring, CB)
     ap, bt, num_stripes = _build_inputs(a_codes, b_codes, T, C, R, CB)
+    if nsym:
+        bt = _build_profile(bt, substitution)
 
     if unroll is None:
         unroll = _auto_unroll(C, interpret)
     outs = _stripe_call(
         jnp.asarray(ap), jnp.asarray(bt), scoring=scoring, T=T, R=R, C=C,
         m=m, n=n, return_p=return_p, interpret=interpret, unroll=unroll,
-        CB=CB)
+        CB=CB, nsym=nsym)
     best = np.asarray(outs[0])
     rc = _lane_major_to_rowmajor(np.asarray(outs[1]), T, R)[:n]
     p_stripes = None
@@ -850,12 +908,13 @@ def _resolve_params(m, n, T, R, scoring, return_p=False,
 
 def stripe_fill(a_codes, b_codes, scoring: Scoring = Scoring(),
                 config: EngineConfig = EngineConfig(),
-                return_p: bool = False, return_h: bool = False):
+                return_p: bool = False, return_h: bool = False,
+                substitution=None):
     """Engine adapter: returns (FillOut-like, P row-major or None, H=None)."""
     out = stripe_fill_raw(
         np.asarray(a_codes, np.int8), np.asarray(b_codes, np.int8),
         scoring=scoring, T=config.stripe_rows, R=config.stripe_rows_per_lane,
-        return_p=return_p)
+        return_p=return_p, substitution=substitution)
     P = None
     if return_p and out.p_stripes is not None:
         P = p_stripes_to_rowmajor(

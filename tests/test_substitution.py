@@ -52,3 +52,65 @@ def test_blosum62_affine():
     r = swtpu.align(a, b, scoring=sc, substitution=BLOSUM62,
                     alphabet=PROTEIN_ALPHABET)
     assert r.max_score == ref.max_score
+
+
+def test_stripe_substitution_matches_scan():
+    """Pallas substitution mode (query-profile select chain) vs the XLA
+    sub_table path: DNA matrix and BLOSUM62, positions + P exact."""
+    import jax.numpy as jnp
+    import numpy as np
+    import swtpu
+    from swtpu.core.encode import PROTEIN_ALPHABET, encode, random_pair
+    from swtpu.core.substitution import BLOSUM62, dna_matrix, embed_sentinels
+    from swtpu.kernels.pallas_fill import (p_stripes_to_rowmajor,
+                                           stripe_fill_raw)
+    from swtpu.kernels.scan_fill import diag_to_rowmajor, scan_fill
+
+    # DNA matrix == the default compare path
+    a, b = random_pair(90, 300, seed=61)
+    ref = scan_fill(jnp.asarray(a), jnp.asarray(b),
+                    sub_table=jnp.asarray(embed_sentinels(dna_matrix())),
+                    return_p=True)
+    out = stripe_fill_raw(a, b, T=256, R=2, CB=2, C=128, return_p=True,
+                          substitution=dna_matrix())
+    assert int(out.max_score) == int(ref.max_score)
+    assert (int(out.max_i), int(out.max_j)) == (int(ref.max_i),
+                                                int(ref.max_j))
+    P1 = p_stripes_to_rowmajor(np.asarray(out.p_stripes), 300, 90)
+    P2 = diag_to_rowmajor(ref.p_diag, 300, 90)
+    np.testing.assert_array_equal(P1, P2)
+
+    # BLOSUM62 protein, affine gaps
+    rng = np.random.default_rng(8)
+    pa = rng.integers(0, 20, 120).astype(np.int8)
+    pb = rng.integers(0, 20, 400).astype(np.int8)
+    pb[100:160] = pa[20:80]
+    sc = swtpu.Scoring(mode="affine", gap_open=-11, gap_extend=-1)
+    ref = scan_fill(jnp.asarray(pa), jnp.asarray(pb), scoring=sc,
+                    sub_table=jnp.asarray(embed_sentinels(BLOSUM62)))
+    out = stripe_fill_raw(pa, pb, scoring=sc, T=256, R=2, C=128,
+                          substitution=BLOSUM62)
+    assert int(out.max_score) == int(ref.max_score)
+    assert (int(out.max_i), int(out.max_j)) == (int(ref.max_i),
+                                                int(ref.max_j))
+    np.testing.assert_array_equal(np.asarray(out.right_col),
+                                  np.asarray(ref.right_col))
+
+
+def test_engine_substitution_stripe_plan():
+    import numpy as np
+    import swtpu
+    from swtpu.core.substitution import BLOSUM62
+
+    rng = np.random.default_rng(9)
+    pa = rng.integers(0, 20, 80).astype(np.int8)
+    pb = rng.integers(0, 20, 200).astype(np.int8)
+    pb[50:100] = pa[10:60]
+    r_scan = swtpu.align(pa, pb, substitution=BLOSUM62, plan="scan",
+                         alphabet=swtpu.core.encode.PROTEIN_ALPHABET)
+    r_str = swtpu.align(pa, pb, substitution=BLOSUM62, plan="stripe",
+                        alphabet=swtpu.core.encode.PROTEIN_ALPHABET)
+    assert r_str.max_score == r_scan.max_score
+    assert (r_str.max_i, r_str.max_j) == (r_scan.max_i, r_scan.max_j)
+    assert r_str.aligned_a == r_scan.aligned_a
+    assert r_str.aligned_b == r_scan.aligned_b
