@@ -45,15 +45,21 @@ class SearchHits(NamedTuple):
     read_end: jax.Array   # (B,) int32 1-based padded row of the read end
 
 
-def _window_scorer(scoring: Scoring):
+def _window_scorer(scoring: Scoring, substitution=None):
+    sub_table = None
+    if substitution is not None:
+        from ..core.substitution import embed_sentinels
+        sub_table = jnp.asarray(embed_sentinels(np.asarray(substitution)))
+
     def one(query, window):
-        out = scan_fill(window, query, scoring=scoring)
+        out = scan_fill(window, query, scoring=scoring,
+                        sub_table=sub_table)
         return out.max_score, out.max_i, out.max_j
     return jax.vmap(one, in_axes=(0, None))
 
 
 def _searcher_plan(mesh: Optional[Mesh], qlen: int, window: int,
-                   scoring: Scoring, plan: str) -> str:
+                   scoring: Scoring, plan: str, substitution=None) -> str:
     if plan != "auto":
         return plan
     from ..kernels.pallas_fill import _penalties_negative
@@ -62,8 +68,12 @@ def _searcher_plan(mesh: Optional[Mesh], qlen: int, window: int,
     else:
         from ..dispatch.plan import current_platform
         platform = current_platform()
-    if (platform == "tpu" and not scoring.is_affine
-            and _penalties_negative(scoring) and window >= 2):
+    if substitution is not None:
+        gaps_ok = (scoring.gap_open < 0 and scoring.gap_extend < 0
+                   if scoring.is_affine else scoring.gap < 0)
+    else:
+        gaps_ok = not scoring.is_affine and _penalties_negative(scoring)
+    if platform == "tpu" and gaps_ok and window >= 2:
         return "stripe"
     return "scan"
 
@@ -71,7 +81,7 @@ def _searcher_plan(mesh: Optional[Mesh], qlen: int, window: int,
 def make_searcher(mesh: Optional[Mesh], qlen: int, shard_len: int,
                   window: int = 32768, scoring: Scoring = Scoring(),
                   axis: str = "data", plan: str = "auto",
-                  interpret: Optional[bool] = None):
+                  interpret: Optional[bool] = None, substitution=None):
     """Build a jitted searcher.
 
     queries: (B, qlen) int8 (pad reads with -3 sentinel), replicated.
@@ -86,7 +96,7 @@ def make_searcher(mesh: Optional[Mesh], qlen: int, shard_len: int,
     ext = shard_len + qlen                 # shard + boundary halo
     step = window - qlen                   # window stride (qlen overlap)
     nwin = max(1, -(-max(1, ext - qlen) // step))
-    plan = _searcher_plan(mesh, qlen, window, scoring, plan)
+    plan = _searcher_plan(mesh, qlen, window, scoring, plan, substitution)
     if plan == "stripe":
         from ..kernels.pallas_fill import batch_score_fn
         _stripe_cache = {}
@@ -94,7 +104,8 @@ def make_searcher(mesh: Optional[Mesh], qlen: int, shard_len: int,
         def _stripe_fn(B):
             if B not in _stripe_cache:
                 _stripe_cache[B] = batch_score_fn(
-                    B, qlen, window, scoring=scoring, interpret=interpret)
+                    B, qlen, window, scoring=scoring, interpret=interpret,
+                    substitution=substitution)
             return _stripe_cache[B]
 
         def prepare_reads(queries):
@@ -104,7 +115,7 @@ def make_searcher(mesh: Optional[Mesh], qlen: int, shard_len: int,
         def score_batch(prepared, win, B):
             return _stripe_fn(B).score_prepared(prepared, win)
     else:
-        _scan_scorer = _window_scorer(scoring)
+        _scan_scorer = _window_scorer(scoring, substitution)
 
         def prepare_reads(queries):
             return queries
@@ -193,7 +204,7 @@ def pad_queries(queries: list[np.ndarray], qlen: int) -> np.ndarray:
 
 def search(queries, reference, mesh: Optional[Mesh] = None,
            window: int = 32768, scoring: Scoring = Scoring(),
-           axis: str = "data") -> SearchHits:
+           axis: str = "data", substitution=None) -> SearchHits:
     """Convenience one-shot search (builds shards + searcher)."""
     queries = np.asarray(queries, np.int8)
     B, qlen = queries.shape
@@ -201,5 +212,6 @@ def search(queries, reference, mesh: Optional[Mesh] = None,
     shards, shard_len = shard_reference(np.asarray(reference, np.int8),
                                         D, qlen)
     window = min(window, shards.shape[1])
-    fn = make_searcher(mesh, qlen, shard_len, window, scoring, axis)
+    fn = make_searcher(mesh, qlen, shard_len, window, scoring, axis,
+                       substitution=substitution)
     return fn(jnp.asarray(queries), jnp.asarray(shards))

@@ -681,9 +681,9 @@ def _stripe_call(q, bt, greset=None, top=None, lc=None, *, scoring, T, R=1,
         raise NotImplementedError(
             "global (NW) mode requires boundary injection; P capture and "
             "batch mode are not supported there")
-    if nsym and (batch or boundary):
+    if nsym and boundary:
         raise NotImplementedError(
-            "substitution-matrix mode: single-pair fills only")
+            "substitution-matrix boundary-injected fills not supported")
     kernel = _kernel(scoring, T, R, C, m, n, steps, num_chunks, return_p,
                      batch=batch, unroll=unroll, boundary=boundary,
                      want_bottom=want_bottom, local=local, CB=CB,
@@ -1186,7 +1186,8 @@ def batch_score_fn(B: int, rlen: int, W: int,
                    T: Optional[int] = None, R: Optional[int] = None,
                    C: int = DEFAULT_CHUNK, CB: int = 2,
                    unroll: Optional[int] = None,
-                   interpret: Optional[bool] = None):
+                   interpret: Optional[bool] = None,
+                   substitution=None):
     """Jittable batch scorer: fn(reads (B, rlen) int, window (W,) int) ->
     (scores (B,), read_i (B,), win_j (B,)) — the device-resident form of
     `batch_fill_raw` for use inside shard_map / window-scan loops (the
@@ -1205,8 +1206,18 @@ def batch_score_fn(B: int, rlen: int, W: int,
         T, _, _ = choose_params(W, n, affine=scoring.is_affine, r_max=R,
                                 cb_max=1)
         T = -(-T // (LANES * R)) * LANES * R
+    nsym = 0
+    sub_emb = None
+    if substitution is not None:
+        substitution = np.asarray(substitution, np.int32)
+        nsym = substitution.shape[0]
+        CB = 1 if CB is None or CB == 2 else CB   # select chain: CB=1 wins
+        sub_emb = jnp.asarray(
+            np.concatenate([np.full((nsym, 4), NEG_SUB, np.int32),
+                            substitution], axis=1))
     T, R, CB = _resolve_params(W, n, T, R, scoring, CB=CB)
-    _check_packing(W, n, R, scoring, CB)
+    if substitution is None:
+        _check_packing(W, n, R, scoring, CB)
     u = _auto_unroll(C, interpret) if unroll is None else unroll
     L = T // R
     num_stripes = -(-n // T)
@@ -1225,6 +1236,9 @@ def batch_score_fn(B: int, rlen: int, W: int,
         bp = bp.at[:n].set(reads.reshape(-1).astype(jnp.int32))
         bt = (bp.reshape(num_stripes, L, R).transpose(0, 2, 1)
               .reshape(num_stripes, R, L // LANES, LANES))
+        if nsym:
+            # (S, nsym, R, sub, L) query profile (see _build_profile)
+            bt = jnp.moveaxis(sub_emb[:, bt + 4], 0, 1)
         return bt, grt
 
     def score_prepared(prepared, window):
@@ -1234,7 +1248,7 @@ def batch_score_fn(B: int, rlen: int, W: int,
         ap = aa.reshape(num_chunks * C, CB).T[None]
         outs = _stripe_call(ap, bt, grt, scoring=scoring, T=T, R=R, C=C,
                             CB=CB, m=W, n=n, return_p=False,
-                            interpret=interpret, unroll=u)
+                            interpret=interpret, unroll=u, nsym=nsym)
         lanes_total = num_stripes * L
         npr = B * lanes_per_read
 

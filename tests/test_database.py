@@ -112,3 +112,32 @@ def test_search_stripe_plan_matches_scan():
     np.testing.assert_array_equal(np.asarray(a.read_end),
                                   np.asarray(b.read_end))
     assert int(b.scores[0]) == 72          # planted 24-mer, 3*24
+
+
+def test_protein_search_stripe_matches_scan():
+    """Protein (BLOSUM62) database search: stripe batch kernel with query
+    profiles vs the scan sub_table scorer."""
+    import jax.numpy as jnp
+    import numpy as np
+    import swtpu
+    from swtpu.core.substitution import BLOSUM62
+    from swtpu.dist.database import (make_searcher, pad_queries,
+                                     shard_reference)
+
+    rng = np.random.default_rng(31)
+    ref = rng.integers(0, 20, 500).astype(np.int8)
+    reads = [ref[100:124].copy(), rng.integers(0, 20, 24).astype(np.int8),
+             ref[300:316].copy()]
+    queries = pad_queries(reads, 24)
+    shards, shard_len = shard_reference(ref, 1, 24)
+    sc = swtpu.Scoring(mode="affine", gap_open=-11, gap_extend=-1)
+    kw = dict(qlen=24, shard_len=shard_len, window=128, scoring=sc,
+              substitution=BLOSUM62)
+    a = make_searcher(None, plan="scan", **kw)(jnp.asarray(queries),
+                                               jnp.asarray(shards[:1]))
+    b = make_searcher(None, plan="stripe", interpret=True, **kw)(
+        jnp.asarray(queries), jnp.asarray(shards[:1]))
+    np.testing.assert_array_equal(np.asarray(a.scores), np.asarray(b.scores))
+    np.testing.assert_array_equal(np.asarray(a.ref_pos),
+                                  np.asarray(b.ref_pos))
+    assert int(b.scores[0]) > 0
