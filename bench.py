@@ -80,22 +80,54 @@ def bench_scan():
     return min(times), score, compile_s, plan
 
 
+def bench_big():
+    """Optional capability extra: 65536^2 single-pair GCUPS (guarded)."""
+    import numpy as np
+    from swtpu import Scoring
+    from swtpu.core.encode import random_pair
+    from swtpu.kernels import pallas_fill as pf
+
+    mb = 65536
+    a, b = random_pair(mb, mb, seed=0)
+    T, R, CB = pf.choose_params(mb, mb)
+    ap, bt, _ = pf._build_inputs(a, b, T, pf.DEFAULT_CHUNK, R, CB)
+    apj, btj = jnp.asarray(ap), jnp.asarray(bt)
+    kw = dict(scoring=Scoring(), T=T, R=R, C=pf.DEFAULT_CHUNK, CB=CB,
+              m=mb, n=mb, return_p=False, interpret=False, unroll=32)
+    np.asarray(pf._stripe_call(apj, btj, **kw)[0])
+    k = 5
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        for _ in range(k - 1):
+            pf._stripe_call(apj, btj, **kw)
+        np.asarray(pf._stripe_call(apj, btj, **kw)[0])
+        best = min(best, (time.perf_counter() - t0) / k)
+    return round(mb * mb / best / 1e9, 1)
+
+
 def main():
     on_tpu = jax.default_backend() == "tpu"
     fill_s, score, compile_s, plan = bench_stripe() if on_tpu else bench_scan()
     gcups = M * N / fill_s / 1e9
+    details = {
+        "m": M, "n": N, "plan": plan, "fill_s": round(fill_s, 5),
+        "compile_s": round(compile_s, 2), "score": score,
+        "dispatches_per_sample": K,
+        "backend": jax.default_backend(),
+        "baseline": "reference v1 OpenMP 44T lassen, 0.54 GCUPS @25632^2",
+    }
+    if on_tpu and not os.environ.get("SWTPU_BENCH_NO_EXTRAS"):
+        try:
+            details["gcups_65536sq"] = bench_big()
+        except Exception as e:          # extras must never sink the bench
+            details["gcups_65536sq"] = f"failed: {type(e).__name__}"
     print(json.dumps({
         "metric": "single_chip_fill_GCUPS",
         "value": round(gcups, 3),
         "unit": "GCUPS",
         "vs_baseline": round(gcups / BASELINE_GCUPS, 2),
-        "details": {
-            "m": M, "n": N, "plan": plan, "fill_s": round(fill_s, 5),
-            "compile_s": round(compile_s, 2), "score": score,
-            "dispatches_per_sample": K,
-            "backend": jax.default_backend(),
-            "baseline": "reference v1 OpenMP 44T lassen, 0.54 GCUPS @25632^2",
-        },
+        "details": details,
     }))
 
 
