@@ -197,6 +197,22 @@ def score(
     config: EngineConfig = EngineConfig(),
     *,
     plan: Optional[str] = None,
+    substitution: Optional[np.ndarray] = None,
+    alphabet: str = DNA_ALPHABET,
 ) -> int:
-    """Score-only fast path (the -DSKIP_BACKTRACK benchmark mode)."""
-    return align(a, b, scoring, config, traceback=False, plan=plan).max_score
+    """Score-only fast path (the -DSKIP_BACKTRACK benchmark mode).
+
+    The max score is symmetric under transposing the DP matrix, so thin
+    problems are swapped to put the long side in lanes (the stripe
+    kernel's wavefront parallelism scales with the row count) — roughly
+    2x for shapes like 145002x2000. Positions are NOT symmetric (tie
+    order), which is why align() never does this."""
+    a_codes = _as_codes(a, alphabet)
+    b_codes = _as_codes(b, alphabet)
+    sub = substitution
+    if len(a_codes) > 2 * len(b_codes):
+        a_codes, b_codes = b_codes, a_codes
+        if sub is not None:
+            sub = np.asarray(sub).T
+    return align(a_codes, b_codes, scoring, config, traceback=False,
+                 plan=plan, substitution=sub).max_score

@@ -53,3 +53,20 @@ def test_empty_alignment_score_zero():
     r = align("AAAA", "TTTT", scoring=Scoring(match=3, mismatch=-3, gap=-2))
     assert r.max_score == 0
     assert r.aligned_a is None  # no path when nothing scored
+
+
+def test_score_transposes_thin_problems():
+    import numpy as np
+    import swtpu
+    from swtpu.core.encode import random_pair
+
+    a, b = random_pair(500, 40, seed=71)
+    assert swtpu.score(a, b) == swtpu.align(a, b,
+                                            traceback=False).max_score
+    # asymmetric substitution table must be transposed with the operands
+    rng = np.random.default_rng(5)
+    S = rng.integers(-4, 6, (4, 4)).astype(np.int32)
+    r1 = swtpu.score(a, b, scoring=swtpu.Scoring(gap=-2), substitution=S)
+    r2 = swtpu.align(a, b, scoring=swtpu.Scoring(gap=-2), substitution=S,
+                     traceback=False).max_score
+    assert r1 == r2
