@@ -27,11 +27,40 @@ def current_platform() -> str:
     return jax.default_backend()
 
 
+_policy_cache = {"loaded": False, "policy": None}
+
+
+def _tuned_policy():
+    """Lazily load the persisted autotune table (the Apollo analog): the
+    SWTPU_TUNED_TABLE env var wins, else the default filenames in the
+    working directory. Returns a Policy or None."""
+    if not _policy_cache["loaded"]:
+        _policy_cache["loaded"] = True
+        import os
+        from .autotune import Policy, load
+        cands = [os.environ.get("SWTPU_TUNED_TABLE"),
+                 "swtpu_tuned.json", "swtpu_tuned_v5e.json"]
+        for c in cands:
+            if c:
+                table = load(c)
+                if table:
+                    _policy_cache["policy"] = Policy(table)
+                    break
+    return _policy_cache["policy"]
+
+
 def choose_plan(m: int, n: int, config: EngineConfig = EngineConfig()) -> str:
-    """Return 'scan' or 'stripe' for a single-pair problem of m cols, n rows."""
+    """Return 'scan' or 'stripe' for a single-pair problem of m cols, n rows.
+
+    Measured-cost dispatch when a tuned table is available (autotune sweep
+    persisted to disk — the v8/Apollo analog); size thresholds otherwise
+    (the v7 analog)."""
     cells = m * n
     if current_platform() != "tpu":
         return "scan"
+    pol = _tuned_policy()
+    if pol is not None:
+        return pol.choose(m, n).get("plan", "stripe")
     if cells <= config.scan_max_cells:
         return "scan"
     return "stripe"

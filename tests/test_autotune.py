@@ -31,3 +31,26 @@ def test_save_load_roundtrip(tmp_path):
     t = load(str(f))
     assert t["entries"][0]["best"]["plan"] == "scan"
     assert load(str(tmp_path / "missing.json")) is None
+
+
+def test_choose_plan_uses_tuned_table(tmp_path, monkeypatch):
+    import json
+    from swtpu.dispatch import plan as planmod
+
+    f = tmp_path / "tuned.json"
+    f.write_text(json.dumps({"entries": [
+        {"m": 1000, "n": 1000,
+         "best": {"plan": "stripe", "T": 1024, "R": 8, "CB": 2, "C": 128,
+                  "unroll": 32, "s": 0.001, "gcups": 1.0},
+         "all": []}]}))
+    monkeypatch.setenv("SWTPU_TUNED_TABLE", str(f))
+    monkeypatch.setattr(planmod, "_policy_cache",
+                        {"loaded": False, "policy": None})
+    monkeypatch.setattr(planmod, "current_platform", lambda: "tpu")
+    assert planmod.choose_plan(900, 900) == "stripe"
+    # without a table, thresholds apply
+    monkeypatch.delenv("SWTPU_TUNED_TABLE")
+    monkeypatch.setattr(planmod, "_policy_cache",
+                        {"loaded": False, "policy": None})
+    monkeypatch.chdir(tmp_path)
+    assert planmod.choose_plan(8, 8) == "scan"
