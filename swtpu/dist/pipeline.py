@@ -87,26 +87,35 @@ def make_pipeline(mesh: Mesh, m: int, n: int, block_rows: int,
                               T=block_rows, R=rk,
                               interpret=_mesh_platform(mesh) != "tpu")
 
-    def block(a_shard, b_block, top_row, left_col):
+    affine = scoring.is_affine
+    NEGB = jnp.int32(-(1 << 30))
+
+    def block(a_shard, b_block, top_row, left_col, top_f, left_e):
         if plan == "stripe":
-            return sfn(a_shard, b_block, top_row, left_col)
+            out = sfn(a_shard, b_block, top_row, left_col)
+            return out + (None, None)
         out = scan_fill(a_shard, b_block, scoring=scoring,
-                        top_row=top_row, left_col=left_col)
+                        top_row=top_row, left_col=left_col,
+                        top_f=top_f if affine else None,
+                        left_e=left_e if affine else None)
         return (out.max_score, out.max_i, out.max_j, out.last_cell,
-                out.bottom_row, out.right_col)
+                out.bottom_row, out.right_col, out.bottom_f, out.right_e)
 
     def local(a_shard, b_full):
         d = lax.axis_index(axis)
 
         def stage(t, carry):
-            prev_bottom, left_in, bs, bi, bj, last = carry
+            (prev_bottom, prev_bottom_f, left_in, left_e_in,
+             bs, bi, bj, last) = carry
             r = t - d
             active = (r >= 0) & (r < nblocks)
             rc = jnp.clip(r, 0, nblocks - 1)
             b_block = lax.dynamic_slice(b_full, (rc * R,), (R,))
 
-            (o_score, o_i, o_j, _o_last, o_bottom, o_right) = block(
-                a_shard, b_block, prev_bottom, left_in)
+            (o_score, o_i, o_j, _o_last, o_bottom, o_right,
+             o_bottom_f, o_right_e) = block(
+                a_shard, b_block, prev_bottom, left_in,
+                prev_bottom_f, left_e_in)
 
             # global coordinates of this block's first-occurrence max
             gi = rc * R + o_i
@@ -126,16 +135,34 @@ def make_pipeline(mesh: Mesh, m: int, n: int, block_rows: int,
             # halo: my right edge becomes the next device's left edge at
             # stage t+1 (device d+1 then works block r = t+1-(d+1) = t-d).
             halo = jnp.where(active, o_right, jnp.zeros_like(o_right))
-            left_next = lax.ppermute(halo, axis, perm) if perm else \
-                jnp.zeros_like(halo)
-            return (prev_bottom, left_next, bs, bi, bj, last)
+            if affine:
+                prev_bottom_f = jnp.where(active, o_bottom_f, prev_bottom_f)
+                halo_e = jnp.where(active, o_right_e, NEGB)
+                # inactive senders ship the global boundaries (H=0, E=-inf),
+                # so receivers need no start-up gating; device 0 has no
+                # sender (ppermute yields zeros) and must pin E back to -inf
+                stacked = jnp.stack([halo, halo_e])
+                nxt = lax.ppermute(stacked, axis, perm) if perm else \
+                    jnp.zeros_like(stacked)
+                left_next = nxt[0]
+                left_e_next = jnp.where(d == 0,
+                                        jnp.full_like(halo_e, NEGB), nxt[1])
+            else:
+                left_next = lax.ppermute(halo, axis, perm) if perm else \
+                    jnp.zeros_like(halo)
+                left_e_next = left_e_in
+            return (prev_bottom, prev_bottom_f, left_next, left_e_next,
+                    bs, bi, bj, last)
 
         carry0 = (
             jnp.zeros((mc + 1,), jnp.int32),   # top boundary of block row 0
+            jnp.full((mc + 1,), NEGB),         # F(0, :) = -inf
             jnp.zeros((R + 1,), jnp.int32),    # left boundary of device 0
+            jnp.full((R + 1,), NEGB),          # E(:, 0) = -inf
             jnp.int32(0), jnp.int32(0), jnp.int32(0), jnp.int32(0),
         )
-        _, _, bs, bi, bj, last = lax.fori_loop(0, stages, stage, carry0)
+        _, _, _, _, bs, bi, bj, last = lax.fori_loop(0, stages, stage,
+                                                     carry0)
 
         # deterministic cross-device merge: score desc, then (i, j) asc —
         # the reference's first-occurrence row-major rule globally.

@@ -51,6 +51,8 @@ class FillOut(NamedTuple):
     h_diag: Optional[jax.Array]     # (n+m-1, n) int32 or None
     e_diag: Optional[jax.Array]     # affine E, diag-major, or None
     f_diag: Optional[jax.Array]     # affine F, diag-major, or None
+    bottom_f: Optional[jax.Array] = None   # (m+1,) F[n, :] (affine)
+    right_e: Optional[jax.Array] = None    # (n+1,) E[:, m] (affine)
 
 
 def _shift_down(v: jax.Array, fill) -> jax.Array:
@@ -72,6 +74,8 @@ def scan_fill(
     band: Optional[int] = None,
     top_row: Optional[jax.Array] = None,    # (m+1,) int32 H values of row 0
     left_col: Optional[jax.Array] = None,   # (n+1,) int32 H values of col 0
+    top_f: Optional[jax.Array] = None,      # (m+1,) int32 F of row 0 (affine)
+    left_e: Optional[jax.Array] = None,     # (n+1,) int32 E of col 0 (affine)
     local: bool = True,
     sub_table: Optional[jax.Array] = None,  # (A+3, A+3) embedded sub matrix
 ) -> FillOut:
@@ -112,9 +116,18 @@ def scan_fill(
     if affine:
         g_open = jnp.int32(scoring.gap_open)
         g_ext = jnp.int32(scoring.gap_extend)
+        # affine boundary continuation: F enters from the row above
+        # (vertical gaps crossing the block's top edge), E from the left
+        # column (horizontal gaps crossing its left edge)
+        if top_f is None:
+            top_f = jnp.full((m + 1,), NEG, jnp.int32)
+        f_top_pad = jnp.concatenate([top_f.astype(jnp.int32),
+                                     jnp.full((1,), NEG, jnp.int32)])
+        e_init = (left_e[1:].astype(jnp.int32) if left_e is not None
+                  else jnp.full((n,), NEG, jnp.int32))
 
     def step(carry, t):
-        h1, h2, e1, f1, right, best, bi, bj = carry
+        h1, h2, e1, f1, right, e_right, best, bi, bj = carry
         valid = (kk <= t) & (kk >= t - m + 1)
         if band is not None:
             # |i - j| = |2k - t| <= band
@@ -138,7 +151,9 @@ def scan_fill(
 
         if affine:
             e_new = jnp.maximum(h1 + g_open, e1 + g_ext)       # LEFT chain
-            f_new = jnp.maximum(h1s + g_open, _shift_down(f1, NEG) + g_ext)
+            f_new = jnp.maximum(
+                h1s + g_open,
+                _shift_down(f1, f_top_pad[t + 1]) + g_ext)
             up = f_new
             left = e_new
 
@@ -163,7 +178,8 @@ def scan_fill(
         h_new = jnp.where(valid, h_new, h_init)
         p_new = jnp.where(valid, p_new, jnp.int8(NONE))
         if affine:
-            e_new = jnp.where(valid, e_new, NEG)
+            # pre-entry lanes carry the injected E boundary (like h_init)
+            e_new = jnp.where(valid, e_new, e_init)
             f_new = jnp.where(valid, f_new, NEG)
         else:
             e_new = e1
@@ -185,26 +201,38 @@ def scan_fill(
 
         # Right-edge capture: lane k holds H(k+1, m) at its last valid step
         # t = k + m - 1 (the pipeline halo, the ppermute payload).
-        right = jnp.where(t - kk == m - 1, h_new, right)
+        at_edge = t - kk == m - 1
+        right = jnp.where(at_edge, h_new, right)
+        if affine:
+            e_right = jnp.where(at_edge, e_new, e_right)
 
         ys = [h_new[n - 1]]          # bottom-row stream (row n is lane n-1)
+        if affine:
+            ys.append(f_new[n - 1])
         if return_p:
             ys.append(p_new)
         if return_h:
             ys.append(jnp.where(valid, h_new, 0))
-        return (h_new, h1, e_new, f_new, right, best, bi, bj), tuple(ys)
+        return (h_new, h1, e_new, f_new, right, e_right, best, bi, bj), \
+            tuple(ys)
 
-    e0 = jnp.full((n,), NEG, jnp.int32) if affine else jnp.zeros((n,), jnp.int32)
+    if affine:
+        e0 = e_init
+        f0 = jnp.full((n,), NEG, jnp.int32)
+    else:
+        e0 = f0 = jnp.zeros((n,), jnp.int32)
     carry0 = (
-        h_init, h_init, e0, e0, jnp.zeros((n,), jnp.int32),
+        h_init, h_init, e0, f0, jnp.zeros((n,), jnp.int32),
+        jnp.full((n,), NEG, jnp.int32),
         jnp.int32(0), jnp.int32(0), jnp.int32(0),
     )
-    (h1, h2, _, _, right, best, bi, bj), ys = lax.scan(
+    (h1, h2, _, _, right, e_right, best, bi, bj), ys = lax.scan(
         step, carry0, jnp.arange(steps, dtype=jnp.int32)
     )
 
     ys = list(ys)
     y_bot = ys.pop(0)                       # (steps,) lane n-1 per step
+    y_fbot = ys.pop(0) if affine else None
     p_diag = ys.pop(0) if return_p else None
     h_diag = ys.pop(0) if return_h else None
 
@@ -213,11 +241,18 @@ def scan_fill(
     bottom_row = jnp.concatenate(
         [left_col[n:].astype(jnp.int32), y_bot[n - 1:]])
     right_col = jnp.concatenate([top_row[m:m + 1].astype(jnp.int32), right])
+    bottom_f = right_e = None
+    if affine:
+        bottom_f = jnp.concatenate(
+            [jnp.full((1,), NEG, jnp.int32), y_fbot[n - 1:]])
+        right_e = jnp.concatenate(
+            [jnp.full((1,), NEG, jnp.int32), e_right])
 
     return FillOut(
         max_score=best, max_i=bi, max_j=bj, last_cell=last_cell,
         bottom_row=bottom_row, right_col=right_col,
         p_diag=p_diag, h_diag=h_diag, e_diag=None, f_diag=None,
+        bottom_f=bottom_f, right_e=right_e,
     )
 
 

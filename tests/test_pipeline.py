@@ -67,3 +67,28 @@ def test_pipeline_stripe_block_fill_matches_oracle():
     assert int(res.max_score) == ref.max_score
     assert (int(res.max_i), int(res.max_j)) == ref.max_ij
     assert int(res.last_cell) == int(ref.H[-1, -1])
+
+
+def test_pipeline_affine_matches_oracle():
+    """Affine-gap mega-matrix pipeline: E halos ride ppermute with the H
+    halos, F chains down block rows; exact vs the Gotoh oracle."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import Mesh
+    import swtpu
+    from swtpu.core import oracle
+    from swtpu.core.encode import random_pair
+    from swtpu.dist.pipeline import make_pipeline
+
+    sc = swtpu.Scoring(mode="affine", gap_open=-5, gap_extend=-1)
+    devs = jax.devices()[:4]
+    mesh = Mesh(np.array(devs), ("seq",))
+    m, n = 4 * 20, 48                 # 3 row blocks of 16
+    a, b = random_pair(m, n, seed=91)
+    b[5:25] = a[30:50]                # force a gapped-alignment region
+    fn = make_pipeline(mesh, m, n, block_rows=16, scoring=sc)
+    res = fn(jnp.asarray(a), jnp.asarray(b))
+    ref = oracle.fill_loop(a, b, sc)
+    assert int(res.max_score) == ref.max_score
+    assert (int(res.max_i), int(res.max_j)) == ref.max_ij

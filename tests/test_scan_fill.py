@@ -114,3 +114,49 @@ def test_vmap_batch():
     scores = np.asarray(f(jnp.asarray(aa), jnp.asarray(bb)))
     for i in range(B):
         assert scores[i] == oracle.fill(aa[i], bb[i]).max_score
+
+
+def test_affine_block_decomposition():
+    """Gotoh fill split into 2x2 boundary-injected blocks with H/E/F halos
+    must reproduce the monolithic affine fill exactly."""
+    import jax.numpy as jnp
+    import numpy as np
+    import swtpu
+    from swtpu.core import oracle
+    from swtpu.core.encode import random_pair
+    from swtpu.kernels.scan_fill import scan_fill
+
+    sc = swtpu.Scoring(mode="affine", gap_open=-5, gap_extend=-1)
+    m, n = 64, 50
+    a, b = random_pair(m, n, seed=81)
+    ref = oracle.fill_loop(a, b, sc)
+    NEG = -(1 << 30)
+
+    hm, hn = m // 2, n // 2
+    # block grid state: top (H, F) rows per column block, left (H, E) cols
+    tops = [(jnp.zeros(hm + 1, jnp.int32), jnp.full((hm + 1,), NEG,
+                                                    jnp.int32))
+            for _ in range(2)]
+    best = (0, 0, 0)
+    for bi_ in range(2):
+        left_h = jnp.zeros((hn + 1,), jnp.int32)
+        left_e = jnp.full((hn + 1,), NEG, jnp.int32)
+        for bj_ in range(2):
+            th, tf = tops[bj_]
+            # stitch the shared corner H(bi*hn, bj*hm)
+            out = scan_fill(
+                jnp.asarray(a[bj_ * hm:(bj_ + 1) * hm]),
+                jnp.asarray(b[bi_ * hn:(bi_ + 1) * hn]),
+                scoring=sc, top_row=th, left_col=left_h,
+                top_f=tf, left_e=left_e)
+            gi = bi_ * hn + int(out.max_i)
+            gj = bj_ * hm + int(out.max_j)
+            cand = (int(out.max_score), gi, gj)
+            if cand[0] > best[0] or (cand[0] == best[0] and
+                                     (cand[1], cand[2]) < (best[1],
+                                                           best[2])):
+                best = cand
+            tops[bj_] = (out.bottom_row, out.bottom_f)
+            left_h, left_e = out.right_col, out.right_e
+    assert best[0] == ref.max_score
+    assert (best[1], best[2]) == ref.max_ij
