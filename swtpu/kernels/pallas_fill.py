@@ -1289,7 +1289,8 @@ def batch_score_fn(B: int, rlen: int, W: int,
 def pairs_score_fn(B: int, m: int, n: int,
                    scoring: Scoring = Scoring(),
                    T: Optional[int] = None, R: Optional[int] = None,
-                   C: int = DEFAULT_CHUNK, unroll: Optional[int] = None,
+                   C: int = DEFAULT_CHUNK, CB: Optional[int] = None,
+                   unroll: Optional[int] = None,
                    interpret: Optional[bool] = None):
     """Jittable batched-pairs scorer: fn(a_batch (B, m), b_batch (B, n)) ->
     (scores, max_i, max_j), each (B,) int32.
@@ -1302,19 +1303,21 @@ def pairs_score_fn(B: int, m: int, n: int,
     vmapped XLA scan."""
     if interpret is None:
         interpret = _interpret_default()
-    T, R, _ = _resolve_params(m, n, T, R, scoring, CB=1)
-    _check_packing(m, n, R, scoring)
+    if CB is None:
+        CB = 1   # per-pair grids are small; the longer CB chain loses
+    T, R, CB = _resolve_params(m, n, T, R, scoring, CB=CB)
+    _check_packing(m, n, R, scoring, CB)
     L = T // R
     sub_rows = L // LANES
     num_stripes = -(-n // T)
-    steps = m + L - 1
+    steps = _steps(m, L, CB)
     num_chunks = -(-steps // C)
     u = _auto_unroll(C, interpret) if unroll is None else unroll
     if C % u:
         raise ValueError(f"C={C} must be a multiple of unroll={u}")
 
     kernel = _kernel(scoring, T, R, C, m, n, steps, num_chunks,
-                     return_p=False, unroll=u, pairs=True)
+                     return_p=False, unroll=u, pairs=True, CB=CB)
 
     out_shape = (
         jax.ShapeDtypeStruct((B, num_stripes, 8), jnp.int32),
@@ -1329,14 +1332,14 @@ def pairs_score_fn(B: int, m: int, n: int,
     )
     tile = pltpu.VMEM((sub_rows, LANES), jnp.int32)
     rtile = pltpu.VMEM((R, sub_rows, LANES), jnp.int32)
-    ctile = pltpu.VMEM((1, sub_rows, LANES), jnp.int32)        # CB == 1
-    ring = pltpu.VMEM((1, _ring_len(m, T, R, C)), jnp.int32)
+    ctile = pltpu.VMEM((CB, sub_rows, LANES), jnp.int32)
+    ring = pltpu.VMEM((CB, _ring_len(m, T, R, C, CB)), jnp.int32)
     scratch = [rtile, ctile, ctile, tile, ctile, ctile,
                tile, tile, tile, rtile, ring]
     if scoring.is_affine:
         scratch += [rtile, ctile, ctile, ring]
     in_specs = (
-        pl.BlockSpec((1, 1, 1, num_chunks * C),
+        pl.BlockSpec((1, 1, CB, num_chunks * C),
                      lambda p, s, c: (p, 0, 0, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((1, 1, R, sub_rows, LANES),
@@ -1363,8 +1366,9 @@ def pairs_score_fn(B: int, m: int, n: int,
     )
 
     def fn(a_batch, b_batch):
-        ap = jnp.full((B, 1, 1, num_chunks * C), -1, jnp.int32)
-        ap = ap.at[:, 0, 0, :m].set(a_batch.astype(jnp.int32))
+        aa = jnp.full((B, CB * num_chunks * C), -1, jnp.int32)
+        aa = aa.at[:, :m].set(a_batch.astype(jnp.int32))
+        ap = aa.reshape(B, num_chunks * C, CB).transpose(0, 2, 1)[:, None]
         bp = jnp.full((B, num_stripes * T), -2, jnp.int32)
         bp = bp.at[:, :n].set(b_batch.astype(jnp.int32))
         bt = (bp.reshape(B, num_stripes, L, R).transpose(0, 1, 3, 2)
@@ -1376,9 +1380,10 @@ def pairs_score_fn(B: int, m: int, n: int,
         ar = jnp.arange(B)
         rowv = best[ar, sidx, 1]
         t_star = best[ar, sidx, 2]
+        colw = best[ar, sidx, 3]
         has = s_star > 0
         bi = jnp.where(has, sidx * T + rowv + 1, 0)
-        bj = jnp.where(has, t_star - rowv // R + 1, 0)
+        bj = jnp.where(has, CB * (t_star - rowv // R) + colw + 1, 0)
         return jnp.maximum(s_star, 0), bi, bj
 
     return jax.jit(fn)
