@@ -7,16 +7,20 @@ three rolling diagonal buffers in unified memory
 (rotated-cuda/sw-rotated-cuda-unified.cu:225-241), this kernel:
 
 * processes the matrix in **stripes of T = 128*SUB*R rows**; each of the
-  L = 128*SUB lanes owns **R consecutive rows** (register blocking), so the
-  expensive cross-lane data movement happens once per R cells;
+  L = 128*SUB lanes owns **R consecutive rows** and computes **CB
+  consecutive columns per step** (register + column blocking), so the
+  expensive cross-lane data movement happens once per R*CB cells and the
+  fixed per-step serial chain amortizes over CB*T cells;
 * sweeps the stripe's anti-diagonals with a **row-stationary systolic
-  layout**: lane k processes rows [k*R+1, (k+1)*R] at column j = t - k + 1
-  on step t. Within a lane, UP/DIAG dependencies for rows r>0 are this
-  step's / last step's own registers — only row r=0 needs the neighbouring
-  lane's bottom row, one linearized lane-shift (two `pltpu.roll`s + select);
-* slides the **query window** one lane per step: lane 0 ingests a[t] at step
-  t, so substitution scoring is a single vector compare — no gathers, no
-  rotated storage;
+  layout**: lane k processes rows [k*R+1, (k+1)*R] at columns
+  CB*(t-k)+1..+CB on step t. Within a lane's (R, CB) block the UP/DIAG/LEFT
+  dependencies are this step's / last step's own registers — only the block
+  top row needs the neighbouring lane's bottom row, one linearized
+  lane-shift per column slot (two `pltpu.roll`s + select);
+* slides **CB query streams** one lane per step: lane 0 ingests a[CB*t+c]
+  per slot, so scoring is a vector compare (match/mismatch) or an nsym-way
+  select chain over a per-stripe query profile (substitution matrices) —
+  no gathers, no rotated storage;
 * drops all validity masking: with negative mismatch/gap penalties,
   pre-start lanes provably stay at the zero floor (sentinel query codes
   force mismatches; every inflow is <= 0), and post-finish lanes compute
@@ -27,11 +31,14 @@ three rolling diagonal buffers in unified memory
   data-residency lesson (v6.3's device-resident H/P,
   omp_smithW-v6.3-target-inlined.cpp:237-332): nothing round-trips to HBM
   between stripes except the optional predecessor stream;
-* tracks the global max with per-lane packed (score*R + (R-1-r)) registers
-  under a strict-> update — exactly row-major first-occurrence per lane —
-  reduced once per stripe, replacing `omp critical` / atomicCAS retry loops
-  (omp_smithW.c:384-387, cuda_global_mem_smithW.cu:246-260) with race-free
-  vector selects.
+* tracks the global max with per-lane packed [score | row | col] registers
+  under a strict-> update (column bits compared within a step only) —
+  exactly row-major first-occurrence per lane — reduced once per stripe,
+  replacing `omp critical` / atomicCAS retry loops (omp_smithW.c:384-387,
+  cuda_global_mem_smithW.cu:246-260) with race-free vector selects.
+
+See DESIGN.md for the measured per-step cost model behind the (T, R, CB)
+choices and the no-masking correctness argument.
 
 All state lives in VMEM/SMEM scratch; steps are chunked (C per grid step) so
 the predecessor stream pipelines to HBM through Pallas's automatic double
@@ -960,13 +967,14 @@ def p_stripes_to_rowmajor(p: np.ndarray, n: int, m: int) -> np.ndarray:
 def stripe_score_fn(m: int, n: int, scoring: Scoring = Scoring(),
                     T: Optional[int] = None, R: Optional[int] = None,
                     C: int = DEFAULT_CHUNK, CB: Optional[int] = None,
-                    unroll: Optional[int] = None):
-    """Jittable (a, b) -> (max_score, max_i, max_j) using the stripe kernel
-    with the cross-stripe reduction done on device (for benching)."""
+                    unroll: Optional[int] = None, want_last: bool = False):
+    """Jittable (a, b) -> (max_score, max_i, max_j[, last_cell]) using the
+    stripe kernel with all input prep and reductions on device."""
     interpret = _interpret_default()
     T, R, CB = _resolve_params(m, n, T, R, scoring, CB=CB)
     _check_packing(m, n, R, scoring, CB)
     u = _auto_unroll(C, interpret) if unroll is None else unroll
+    L = T // R
 
     def fn(a, b):
         # inputs as device arrays of codes; build q/bt on device
@@ -984,7 +992,15 @@ def stripe_score_fn(m: int, n: int, scoring: Scoring = Scoring(),
         has = s_star > 0
         bi = jnp.where(has, sidx * T + rowv + 1, 0)
         bj = jnp.where(has, CB * (t - rowv // R) + colw + 1, 0)
-        return jnp.maximum(s_star, 0), bi, bj
+        res = (jnp.maximum(s_star, 0), bi, bj)
+        if want_last:
+            # H[n, m] from the right-column capture: global row n lives in
+            # stripe S-1 at (r, lane) decoded from the lane-major layout
+            li = (n - 1) % T
+            last = outs[1][-1, li % R, (li // R) // LANES,
+                           (li // R) % LANES]
+            res = res + (last,)
+        return res
 
     return jax.jit(fn)
 
