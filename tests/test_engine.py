@@ -70,3 +70,19 @@ def test_score_transposes_thin_problems():
     r2 = swtpu.align(a, b, scoring=swtpu.Scoring(gap=-2), substitution=S,
                      traceback=False).max_score
     assert r1 == r2
+
+
+def test_score_fast_path_matches_general():
+    """The device-resident score-only fast path must agree with the full
+    stripe fill on score, position, and last_cell."""
+    import numpy as np
+    import swtpu
+    from swtpu.core import oracle
+    from swtpu.core.encode import random_pair
+
+    a, b = random_pair(150, 400, seed=17)
+    ref = oracle.fill(a, b)
+    r = swtpu.align(a, b, traceback=False, plan="stripe")
+    assert r.max_score == ref.max_score
+    assert (r.max_i, r.max_j) == ref.max_ij
+    assert r.last_cell == int(ref.H[-1, -1])
