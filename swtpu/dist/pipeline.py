@@ -228,3 +228,148 @@ def dryrun(mesh: Mesh) -> None:
     assert int(res2.max_score) == ref2.max_score, (
         int(res2.max_score), ref2.max_score)
     assert (int(res2.max_i), int(res2.max_j)) == ref2.max_ij
+
+
+def make_pipeline_batch(mesh: Mesh, P_pairs: int, m: int, n: int,
+                        block_rows: int, scoring: Scoring = Scoring(),
+                        axis: str = "seq", block_fill: str = "auto"):
+    """Bubble-filled pipeline: P same-shape pairs stream back-to-back
+    through the block wavefront, so the D-1-stage ramp bubble amortizes
+    over P*nblocks stages instead of nblocks (SURVEY §7 hard part (d):
+    'blockwise interleaving of multiple pairs fills the bubbles').
+
+    Returns a jitted (a_batch (P, m) sharded over nothing — each device
+    needs its own column shard, so a is passed pre-sharded (P, m) and
+    split inside — b_batch (P, n)) -> per-pair (scores, max_i, max_j,
+    last_cells), all (P,) int32.
+
+    Implementation: the pairs' row blocks are concatenated; at each pair's
+    first block row the top boundary resets to zeros (and F to -inf), and
+    the per-pair best/last registers update at the block's pair id.
+    """
+    D = mesh.shape[axis]
+    if m % D:
+        raise ValueError(f"m={m} must divide across {D} devices")
+    mc = m // D
+    if n % block_rows:
+        raise ValueError(f"n={n} must divide by block_rows={block_rows}")
+    R = block_rows
+    npb = n // R                       # blocks per pair
+    nblocks = P_pairs * npb
+    stages = nblocks + D - 1
+    perm = [(i, i + 1) for i in range(D - 1)]
+    affine = scoring.is_affine
+    NEGB = jnp.int32(-(1 << 30))
+
+    plan = _block_fill_plan(mesh, mc, block_rows, scoring, block_fill)
+    if plan == "stripe":
+        from ..kernels.pallas_fill import stripe_block_fn
+        rk = next(r for r in (8, 4, 2, 1) if block_rows % (LANES * r) == 0)
+        sfn = stripe_block_fn(mc, block_rows, scoring=scoring,
+                              T=block_rows, R=rk,
+                              interpret=_mesh_platform(mesh) != "tpu")
+
+    def block(a_shard, b_block, top_row, left_col, top_f, left_e):
+        if plan == "stripe":
+            return sfn(a_shard, b_block, top_row, left_col) + (None, None)
+        out = scan_fill(a_shard, b_block, scoring=scoring,
+                        top_row=top_row, left_col=left_col,
+                        top_f=top_f if affine else None,
+                        left_e=left_e if affine else None)
+        return (out.max_score, out.max_i, out.max_j, out.last_cell,
+                out.bottom_row, out.right_col, out.bottom_f, out.right_e)
+
+    def local(a_batch_shard, b_full):
+        # a_batch_shard: (P, mc) — this device's column shard of every pair
+        d = lax.axis_index(axis)
+        bf = b_full.reshape(P_pairs * n)
+
+        def stage(t, carry):
+            (prev_bottom, prev_bottom_f, left_in, left_e_in,
+             bs, bi, bj, lasts) = carry
+            r = t - d
+            active = (r >= 0) & (r < nblocks)
+            rc = jnp.clip(r, 0, nblocks - 1)
+            pid = rc // npb                  # which pair this block is from
+            within = rc % npb                # block row within the pair
+            b_block = lax.dynamic_slice(bf, (rc * R,), (R,))
+            a_shard = a_batch_shard[pid]
+
+            # a pair's first block row sees the global zero top boundary
+            top = jnp.where(within == 0, jnp.zeros_like(prev_bottom),
+                            prev_bottom)
+            top_f = jnp.where(within == 0,
+                              jnp.full_like(prev_bottom_f, NEGB),
+                              prev_bottom_f)
+
+            (o_score, o_i, o_j, _o_last, o_bottom, o_right,
+             o_bottom_f, o_right_e) = block(
+                a_shard, b_block, top, left_in, top_f, left_e_in)
+
+            gi = within * R + o_i
+            gj = d * mc + o_j
+            has = active & (o_score > 0)
+            cur_bs = bs[pid]
+            cur_bi = bi[pid]
+            cur_bj = bj[pid]
+            better = (o_score > cur_bs) & has
+            tie = (o_score == cur_bs) & has & (
+                (gi < cur_bi) | ((gi == cur_bi) & (gj < cur_bj)))
+            upd = better | tie
+            bs = bs.at[pid].set(jnp.where(upd, o_score, cur_bs))
+            bi = bi.at[pid].set(jnp.where(upd, gi, cur_bi))
+            bj = bj.at[pid].set(jnp.where(upd, gj, cur_bj))
+            is_last = active & (within == npb - 1) & (d == D - 1)
+            lasts = lasts.at[pid].set(
+                jnp.where(is_last, o_bottom[mc], lasts[pid]))
+
+            prev_bottom = jnp.where(active, o_bottom, prev_bottom)
+            halo = jnp.where(active, o_right, jnp.zeros_like(o_right))
+            if affine:
+                prev_bottom_f = jnp.where(active, o_bottom_f, prev_bottom_f)
+                halo_e = jnp.where(active, o_right_e, NEGB)
+                stacked = jnp.stack([halo, halo_e])
+                nxt = lax.ppermute(stacked, axis, perm) if perm else \
+                    jnp.zeros_like(stacked)
+                left_next = nxt[0]
+                left_e_next = jnp.where(d == 0,
+                                        jnp.full_like(halo_e, NEGB), nxt[1])
+            else:
+                left_next = lax.ppermute(halo, axis, perm) if perm else \
+                    jnp.zeros_like(halo)
+                left_e_next = left_e_in
+            return (prev_bottom, prev_bottom_f, left_next, left_e_next,
+                    bs, bi, bj, lasts)
+
+        carry0 = (
+            jnp.zeros((mc + 1,), jnp.int32),
+            jnp.full((mc + 1,), NEGB),
+            jnp.zeros((R + 1,), jnp.int32),
+            jnp.full((R + 1,), NEGB),
+            jnp.zeros((P_pairs,), jnp.int32),
+            jnp.zeros((P_pairs,), jnp.int32),
+            jnp.zeros((P_pairs,), jnp.int32),
+            jnp.zeros((P_pairs,), jnp.int32),
+        )
+        _, _, _, _, bs, bi, bj, lasts = lax.fori_loop(0, stages, stage,
+                                                      carry0)
+
+        # per-pair deterministic merge across devices
+        gbs = lax.pmax(bs, axis)
+        win = bs == gbs
+        gbi = lax.pmin(jnp.where(win, bi, jnp.int32(2**31 - 1)), axis)
+        win &= bi == gbi
+        gbj = lax.pmin(jnp.where(win, bj, jnp.int32(2**31 - 1)), axis)
+        glast = lax.pmax(lasts, axis)
+        none = gbs <= 0
+        z = jnp.int32(0)
+        return (jnp.maximum(gbs, z), jnp.where(none, z, gbi),
+                jnp.where(none, z, gbj), glast)
+
+    sharded = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(None, axis), P()),
+        out_specs=(P(), P(), P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(sharded)

@@ -92,3 +92,33 @@ def test_pipeline_affine_matches_oracle():
     ref = oracle.fill_loop(a, b, sc)
     assert int(res.max_score) == ref.max_score
     assert (int(res.max_i), int(res.max_j)) == ref.max_ij
+
+
+def test_pipeline_batch_bubble_filling():
+    """P pairs streamed back-to-back through the block pipeline: per-pair
+    results must match per-pair oracles (boundary resets between pairs),
+    for linear and affine scoring."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import Mesh
+    import swtpu
+    from swtpu.core import oracle
+    from swtpu.core.encode import random_batch
+    from swtpu.dist.pipeline import make_pipeline_batch
+
+    devs = jax.devices()[:4]
+    mesh = Mesh(np.array(devs), ("seq",))
+    Pn, m, n = 3, 4 * 16, 32
+    aa, bb = random_batch(Pn, m, n, seed=101)
+    for sc in (swtpu.Scoring(),
+               swtpu.Scoring(mode="affine", gap_open=-5, gap_extend=-1)):
+        fn = make_pipeline_batch(mesh, Pn, m, n, block_rows=16, scoring=sc)
+        s, i, j, last = fn(jnp.asarray(aa), jnp.asarray(bb))
+        for p_ in range(Pn):
+            ref = (oracle.fill(aa[p_], bb[p_]) if not sc.is_affine
+                   else oracle.fill_loop(aa[p_], bb[p_], sc))
+            assert int(s[p_]) == ref.max_score, (sc.mode, p_)
+            if ref.max_score > 0:
+                assert (int(i[p_]), int(j[p_])) == ref.max_ij, (sc.mode, p_)
+            assert int(last[p_]) == int(ref.H[-1, -1]), (sc.mode, p_)
