@@ -51,7 +51,7 @@ def _block_fill_plan(mesh: Mesh, mc: int, block_rows: int, scoring: Scoring,
     if block_fill != "auto":
         return block_fill
     from ..kernels.pallas_fill import _penalties_negative
-    if (_mesh_platform(mesh) == "tpu" and not scoring.is_affine
+    if (_mesh_platform(mesh) == "tpu"
             and _penalties_negative(scoring) and block_rows % LANES == 0
             and mc >= 2):
         return "stripe"
@@ -92,8 +92,10 @@ def make_pipeline(mesh: Mesh, m: int, n: int, block_rows: int,
 
     def block(a_shard, b_block, top_row, left_col, top_f, left_e):
         if plan == "stripe":
-            out = sfn(a_shard, b_block, top_row, left_col)
-            return out + (None, None)
+            if affine:
+                return sfn(a_shard, b_block, top_row, left_col,
+                           top_f, left_e)
+            return sfn(a_shard, b_block, top_row, left_col) + (None, None)
         out = scan_fill(a_shard, b_block, scoring=scoring,
                         top_row=top_row, left_col=left_col,
                         top_f=top_f if affine else None,
@@ -271,6 +273,9 @@ def make_pipeline_batch(mesh: Mesh, P_pairs: int, m: int, n: int,
 
     def block(a_shard, b_block, top_row, left_col, top_f, left_e):
         if plan == "stripe":
+            if affine:
+                return sfn(a_shard, b_block, top_row, left_col,
+                           top_f, left_e)
             return sfn(a_shard, b_block, top_row, left_col) + (None, None)
         out = scan_fill(a_shard, b_block, scoring=scoring,
                         top_row=top_row, left_col=left_col,

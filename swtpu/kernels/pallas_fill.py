@@ -203,9 +203,14 @@ def _kernel(scoring: Scoring, T: int, R: int, C: int, m: int, n: int,
             # top_ref: the boundary rings pre-filled with the caller's top
             # boundary row; lc_ref: per-(row, lane) left-column values
             # ([0] = H(i, 0) for the LEFT operand at j=1, [1] = H(i-1, 0)
-            # for the DIAG operand), injected on each lane's first step.
+            # for the DIAG operand, [2] = E(i, 0) in affine mode), injected
+            # on each lane's first step. Affine adds ftop_ref: the F rings
+            # of the caller's top boundary row.
             top_ref, lc_ref = rest[0], rest[1]
             rest = rest[2:]
+            if affine:
+                ftop_ref = rest[0]
+                rest = rest[1:]
         best_ref, rc_ref = rest[0], rest[1]
         rest = rest[2:]
         if batch:
@@ -214,18 +219,27 @@ def _kernel(scoring: Scoring, T: int, R: int, C: int, m: int, n: int,
             if CB > 1:
                 lbcb_ref = rest[0]
                 rest = rest[1:]
+        if boundary and affine:
+            rce = rest[0]           # right-column E capture (halo payload)
+            rest = rest[1:]
         if return_p:
             p_ref = rest[0]
             rest = rest[1:]
         if want_bottom:
             bot = rest[0]           # rings exposed as an output
             rest = rest[1:]
+            if affine:
+                fbot = rest[0]      # F rings output (bottom F row)
+                rest = rest[1:]
         # Scratch: hp holds the LAST column slot's R per-row wavefronts of
         # the previous step; (c1, c2)[c] the lane/sublane rolls of the
         # previous step's bottom row per slot; hs the previous step's
         # slot-(CB-1) row-0 UP operand (= this step's slot-0 row-0 DIAG);
         # (w1, w2)[c] the rolls of the CB query windows.
-        if affine:
+        if affine and want_bottom:
+            (hp, c1, c2, hs, w1, w2, best, best_t, bcb, rc,
+             ep, f1, f2) = rest
+        elif affine:
             (hp, c1, c2, hs, w1, w2, best, best_t, bcb, rc, bot,
              ep, f1, f2, fbot) = rest
         elif want_bottom:
@@ -262,6 +276,8 @@ def _kernel(scoring: Scoring, T: int, R: int, C: int, m: int, n: int,
             if CB > 1:
                 bcb[...] = zero[0]
             rc[...] = zero
+            if affine and boundary:
+                rce[...] = zero[None] + neg
             if affine:
                 ep[...] = zero + neg
                 f1[...] = czero + neg
@@ -274,8 +290,11 @@ def _kernel(scoring: Scoring, T: int, R: int, C: int, m: int, n: int,
                 else:
                     bot[...] = jnp.zeros((CB, bot_len), jnp.int32)
                 if affine:
-                    # F(0, j) = -inf: no vertical gap enters from row 0
-                    fbot[...] = jnp.full((CB, bot_len), neg, jnp.int32)
+                    if boundary:
+                        fbot[...] = ftop_ref[...]
+                    else:
+                        # F(0, j) = -inf: no vertical gap enters from row 0
+                        fbot[...] = jnp.full((CB, bot_len), neg, jnp.int32)
 
             # (row-0 DIAG for the very first step — the H(0,0) corner — is
             # delivered by the left-column inject at t == lin == 0, so the
@@ -295,6 +314,8 @@ def _kernel(scoring: Scoring, T: int, R: int, C: int, m: int, n: int,
         if boundary:
             lcl = [lc_ref[0, 0, r] for r in range(R)]   # H(i, 0)
             lcd = [lc_ref[0, 1, r] for r in range(R)]   # H(i-1, 0)
+            if affine:
+                lce = [lc_ref[0, 2, r] for r in range(R)]   # E(i, 0)
         ciota = jax.lax.broadcasted_iota(jnp.int32, (1, C), 1)
 
         # Chunk-start aligned vector loads (Mosaic requires 128-multiple lane
@@ -351,6 +372,7 @@ def _kernel(scoring: Scoring, T: int, R: int, C: int, m: int, n: int,
 
                 new_h = [[None] * R for _ in range(CB)]
                 new_e = [None] * R
+                new_es = [[None] * R for _ in range(CB)]  # per-slot E
                 f_bots = [None] * CB
                 packed = None
                 for c in range(CB):
@@ -368,9 +390,13 @@ def _kernel(scoring: Scoring, T: int, R: int, C: int, m: int, n: int,
                                 if affine:
                                     fprev = jnp.where(gmasks[r], neg, fprev)
                         lv = hvs[r] if c == 0 else new_h[c - 1][r]
+                        if affine:
+                            ev = evs[r] if c == 0 else new_e[r]
                         if inject and c == 0:
                             dg = jnp.where(first, lcd[r], dg)
                             lv = jnp.where(first, lcl[r], lv)
+                            if affine:
+                                ev = jnp.where(first, lce[r], ev)
                         if nsym:
                             sub = jnp.full_like(dg, -(1 << 20))
                             for q in range(nsym):
@@ -381,12 +407,11 @@ def _kernel(scoring: Scoring, T: int, R: int, C: int, m: int, n: int,
                                             mismatch)
                         diag = dg + sub
                         if affine:
-                            e_new = jnp.maximum(
-                                lv + g_open,
-                                (evs[r] if c == 0 else new_e[r]) + g_ext)
+                            e_new = jnp.maximum(lv + g_open, ev + g_ext)
                             f_new = jnp.maximum(up + g_open, fprev + g_ext)
                             u_val, l_val = f_new, e_new
                             new_e[r] = e_new
+                            new_es[c][r] = e_new
                             fprev = f_new
                         else:
                             if return_p:
@@ -456,6 +481,10 @@ def _kernel(scoring: Scoring, T: int, R: int, C: int, m: int, n: int,
                     edge = lin == t - rc_t0
                     for r in range(R):
                         rc[r] = jnp.where(edge, new_h[rc_slot][r], rc[r])
+                    if affine and boundary:
+                        for r in range(R):
+                            rce[0, r] = jnp.where(edge, new_es[rc_slot][r],
+                                                  rce[0, r])
 
                 nr = [lane_rolls(new_h[c][R - 1]) for c in range(CB)]
                 nw = [lane_rolls(wvs[c]) for c in range(CB)]
@@ -665,9 +694,9 @@ def _ring_len(m: int, T: int, R: int, C: int, CB: int = 1) -> int:
                      "interpret", "unroll", "want_bottom", "local", "CB",
                      "nsym"),
 )
-def _stripe_call(q, bt, greset=None, top=None, lc=None, *, scoring, T, R=1,
-                 C=256, m, n, return_p, interpret, unroll=1,
-                 want_bottom=False, local=True, CB=1, nsym=0):
+def _stripe_call(q, bt, greset=None, top=None, lc=None, ftop=None, *,
+                 scoring, T, R=1, C=256, m, n, return_p, interpret,
+                 unroll=1, want_bottom=False, local=True, CB=1, nsym=0):
     num_stripes = bt.shape[0]
     L = T // R
     steps = _steps(m, L, CB)
@@ -680,8 +709,7 @@ def _stripe_call(q, bt, greset=None, top=None, lc=None, *, scoring, T, R=1,
         raise ValueError(f"C={C} must be a multiple of unroll={unroll}")
     if CB & (CB - 1):
         raise ValueError(f"CB={CB} must be a power of two")
-    if (boundary or want_bottom) and scoring.is_affine:
-        raise NotImplementedError("boundary injection is linear-gap only")
+
     if boundary and batch:
         raise ValueError("boundary injection and batch mode are exclusive")
     if not local and not (boundary and not return_p and not batch):
@@ -705,6 +733,13 @@ def _stripe_call(q, bt, greset=None, top=None, lc=None, *, scoring, T, R=1,
         pl.BlockSpec((1, R, sub_rows, LANES), lambda s, c: (s, 0, 0, 0),
                      memory_space=pltpu.VMEM),
     ]
+    if boundary and scoring.is_affine:
+        # right-column E capture, accumulated in place per stripe
+        out_shape.append(jax.ShapeDtypeStruct(
+            (num_stripes, R, sub_rows, LANES), jnp.int32))
+        out_specs.append(pl.BlockSpec(
+            (1, R, sub_rows, LANES), lambda s, c: (s, 0, 0, 0),
+            memory_space=pltpu.VMEM))
     if batch:
         for _ in range(3 if CB > 1 else 2):      # per-lane best, t[, col]
             out_shape.append(jax.ShapeDtypeStruct(
@@ -723,9 +758,11 @@ def _stripe_call(q, bt, greset=None, top=None, lc=None, *, scoring, T, R=1,
     if want_bottom:
         # expose the boundary rings as an output: after the last stripe
         # they hold the whole fill's bottom row
-        out_shape.append(jax.ShapeDtypeStruct((CB, rlen), jnp.int32))
-        out_specs.append(pl.BlockSpec((CB, rlen), lambda s, c: (0, 0),
-                                      memory_space=pltpu.VMEM))
+        nrings = 2 if scoring.is_affine else 1
+        for _ in range(nrings):
+            out_shape.append(jax.ShapeDtypeStruct((CB, rlen), jnp.int32))
+            out_specs.append(pl.BlockSpec((CB, rlen), lambda s, c: (0, 0),
+                                          memory_space=pltpu.VMEM))
 
     tile = pltpu.VMEM((sub_rows, LANES), jnp.int32)
     rtile = pltpu.VMEM((R, sub_rows, LANES), jnp.int32)
@@ -747,8 +784,10 @@ def _stripe_call(q, bt, greset=None, top=None, lc=None, *, scoring, T, R=1,
         scratch += [
             rtile,                              # ep
             ctile, ctile,                       # f1, f2
-            ring,                               # F boundary rings
         ]
+        if not want_bottom:
+            scratch.append(ring)                # F boundary rings
+    
 
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.VMEM),      # a streams (1, CB, *)
@@ -766,11 +805,15 @@ def _stripe_call(q, bt, greset=None, top=None, lc=None, *, scoring, T, R=1,
                                      memory_space=pltpu.VMEM))  # reset mask
         args.append(greset)
     if boundary:
-        in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))  # top ring
+        nlc = 3 if scoring.is_affine else 2
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))  # top rings
         in_specs.append(pl.BlockSpec(
-            (1, 2, R, sub_rows, LANES), lambda s, c: (s, 0, 0, 0, 0),
+            (1, nlc, R, sub_rows, LANES), lambda s, c: (s, 0, 0, 0, 0),
             memory_space=pltpu.VMEM))                           # left cols
         args.extend([top, lc])
+        if scoring.is_affine:
+            in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))  # F top
+            args.append(ftop)
 
     outs = pl.pallas_call(
         kernel,
@@ -1130,9 +1173,13 @@ def stripe_block_fn(m: int, n: int, scoring: Scoring = Scoring(),
     only when the true max is positive (the anchored-reverse contract).
     want_bottom=False skips the bottom-row export (then bottom_row is
     last_cell only) and lifts the n % T divisibility requirement.
+
+    Affine mode takes fn(a, b, top_row, left_col, top_f, left_e) and
+    returns (..., bottom_row, right_col, bottom_f, right_e) — the Gotoh
+    block decomposition with full H/E/F boundary continuation.
     """
-    if scoring.is_affine:
-        raise NotImplementedError("stripe block fill is linear-gap only")
+    if scoring.is_affine and not local:
+        raise NotImplementedError("affine NW block fills not supported")
     if interpret is None:
         interpret = _interpret_default()
     T, R, _ = _resolve_params(m, n, T, R, scoring, CB=1)
@@ -1147,7 +1194,14 @@ def stripe_block_fn(m: int, n: int, scoring: Scoring = Scoring(),
     rlen = _ring_len(m, T, R, C)
     u = _auto_unroll(C, interpret) if unroll is None else unroll
 
-    def fn(a, b, top_row, left_col):
+    affine = scoring.is_affine
+    NEGR = jnp.int32(-(1 << 24))    # kernel-internal F/E sentinel scale
+
+    def lane_major(vec):
+        return (vec.reshape(num_stripes, L, R).transpose(0, 2, 1)
+                .reshape(num_stripes, R, L // LANES, LANES))
+
+    def fn(a, b, top_row, left_col, top_f=None, left_e=None):
         ap, bt = _device_inputs(a, b, m, n, T, C, R)
         top = jnp.zeros((1, rlen), jnp.int32)
         top = jax.lax.dynamic_update_slice(
@@ -1157,18 +1211,32 @@ def stripe_block_fn(m: int, n: int, scoring: Scoring = Scoring(),
         lp = jnp.zeros((num_stripes * T + 1,), jnp.int32)
         lp = jax.lax.dynamic_update_slice(lp, left_col.astype(jnp.int32),
                                           (0,))
-        lcd = (lp[:num_stripes * T].reshape(num_stripes, L, R)
-               .transpose(0, 2, 1).reshape(num_stripes, R, L // LANES, LANES))
-        lcl = (lp[1:num_stripes * T + 1].reshape(num_stripes, L, R)
-               .transpose(0, 2, 1).reshape(num_stripes, R, L // LANES, LANES))
-        lc = jnp.stack([lcl, lcd], axis=1)
+        lcd = lane_major(lp[:num_stripes * T])
+        lcl = lane_major(lp[1:num_stripes * T + 1])
+        planes = [lcl, lcd]
+        ftop = None
+        if affine:
+            # clamp external -inf (-2^30) to the kernel's gentler sentinel
+            # so per-step g_ext decay cannot underflow int32
+            tf = jnp.maximum(top_f.astype(jnp.int32), NEGR)
+            le = jnp.maximum(left_e.astype(jnp.int32), NEGR)
+            ftop = jnp.full((1, rlen), NEGR, jnp.int32)
+            ftop = jax.lax.dynamic_update_slice(ftop, tf[None, :],
+                                                (0, L - 2))
+            lpe = jnp.full((num_stripes * T + 1,), NEGR, jnp.int32)
+            lpe = jax.lax.dynamic_update_slice(lpe, le, (0,))
+            planes.append(lane_major(lpe[1:num_stripes * T + 1]))
+        lc = jnp.stack(planes, axis=1)
 
-        outs = _stripe_call(ap, bt, None, top, lc, scoring=scoring, T=T,
-                            R=R, C=C, m=m, n=n, return_p=False,
+        outs = _stripe_call(ap, bt, None, top, lc, ftop, scoring=scoring,
+                            T=T, R=R, C=C, m=m, n=n, return_p=False,
                             interpret=interpret, unroll=u,
                             want_bottom=want_bottom, local=local)
-        best, rc = outs[0], outs[1]
-        ring = outs[2] if want_bottom else None
+        outs = list(outs)
+        best, rc = outs.pop(0), outs.pop(0)
+        rce = outs.pop(0) if affine else None
+        ring = outs.pop(0) if want_bottom else None
+        fring = outs.pop(0) if (want_bottom and affine) else None
 
         scores = best[:, 0]
         s_star = jnp.max(scores)
@@ -1180,10 +1248,12 @@ def stripe_block_fn(m: int, n: int, scoring: Scoring = Scoring(),
         bj = jnp.where(has, t_star - rowv // R + 1, 0)
 
         # lane-major rc -> row-major right column, corner from top_row[m]
-        rc_rm = (rc.reshape(num_stripes, R, L).transpose(0, 2, 1)
-                 .reshape(num_stripes * T))[:n]
+        def rm(x):
+            return (x.reshape(num_stripes, R, L).transpose(0, 2, 1)
+                    .reshape(num_stripes * T))[:n]
+
         right_col = jnp.concatenate([top_row[m:m + 1].astype(jnp.int32),
-                                     rc_rm])
+                                     rm(rc)])
         if want_bottom:
             bottom_row = jnp.concatenate(
                 [left_col[n:n + 1].astype(jnp.int32),
@@ -1191,8 +1261,19 @@ def stripe_block_fn(m: int, n: int, scoring: Scoring = Scoring(),
         else:
             bottom_row = right_col[n:n + 1]
         last_cell = right_col[n]
-        return (jnp.maximum(s_star, 0), bi, bj, last_cell,
-                bottom_row, right_col)
+        res = (jnp.maximum(s_star, 0), bi, bj, last_cell,
+               bottom_row, right_col)
+        if affine:
+            right_e = jnp.concatenate(
+                [jnp.full((1,), NEGR, jnp.int32), rm(rce)])
+            if want_bottom:
+                bottom_f = jnp.concatenate(
+                    [jnp.full((1,), NEGR, jnp.int32),
+                     jax.lax.dynamic_slice(fring[0], (L - 1,), (m,))])
+            else:
+                bottom_f = right_e[n:n + 1]
+            res = res + (bottom_f, right_e)
+        return res
 
     return jax.jit(fn)
 

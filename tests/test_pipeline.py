@@ -122,3 +122,30 @@ def test_pipeline_batch_bubble_filling():
             if ref.max_score > 0:
                 assert (int(i[p_]), int(j[p_])) == ref.max_ij, (sc.mode, p_)
             assert int(last[p_]) == int(ref.H[-1, -1]), (sc.mode, p_)
+
+
+def test_pipeline_affine_stripe_blocks():
+    """Affine pipeline with Pallas block fills (interpret mode): E/F halos
+    through the stripe kernel must match the Gotoh oracle."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import Mesh
+    import swtpu
+    from swtpu.core import oracle
+    from swtpu.core.encode import random_pair
+    from swtpu.dist.pipeline import make_pipeline
+
+    sc = swtpu.Scoring(mode="affine", gap_open=-5, gap_extend=-1)
+    devs = jax.devices()[:4]
+    mesh = Mesh(np.array(devs), ("seq",))
+    m, n = 4 * 24, 256
+    a, b = random_pair(m, n, seed=111)
+    b[30:80] = a[20:70]
+    fn = make_pipeline(mesh, m, n, block_rows=128, scoring=sc,
+                       block_fill="stripe")
+    res = fn(jnp.asarray(a), jnp.asarray(b))
+    ref = oracle.fill_loop(a, b, sc)
+    assert int(res.max_score) == ref.max_score
+    assert (int(res.max_i), int(res.max_j)) == ref.max_ij
+    assert int(res.last_cell) == int(ref.H[-1, -1])
