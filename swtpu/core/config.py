@@ -27,6 +27,11 @@ UP = 1
 LEFT = 2
 DIAGONAL = 3
 PATH = -1
+# Affine traceback state bits OR'd into P (capability extension; the
+# reference is linear-gap only): E/F at this cell chose gap EXTENSION
+# (ties prefer extension). Needed for exact Gotoh alignment strings.
+E_EXT = 4
+F_EXT = 8
 
 
 @dataclasses.dataclass(frozen=True)

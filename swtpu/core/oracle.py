@@ -26,7 +26,7 @@ from typing import Optional
 
 import numpy as np
 
-from .config import DIAGONAL, LEFT, NONE, UP, Scoring
+from .config import DIAGONAL, E_EXT, F_EXT, LEFT, NONE, UP, Scoring
 
 
 @dataclasses.dataclass
@@ -118,7 +118,13 @@ def _fill_loop_affine(a, b, scoring, H, P, sub=None) -> OracleResult:
             if E[i, j] > best:
                 best, pred = E[i, j], LEFT
             H[i, j] = best
-            P[i, j] = pred
+            # Gotoh state bits for exact affine traceback: did E/F at this
+            # cell come from a gap EXTENSION (ties prefer extension)? An
+            # H-level P alone cannot encode gap-run structure; a walk using
+            # only it can return a sub-optimal alignment string.
+            e_ext = E[i, j] == E[i, j - 1] + scoring.gap_extend
+            f_ext = F[i, j] == F[i - 1, j] + scoring.gap_extend
+            P[i, j] = pred | (E_EXT if e_ext else 0) | (F_EXT if f_ext else 0)
             if best > H.flat[max_pos]:
                 max_pos = i * (m + 1) + j
     return OracleResult(H, P, max_pos, int(H.flat[max_pos]), E=E, F=F)
@@ -171,23 +177,36 @@ def fill(a: np.ndarray, b: np.ndarray, scoring: Scoring = Scoring(),
 def backtrack(P: np.ndarray, max_pos: int) -> list[int]:
     """Walk predecessors from max_pos to the first NONE cell; returns the
     row-major path indices (max_pos first). Mirrors serial_smithW.c:262-277
-    including the do-while structure (max_pos itself is always on the path)."""
+    including the do-while structure (max_pos itself is always on the path).
+    Affine P (with E_EXT/F_EXT state bits) walks the exact Gotoh state
+    machine: an UP/LEFT move enters the F/E state and stays there while the
+    extension bit says the gap run continues."""
     m1 = P.shape[1]
     flat = P.reshape(-1)
     path = []
     pos = max_pos
+    state = 0                      # 0 = H, UP = in F run, LEFT = in E run
     while True:
         path.append(pos)
-        code = flat[pos]
-        if code == DIAGONAL:
-            pred = pos - m1 - 1
-        elif code == UP:
+        code = int(flat[pos])
+        base = code & 3
+        if state == UP:
             pred = pos - m1
-        elif code == LEFT:
+            state = 0 if not (code & F_EXT) else UP
+        elif state == LEFT:
             pred = pos - 1
+            state = 0 if not (code & E_EXT) else LEFT
+        elif base == DIAGONAL:
+            pred = pos - m1 - 1
+        elif base == UP:
+            pred = pos - m1
+            state = 0 if not (code & F_EXT) else UP
+        elif base == LEFT:
+            pred = pos - 1
+            state = 0 if not (code & E_EXT) else LEFT
         else:  # NONE at the start cell: reference would stop before marking
             break
-        if flat[pred] == NONE:
+        if state == 0 and (flat[pred] & 3) == NONE:
             break
         pos = pred
     return path
@@ -217,24 +236,29 @@ def alignment_strings(
     out_a, out_b = [], []
     flat = P.reshape(-1)
     pos = max_pos
+    state = 0
     while True:
         i, j = divmod(pos, m1)
-        code = flat[pos]
-        if code == DIAGONAL:
+        code = int(flat[pos])
+        base = code & 3
+        move = state if state else base
+        if move == DIAGONAL:
             out_a.append(alphabet[a[j - 1]])
             out_b.append(alphabet[b[i - 1]])
             pred = pos - m1 - 1
-        elif code == UP:
+        elif move == UP:
             out_a.append("-")
             out_b.append(alphabet[b[i - 1]])
             pred = pos - m1
-        elif code == LEFT:
+            state = UP if (code & F_EXT) else 0
+        elif move == LEFT:
             out_a.append(alphabet[a[j - 1]])
             out_b.append("-")
             pred = pos - 1
+            state = LEFT if (code & E_EXT) else 0
         else:
             break
-        if flat[pred] == NONE:
+        if state == 0 and (flat[pred] & 3) == NONE:
             break
         pos = pred
     return "".join(reversed(out_a)), "".join(reversed(out_b))

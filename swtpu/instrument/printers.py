@@ -27,7 +27,7 @@ def format_predecessor_matrix(P: np.ndarray, color: bool = True) -> str:
         cells = []
         for v in row:
             v = int(v)
-            arrow = _ARROWS.get(abs(v), "-")
+            arrow = _ARROWS.get(abs(v) & 3, "-")   # mask affine state bits
             if v < 0 and color:     # negated = on the traceback path
                 cells.append(f"{BOLDRED}{arrow} {RESET}")
             else:

@@ -56,7 +56,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..core.config import DIAGONAL, LEFT, NONE, UP, EngineConfig, Scoring
+from ..core.config import (DIAGONAL, E_EXT, F_EXT, LEFT, NONE,
+                           UP, EngineConfig, Scoring)
 
 LANES = 128
 BIG = 2**30
@@ -407,6 +408,7 @@ def _kernel(scoring: Scoring, T: int, R: int, C: int, m: int, n: int,
                                             mismatch)
                         diag = dg + sub
                         if affine:
+                            fprev0 = fprev
                             e_new = jnp.maximum(lv + g_open, ev + g_ext)
                             f_new = jnp.maximum(up + g_open, fprev + g_ext)
                             u_val, l_val = f_new, e_new
@@ -439,6 +441,14 @@ def _kernel(scoring: Scoring, T: int, R: int, C: int, m: int, n: int,
                             take = l_val > hn
                             hn = jnp.where(take, l_val, hn)
                             pn = jnp.where(take, jnp.int32(LEFT), pn)
+                            if affine:
+                                # Gotoh state bits (tie -> extend), matching
+                                # the oracle/scan conventions exactly
+                                pn = (pn
+                                      + jnp.where(e_new == ev + g_ext,
+                                                  jnp.int32(E_EXT), 0)
+                                      + jnp.where(f_new == fprev0 + g_ext,
+                                                  jnp.int32(F_EXT), 0))
                             p_ref[0, tl, c, r] = pn
                         elif affine:
                             hn = jnp.maximum(jnp.maximum(diag, u_val),
@@ -618,22 +628,23 @@ def _kernel(scoring: Scoring, T: int, R: int, C: int, m: int, n: int,
 
 @jax.jit
 def _pack_p(p):
-    """Pack predecessor codes (0..3) 16-per-int32 along the steps axis
-    for cheap device->host transfer; `_unpack_p` reverses on the host."""
+    """Pack predecessor codes (0..15: base code + affine E/F state bits)
+    8-per-int32 along the steps axis for cheap device->host transfer;
+    `_unpack_p` reverses on the host."""
     S, steps, CB, R, sub, lanes = p.shape
-    pr = p.reshape(S, steps // 16, 16, CB, R, sub, lanes)
-    shifts = (2 * jnp.arange(16, dtype=jnp.int32))[None, None, :, None,
-                                                   None, None, None]
+    pr = p.reshape(S, steps // 8, 8, CB, R, sub, lanes)
+    shifts = (4 * jnp.arange(8, dtype=jnp.int32))[None, None, :, None,
+                                                  None, None, None]
     return jnp.sum(pr << shifts, axis=2)
 
 
 def _unpack_p(packed: np.ndarray) -> np.ndarray:
-    S, sp16, CB, R, sub, lanes = packed.shape
-    out = np.empty((16, S, sp16, CB, R, sub, lanes), np.int8)
-    for k in range(16):
-        out[k] = ((packed >> (2 * k)) & 3).astype(np.int8)
+    S, sp8, CB, R, sub, lanes = packed.shape
+    out = np.empty((8, S, sp8, CB, R, sub, lanes), np.int8)
+    for k in range(8):
+        out[k] = ((packed >> (4 * k)) & 15).astype(np.int8)
     return np.ascontiguousarray(out.transpose(1, 2, 0, 3, 4, 5, 6)) \
-        .reshape(S, sp16 * 16, CB, R, sub, lanes)
+        .reshape(S, sp8 * 8, CB, R, sub, lanes)
 
 
 class StripeOut(NamedTuple):
@@ -902,8 +913,8 @@ def stripe_fill_raw(
     p_stripes = None
     if return_p:
         p_stripes = outs[2]
-        if p_stripes.shape[1] % 16 == 0:
-            # 2-bit pack on device: 16x smaller transfer off the chip
+        if p_stripes.shape[1] % 8 == 0:
+            # 4-bit pack on device: 8x smaller transfer off the chip
             p_stripes = _unpack_p(np.asarray(_pack_p(p_stripes)))
         else:
             p_stripes = np.asarray(p_stripes).astype(np.int8)

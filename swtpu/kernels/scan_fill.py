@@ -34,7 +34,8 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from ..core.config import DIAGONAL, LEFT, NONE, UP, Scoring
+from ..core.config import (DIAGONAL, E_EXT, F_EXT, LEFT, NONE,
+                           UP, Scoring)
 
 NEG = jnp.int32(-(1 << 30))
 
@@ -150,10 +151,9 @@ def scan_fill(
         left = h1 + gap
 
         if affine:
+            f1s = _shift_down(f1, f_top_pad[t + 1])
             e_new = jnp.maximum(h1 + g_open, e1 + g_ext)       # LEFT chain
-            f_new = jnp.maximum(
-                h1s + g_open,
-                _shift_down(f1, f_top_pad[t + 1]) + g_ext)
+            f_new = jnp.maximum(h1s + g_open, f1s + g_ext)
             up = f_new
             left = e_new
 
@@ -172,6 +172,13 @@ def scan_fill(
         take = left > h_new
         h_new = jnp.where(take, left, h_new)
         p_new = jnp.where(take, jnp.int8(LEFT), p_new)
+        if affine:
+            # Gotoh state bits for exact affine traceback (tie -> extend)
+            p_new = (p_new
+                     + jnp.where(e_new == e1 + g_ext, jnp.int8(E_EXT),
+                                 jnp.int8(0))
+                     + jnp.where(f_new == f1s + g_ext, jnp.int8(F_EXT),
+                                 jnp.int8(0)))
 
         # Outside the matrix (or band), lanes carry their boundary value so
         # the entering cell reads the correct LEFT/DIAG neighbors.

@@ -86,3 +86,31 @@ def test_score_fast_path_matches_general():
     assert r.max_score == ref.max_score
     assert (r.max_i, r.max_j) == ref.max_ij
     assert r.last_cell == int(ref.H[-1, -1])
+
+
+def test_affine_traceback_stripe_plan():
+    """align() with affine gaps + traceback through the stripe plan's
+    P capture must reproduce the Gotoh oracle's score and positions and
+    yield an alignment that re-scores exactly under affine rules."""
+    import numpy as np
+    import swtpu
+    from swtpu.core import oracle
+    from swtpu.core.encode import random_pair
+
+    sc = swtpu.Scoring(mode="affine", gap_open=-6, gap_extend=-1)
+    a, b = random_pair(120, 300, seed=23)
+    b[40:120] = a[10:90]
+    ref = oracle.fill_loop(a, b, sc)
+    r = swtpu.align(a, b, scoring=sc, plan="stripe")
+    assert r.max_score == ref.max_score
+    assert (r.max_i, r.max_j) == ref.max_ij
+    # affine re-score of the alignment string
+    total, in_gap = 0, False
+    for x, y in zip(r.aligned_a, r.aligned_b):
+        if "-" in (x, y):
+            total += sc.gap_extend if in_gap else sc.gap_open
+            in_gap = True
+        else:
+            total += sc.match if x == y else sc.mismatch
+            in_gap = False
+    assert total == r.max_score
