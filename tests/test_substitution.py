@@ -114,3 +114,39 @@ def test_engine_substitution_stripe_plan():
     assert (r_str.max_i, r_str.max_j) == (r_scan.max_i, r_scan.max_j)
     assert r_str.aligned_a == r_scan.aligned_a
     assert r_str.aligned_b == r_scan.aligned_b
+
+
+def test_blosum_affine_traceback_rescore():
+    """Every walked BLOSUM62+affine alignment must re-score to its reported
+    max (the Gotoh state-bit invariant, across both plans)."""
+    import numpy as np
+    import swtpu
+    from swtpu.core.encode import PROTEIN_ALPHABET
+    from swtpu.core.substitution import BLOSUM62
+
+    rng = np.random.default_rng(31337)
+    sc = swtpu.Scoring(mode="affine", gap_open=-11, gap_extend=-1)
+    checked = 0
+    for t in range(6):
+        m, n = int(rng.integers(30, 120)), int(rng.integers(30, 220))
+        pa = rng.integers(0, 20, m).astype(np.int8)
+        pb = rng.integers(0, 20, n).astype(np.int8)
+        k = min(m, n) // 2
+        pb[:k] = pa[:k]
+        r = swtpu.align(pa, pb, scoring=sc, substitution=BLOSUM62,
+                        plan="stripe" if t % 2 else "scan",
+                        alphabet=PROTEIN_ALPHABET)
+        if r.max_score == 0:
+            continue
+        total, in_gap = 0, False
+        for x, y in zip(r.aligned_a, r.aligned_b):
+            if "-" in (x, y):
+                total += sc.gap_extend if in_gap else sc.gap_open
+                in_gap = True
+            else:
+                total += int(BLOSUM62[PROTEIN_ALPHABET.index(x),
+                                      PROTEIN_ALPHABET.index(y)])
+                in_gap = False
+        assert total == r.max_score, (t, total, r.max_score)
+        checked += 1
+    assert checked >= 4
