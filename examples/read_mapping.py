@@ -1,0 +1,94 @@
+"""End-to-end read-mapping example: FASTA in (native C++ reader), sharded
+database search on TPU, exact alignment strings out.
+
+    python examples/read_mapping.py          # generates demo data, runs
+
+The reference's workflow is one pair per process with printf output
+(omp_smithW.c:99-101); this is the production shape its design points at:
+many reads vs a long reference, batched on the device, exact tracebacks
+for the hits you care about.
+"""
+
+import os
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import swtpu                                       # noqa: E402
+from swtpu.core.encode import DNA_ALPHABET         # noqa: E402
+from swtpu.dist.database import (make_searcher, pad_queries,  # noqa: E402
+                                 shard_reference)
+from swtpu.runtime_native import read_seqfile      # noqa: E402
+
+
+def write_fasta(path, named):
+    with open(path, "w") as f:
+        for name, codes in named.items():
+            f.write(f">{name}\n")
+            f.write("".join(DNA_ALPHABET[c] for c in codes) + "\n")
+
+
+def main():
+    rng = np.random.default_rng(0)
+
+    # --- make a demo reference + reads (with mutations), via FASTA files
+    ref_codes = rng.integers(0, 4, 200_000).astype(np.int8)
+    reads = []
+    for k in range(2000):
+        pos = int(rng.integers(0, len(ref_codes) - 150))
+        r = ref_codes[pos:pos + 150].copy()
+        muts = rng.integers(0, 150, 5)
+        r[muts] = (r[muts] + rng.integers(1, 4, 5)) % 4   # 5 SNPs per read
+        reads.append(r)
+    reads.append(rng.integers(0, 4, 150).astype(np.int8))  # one random read
+
+    with tempfile.TemporaryDirectory() as d:
+        ref_fa = os.path.join(d, "ref.fa")
+        reads_fa = os.path.join(d, "reads.fa")
+        write_fasta(ref_fa, {"chr_demo": ref_codes})
+        write_fasta(reads_fa, {f"read{k}": r for k, r in enumerate(reads)})
+
+        # --- ingest through the native runtime (csrc FASTA reader)
+        ref = read_seqfile(ref_fa)[0]
+        qlist = read_seqfile(reads_fa)
+        queries = pad_queries(qlist, 152)         # pad reads to 8k rows
+
+        # --- device search: every read vs every reference window.
+        # Build the searcher once (jitted); reuse it for every batch.
+        import jax.numpy as jnp
+        shards, shard_len = shard_reference(ref, 1, 152)
+        searcher = make_searcher(None, qlen=152, shard_len=shard_len)
+        q, sh = jnp.asarray(queries), jnp.asarray(shards)
+        t0 = time.perf_counter()
+        hits = searcher(q, sh)
+        np.asarray(hits.scores)
+        print(f"(first call incl. jit compile: "
+              f"{time.perf_counter() - t0:.1f}s)")
+        t0 = time.perf_counter()
+        hits = searcher(q, sh)
+        scores = np.asarray(hits.scores)
+        pos = np.asarray(hits.ref_pos)
+        dt = time.perf_counter() - t0
+        cells = queries.shape[0] * 152 * len(ref)
+        print(f"searched {queries.shape[0]} reads x {len(ref)/1e3:.0f} kb "
+              f"in {dt:.2f}s ({cells/dt/1e9:.1f} GCUPS effective)")
+
+        # --- exact traceback for the best hit
+        best = int(np.argmax(scores))
+        end = int(pos[best])
+        lo = max(0, end - 200)
+        window = ref[lo:end + 1]
+        aln = swtpu.align(window, qlist[best])
+        print(f"best hit: read{best} score {int(scores[best])} "
+              f"ending at reference position {end}")
+        print(f"  read: {aln.aligned_b}")
+        print(f"  ref : {aln.aligned_a}")
+        assert int(scores[best]) == aln.max_score
+
+
+if __name__ == "__main__":
+    main()

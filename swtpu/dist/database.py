@@ -205,7 +205,12 @@ def pad_queries(queries: list[np.ndarray], qlen: int) -> np.ndarray:
 def search(queries, reference, mesh: Optional[Mesh] = None,
            window: int = 32768, scoring: Scoring = Scoring(),
            axis: str = "data", substitution=None) -> SearchHits:
-    """Convenience one-shot search (builds shards + searcher)."""
+    """Convenience one-shot search (builds shards + searcher).
+
+    NOTE: builds a fresh jitted searcher every call — for repeated
+    searches build one with `make_searcher` and reuse it (the jit cache
+    then makes subsequent calls pure device time; see
+    examples/read_mapping.py)."""
     queries = np.asarray(queries, np.int8)
     B, qlen = queries.shape
     D = mesh.shape[axis] if mesh is not None else 1
