@@ -169,19 +169,29 @@ def _nw_last_row(a: np.ndarray, b: np.ndarray, scoring: Scoring) -> np.ndarray:
     if n == 0:
         return scoring.gap * np.arange(m + 1)
     g = scoring.gap
-    top = (g * np.arange(m + 1)).astype(np.int32)
+    # Bucket the query length to a power of two so the Hirschberg
+    # recursion's arbitrary split widths reuse ~log2(m) compiled shapes
+    # instead of one per node (compile time dominated giant tracebacks).
+    # NW values at columns <= m are unaffected by sentinel-padded columns
+    # to their right (the DP flows left to right), so padding is exact.
+    mp = max(16, 1 << (m - 1).bit_length())
+    a_pad = np.full((mp,), -1, np.int8)
+    a_pad[:m] = a
+    top = (g * np.arange(mp + 1)).astype(np.int32)
     left = (g * np.arange(n + 1)).astype(np.int32)
-    if _use_stripe(n, m, scoring):
+    if _use_stripe(n, mp, scoring):
         # transposed stripe fill: the bottom row of (a, b) is the right
         # column of (b, a), which the kernel exports for any length
-        fn = _cached("block", n, m, scoring, local=False, want_bottom=False)
-        _, _, _, _, _, right = fn(jnp.asarray(b), jnp.asarray(a),
+        # (padded a-rows sit below the real rows and cannot affect them)
+        fn = _cached("block", n, mp, scoring, local=False,
+                     want_bottom=False)
+        _, _, _, _, _, right = fn(jnp.asarray(b), jnp.asarray(a_pad),
                                   jnp.asarray(left), jnp.asarray(top))
-        return np.asarray(right).astype(np.int64)
-    out = scan_fill(jnp.asarray(a), jnp.asarray(b), scoring=scoring,
+        return np.asarray(right[:m + 1]).astype(np.int64)
+    out = scan_fill(jnp.asarray(a_pad), jnp.asarray(b), scoring=scoring,
                     local=False, top_row=jnp.asarray(top),
                     left_col=jnp.asarray(left))
-    return np.asarray(out.bottom_row).astype(np.int64)
+    return np.asarray(out.bottom_row[:m + 1]).astype(np.int64)
 
 
 _BASE_CELLS = 1 << 18
