@@ -161,7 +161,7 @@ def align(
         out, P, H = stripe_fill(
             a_codes, b_codes, scoring=scoring, config=config,
             return_p=want_tb or return_matrices, return_h=return_matrices,
-            substitution=sub_np,
+            substitution=sub_np, band=config.band,
         )
     else:
         raise ValueError(f"unknown plan {plan!r}")

@@ -168,7 +168,7 @@ def _kernel(scoring: Scoring, T: int, R: int, C: int, m: int, n: int,
             batch: bool = False, unroll: int = 1,
             boundary: bool = False, want_bottom: bool = False,
             pairs: bool = False, local: bool = True, CB: int = 1,
-            nsym: int = 0):
+            nsym: int = 0, band: int = 0):
     L = T // R                       # lanes per stripe
     sub_rows = L // LANES
     logR = R.bit_length() - 1        # R is a power of two
@@ -301,6 +301,12 @@ def _kernel(scoring: Scoring, T: int, R: int, C: int, m: int, n: int,
             # delivered by the left-column inject at t == lin == 0, so the
             # plain zero init of hs is correct in the boundary case too.)
 
+        if band:
+            # banded mode: cells with |i - j| > band are forced to the zero
+            # floor (matching the scan plan's band semantics). The diagonal
+            # offset j - i = CB*t - lin*(CB+R) - s*T + (c - r) costs one
+            # broadcast per step plus two compares per cell.
+            bandbase = lin * (CB + R) + s_idx * T
         if nsym:
             # substitution-matrix mode: b_ref is a per-symbol query PROFILE
             # (prof[q][r][lane] = S[q, b_code(row)]; padding rows hold
@@ -449,6 +455,10 @@ def _kernel(scoring: Scoring, T: int, R: int, C: int, m: int, n: int,
                                                   jnp.int32(E_EXT), 0)
                                       + jnp.where(f_new == fprev0 + g_ext,
                                                   jnp.int32(F_EXT), 0))
+                            if band:
+                                doff = CB * t - bandbase + (c - r)
+                                pn = jnp.where(abs(doff) <= band, pn,
+                                               jnp.int32(NONE))
                             p_ref[0, tl, c, r] = pn
                         elif affine:
                             hn = jnp.maximum(jnp.maximum(diag, u_val),
@@ -459,6 +469,9 @@ def _kernel(scoring: Scoring, T: int, R: int, C: int, m: int, n: int,
                             # argmax below — callers use the max solely
                             # when it is positive)
                             hn = jnp.maximum(dl, up + gap)
+                        if band:
+                            doff = CB * t - bandbase + (c - r)
+                            hn = jnp.where(abs(doff) <= band, hn, 0)
                         new_h[c][r] = hn
                         up = hn
                         hpk = hn if local else jnp.maximum(hn, -8)
@@ -703,11 +716,12 @@ def _ring_len(m: int, T: int, R: int, C: int, CB: int = 1) -> int:
     jax.jit,
     static_argnames=("scoring", "T", "R", "C", "m", "n", "return_p",
                      "interpret", "unroll", "want_bottom", "local", "CB",
-                     "nsym"),
+                     "nsym", "band"),
 )
 def _stripe_call(q, bt, greset=None, top=None, lc=None, ftop=None, *,
                  scoring, T, R=1, C=256, m, n, return_p, interpret,
-                 unroll=1, want_bottom=False, local=True, CB=1, nsym=0):
+                 unroll=1, want_bottom=False, local=True, CB=1, nsym=0,
+                 band=0):
     num_stripes = bt.shape[0]
     L = T // R
     steps = _steps(m, L, CB)
@@ -730,10 +744,12 @@ def _stripe_call(q, bt, greset=None, top=None, lc=None, ftop=None, *,
     if nsym and boundary:
         raise NotImplementedError(
             "substitution-matrix boundary-injected fills not supported")
+    if band and (boundary or batch or not local):
+        raise NotImplementedError("banded mode: plain single-pair fills")
     kernel = _kernel(scoring, T, R, C, m, n, steps, num_chunks, return_p,
                      batch=batch, unroll=unroll, boundary=boundary,
                      want_bottom=want_bottom, local=local, CB=CB,
-                     nsym=nsym)
+                     nsym=nsym, band=band)
 
     out_shape = [
         jax.ShapeDtypeStruct((num_stripes, 8), jnp.int32),                 # best
@@ -873,6 +889,7 @@ def stripe_fill_raw(
     unroll: Optional[int] = None,
     interpret: Optional[bool] = None,
     substitution=None,
+    band: Optional[int] = None,
 ) -> StripeOut:
     """Run the stripe kernel; returns device arrays + host-reduced best.
 
@@ -907,7 +924,7 @@ def stripe_fill_raw(
     outs = _stripe_call(
         jnp.asarray(ap), jnp.asarray(bt), scoring=scoring, T=T, R=R, C=C,
         m=m, n=n, return_p=return_p, interpret=interpret, unroll=unroll,
-        CB=CB, nsym=nsym)
+        CB=CB, nsym=nsym, band=int(band) if band else 0)
     best = np.asarray(outs[0])
     rc = _lane_major_to_rowmajor(np.asarray(outs[1]), T, R)[:n]
     p_stripes = None
@@ -970,12 +987,12 @@ def _resolve_params(m, n, T, R, scoring, return_p=False,
 def stripe_fill(a_codes, b_codes, scoring: Scoring = Scoring(),
                 config: EngineConfig = EngineConfig(),
                 return_p: bool = False, return_h: bool = False,
-                substitution=None):
+                substitution=None, band=None):
     """Engine adapter: returns (FillOut-like, P row-major or None, H=None)."""
     out = stripe_fill_raw(
         np.asarray(a_codes, np.int8), np.asarray(b_codes, np.int8),
         scoring=scoring, T=config.stripe_rows, R=config.stripe_rows_per_lane,
-        return_p=return_p, substitution=substitution)
+        return_p=return_p, substitution=substitution, band=band)
     P = None
     if return_p and out.p_stripes is not None:
         P = p_stripes_to_rowmajor(

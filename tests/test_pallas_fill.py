@@ -336,3 +336,22 @@ def test_fuzz_configs_vs_oracle():
                                       err_msg=str(ctx))
         P = p_stripes_to_rowmajor(np.asarray(out.p_stripes), n, m)
         np.testing.assert_array_equal(P, ref.P, err_msg=str(ctx))
+
+
+def test_banded_matches_scan():
+    """Banded stripe mode vs the scan plan's band: scores, positions, P."""
+    import jax.numpy as jnp
+    from swtpu.kernels.scan_fill import diag_to_rowmajor, scan_fill
+
+    for band, R, CB in ((8, 1, 1), (25, 2, 2), (60, 4, 1)):
+        a, b = random_pair(90, 300, seed=400 + band)
+        ref = scan_fill(jnp.asarray(a), jnp.asarray(b), band=band,
+                        return_p=True)
+        out = stripe_fill_raw(a, b, T=512, C=128, R=R, CB=CB, band=band,
+                              return_p=True)
+        assert int(out.max_score) == int(ref.max_score), band
+        assert (int(out.max_i), int(out.max_j)) == (int(ref.max_i),
+                                                    int(ref.max_j)), band
+        P1 = p_stripes_to_rowmajor(np.asarray(out.p_stripes), 300, 90)
+        P2 = diag_to_rowmajor(ref.p_diag, 300, 90)
+        np.testing.assert_array_equal(P1, P2, err_msg=str(band))
