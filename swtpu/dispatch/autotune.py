@@ -73,13 +73,27 @@ def sweep(sizes=(512, 2048, 8192, 25632),
           cb_candidates=(1, 2),
           c_candidates=(128,),
           unrolls=(8, 32),
-          verbose: bool = True) -> dict:
-    """Measure all plans over the size grid; returns the tuned table."""
+          verbose: bool = True,
+          allow_non_tpu: bool = False) -> dict:
+    """Measure all plans over the size grid; returns the tuned table.
+
+    ``sizes`` entries are square side lengths (int) or rectangular
+    ``(m, n)`` tuples — the reference sweeps both grids
+    ({32..26000..512} square, 2000 x {2..150000..5000} rect; run-v0.sh).
+    Refuses to run off-TPU by default: timing interpreter-mode kernels
+    would persist a garbage table that dispatch then trusts."""
     from ..kernels.pallas_fill import LANES, choose_params
+    from .plan import current_platform
+
+    if not allow_non_tpu and current_platform() != "tpu":
+        raise RuntimeError(
+            f"autotune.sweep measures the live device; refusing to tune on "
+            f"platform {current_platform()!r} (pass allow_non_tpu=True to "
+            f"override, e.g. for CI smoke tests)")
 
     table = {"entries": []}
     for s in sizes:
-        m = n = s
+        m, n = (s, s) if isinstance(s, int) else (int(s[0]), int(s[1]))
         rows = []
         dt = _time_scan(m, n)
         rows.append({"plan": "scan", "T": None, "R": None, "CB": None,
@@ -130,15 +144,36 @@ class Policy:
 
     table: Optional[dict] = None
 
-    def choose(self, m: int, n: int) -> dict:
+    def choose_near(self, m: int, n: int, max_cells_ratio: float = 16.0,
+                    max_aspect_ratio: float = 4.0) -> Optional[dict]:
+        """Best measured config of the nearest entry in (cells, aspect)
+        log-space, or None when nothing is near enough — shape matters
+        (the engine's transpose trick is worth ~2x on thin problems), so a
+        2000 x 145002 rectangle must not silently resolve to a square
+        entry, and a tiny problem must not inherit a 25632^2 config."""
+        import math
         if not self.table or not self.table.get("entries"):
-            from .plan import choose_plan
-            return {"plan": choose_plan(m, n), "T": None, "R": None,
-                    "CB": None, "C": None, "unroll": None}
-        cells = m * n
-        entry = min(self.table["entries"],
-                    key=lambda e: abs(e["m"] * e["n"] - cells))
+            return None
+        cells, aspect = m * n, m / n
+
+        def dist(e):
+            dc = abs(math.log(max(e["m"] * e["n"], 1) / cells))
+            da = abs(math.log((e["m"] / e["n"]) / aspect))
+            return dc, da
+
+        entry = min(self.table["entries"], key=lambda e: sum(dist(e)))
+        dc, da = dist(entry)
+        if dc > math.log(max_cells_ratio) or da > math.log(max_aspect_ratio):
+            return None
         return dict(entry["best"])
+
+    def choose(self, m: int, n: int) -> dict:
+        got = self.choose_near(m, n)
+        if got is not None:
+            return got
+        from .plan import choose_plan
+        return {"plan": choose_plan(m, n), "T": None, "R": None,
+                "CB": None, "C": None, "unroll": None}
 
     def observe(self, m: int, n: int, plan: str, T, C, seconds: float,
                 R=None, CB=None, unroll=None):

@@ -4,17 +4,30 @@ The reference picks serial / CPU-parallel / GPU per *diagonal* with fixed
 thresholds (omp_smithW-v7-adaptive.cpp:106-107,303-397) or an Apollo-learned
 policy (omp_smithW-v8-apollo.cpp:304-420). Under XLA the whole fill is one
 compiled program, so the dispatch granularity is the *problem*, not the
-diagonal: small problems run the scan plan (lower launch/compile overhead),
-large single-chip problems run the Pallas stripe kernel, and huge ones go to
-the multi-chip pipeline. Thresholds live in EngineConfig and can be re-fit by
-``dispatch.autotune`` (the tuneCutoff.sh analog).
+diagonal. Three tiers mirror v7's serial/CPU/GPU ladder:
+
+* 'scan'     — small problems run the XLA scan plan (lower launch overhead);
+* 'stripe'   — large single-chip problems run the Pallas stripe kernel;
+* 'pipeline' — problems beyond the single-kernel width cap go to the
+  multi-chip sequence-parallel pipeline (dist/pipeline.py).
+
+When a persisted autotune table is available (the Apollo analog), dispatch
+returns the *measured best executed configuration* — plan AND the stripe
+kernel's (T, R, CB, C, unroll) — not just a plan name; `align()`/`score()`
+run exactly that config. Live timed paths feed `Policy.observe` (the
+region->end() analog, omp_smithW-v8-apollo.cpp:420) so the table keeps
+learning online.
 """
 
 from __future__ import annotations
 
+import dataclasses
+import math
+from typing import Optional
+
 import jax
 
-from ..core.config import EngineConfig
+from ..core.config import EngineConfig, Scoring
 
 
 def current_platform() -> str:
@@ -27,13 +40,31 @@ def current_platform() -> str:
     return jax.default_backend()
 
 
+@dataclasses.dataclass(frozen=True)
+class ExecPlan:
+    """A fully resolved execution decision: the plan tier plus the stripe
+    kernel configuration to run (None fields = engine cost-model choice).
+    `source` records whether a measured table or the static thresholds
+    decided — the v8-vs-v7 distinction."""
+
+    plan: str                      # 'scan' | 'stripe' | 'pipeline'
+    T: Optional[int] = None
+    R: Optional[int] = None
+    CB: Optional[int] = None
+    C: Optional[int] = None
+    unroll: Optional[int] = None
+    source: str = "threshold"      # 'threshold' | 'tuned'
+
+
 _policy_cache = {"loaded": False, "policy": None}
 
 
-def _tuned_policy():
+def _tuned_policy(create: bool = False):
     """Lazily load the persisted autotune table (the Apollo analog): the
     SWTPU_TUNED_TABLE env var wins, else the default filenames in the
-    working directory. Returns a Policy or None."""
+    working directory. With create=True, returns a fresh in-memory Policy
+    when no table exists, so live observations accumulate (online v8 mode
+    without a prior sweep)."""
     if not _policy_cache["loaded"]:
         _policy_cache["loaded"] = True
         import os
@@ -46,21 +77,83 @@ def _tuned_policy():
                 if table:
                     _policy_cache["policy"] = Policy(table)
                     break
+    if create and _policy_cache["policy"] is None:
+        from .autotune import Policy
+        _policy_cache["policy"] = Policy()
     return _policy_cache["policy"]
 
 
-def choose_plan(m: int, n: int, config: EngineConfig = EngineConfig()) -> str:
-    """Return 'scan' or 'stripe' for a single-pair problem of m cols, n rows.
+def _sanitize(e: dict, m: int, n: int) -> Optional[ExecPlan]:
+    """Validate a tuned table row against this problem's constraints; the
+    kernel would reject invalid combos, so dispatch must never emit one."""
+    from ..kernels.pallas_fill import DEFAULT_CHUNK, LANES
+    plan = e.get("plan", "stripe")
+    if plan != "stripe":
+        return ExecPlan(plan, source="tuned")
+    T, R, CB = e.get("T"), e.get("R"), e.get("CB")
+    C, unroll = e.get("C"), e.get("unroll")
+    if R is not None and (R & (R - 1) or R < 1):
+        return None
+    if CB is not None and (CB & (CB - 1) or CB < 1):
+        return None
+    if T is not None:
+        R_ = R or 1
+        T = -(-T // (LANES * R_)) * LANES * R_    # multiple of 128*R
+    if C is not None and unroll is not None and C % unroll:
+        unroll = None                             # let the engine re-derive
+    if C is not None and C % LANES:
+        C = DEFAULT_CHUNK
+    return ExecPlan("stripe", T=T, R=R, CB=CB, C=C, unroll=unroll,
+                    source="tuned")
 
-    Measured-cost dispatch when a tuned table is available (autotune sweep
-    persisted to disk — the v8/Apollo analog); size thresholds otherwise
-    (the v7 analog)."""
+
+def choose_exec(m: int, n: int, config: EngineConfig = EngineConfig(),
+                scoring: Optional[Scoring] = None) -> ExecPlan:
+    """Resolve the execution plan AND kernel configuration for a single-pair
+    problem of m cols, n rows.
+
+    Tier order: beyond the single-kernel width cap -> 'pipeline'
+    (m > MAX_WIDTH: the Q stream + boundary ring no longer fit VMEM; the
+    multi-chip column-stripe pipeline splits m across devices). Otherwise,
+    measured-cost dispatch when a tuned table has a near-enough entry
+    (the v8/Apollo analog); static size thresholds else (the v7 analog)."""
+    from ..kernels.pallas_fill import MAX_WIDTH
     cells = m * n
+    if m > MAX_WIDTH:
+        return ExecPlan("pipeline")
     if current_platform() != "tpu":
-        return "scan"
+        return ExecPlan("scan")
+    if scoring is not None:
+        from ..kernels.pallas_fill import _penalties_negative
+        if not _penalties_negative(scoring):
+            return ExecPlan("scan")
     pol = _tuned_policy()
     if pol is not None:
-        return pol.choose(m, n).get("plan", "stripe")
+        e = pol.choose_near(m, n)
+        if e is not None:
+            got = _sanitize(e, m, n)
+            if got is not None:
+                return got
     if cells <= config.scan_max_cells:
-        return "scan"
-    return "stripe"
+        return ExecPlan("scan")
+    return ExecPlan("stripe")
+
+
+def choose_plan(m: int, n: int, config: EngineConfig = EngineConfig()) -> str:
+    """Plan-name-only view of choose_exec (back-compat surface)."""
+    return choose_exec(m, n, config).plan
+
+
+def observe(m: int, n: int, plan: str, seconds: float, T=None, R=None,
+            CB=None, C=None, unroll=None) -> None:
+    """Feed a live measured timing back into the session policy — the
+    Apollo region->end() analog (omp_smithW-v8-apollo.cpp:420). Called by
+    the engine's warm timed paths; accumulates in memory (persist with
+    dispatch.autotune.save(session_policy().table))."""
+    pol = _tuned_policy(create=True)
+    pol.observe(m, n, plan, T, C, seconds, R=R, CB=CB, unroll=unroll)
+
+
+def session_policy():
+    """The live Policy (loaded table + online observations), or None."""
+    return _tuned_policy()

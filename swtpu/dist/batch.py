@@ -47,6 +47,12 @@ _pairs_cache = {}
 def _use_pairs_kernel(scoring: Scoring, band, m: int, n: int,
                       plan: str, interpret: Optional[bool]) -> bool:
     if plan == "stripe":
+        if band is not None:
+            # pairs_score_fn has no banded mode; returning full-matrix
+            # scores where banded ones were requested would be silent wrong
+            raise ValueError(
+                "plan='stripe' batch scoring does not support band; "
+                "use plan='auto'/'scan' (vmapped scan) for banded batches")
         return True
     if plan != "auto" or band is not None:
         return False

@@ -45,7 +45,7 @@ def _mesh_platform(mesh: Mesh) -> str:
 
 
 def _block_fill_plan(mesh: Mesh, mc: int, block_rows: int, scoring: Scoring,
-                     block_fill: str) -> str:
+                     block_fill: str, global_mode: bool = False) -> str:
     """'stripe' iff the Pallas block kernel applies (TPU mesh, linear gap,
     block_rows a multiple of 128); 'scan' otherwise."""
     if block_fill != "auto":
@@ -53,20 +53,26 @@ def _block_fill_plan(mesh: Mesh, mc: int, block_rows: int, scoring: Scoring,
     from ..kernels.pallas_fill import _penalties_negative
     if (_mesh_platform(mesh) == "tpu"
             and _penalties_negative(scoring) and block_rows % LANES == 0
-            and mc >= 2):
+            and mc >= 2 and not (global_mode and scoring.is_affine)):
         return "stripe"
     return "scan"
 
 
 def make_pipeline(mesh: Mesh, m: int, n: int, block_rows: int,
                   scoring: Scoring = Scoring(), axis: str = "seq",
-                  block_fill: str = "auto"):
+                  block_fill: str = "auto", mode: str = "local"):
     """Build a jitted (a, b) -> PipelineResult for an (n x m) single pair.
 
     `a` is sharded over `axis` (m must divide by D); `b` is replicated.
     `block_rows` (R) is the row-block height; n must divide by R.
     Per-stage block fills run the Pallas stripe kernel on TPU
     (`block_fill='stripe'`), falling back to the XLA scan plan elsewhere.
+
+    ``mode='global'`` runs the anchored Needleman-Wunsch recurrence instead:
+    no zero floor, -inf H boundaries everywhere except the (0, 0) origin.
+    This is the multi-chip form of the anchored-reverse locate pass
+    (engine/traceback.py locate()); its (max, position) outputs are valid
+    when the true max is positive, which the anchored contract guarantees.
     """
     D = mesh.shape[axis]
     if m % D:
@@ -78,13 +84,18 @@ def make_pipeline(mesh: Mesh, m: int, n: int, block_rows: int,
     nblocks = n // R
     stages = nblocks + D - 1
     perm = [(i, i + 1) for i in range(D - 1)]
+    is_local = mode == "local"
+    if not is_local and scoring.is_affine:
+        raise NotImplementedError(
+            "global-mode pipeline supports linear gaps only")
 
-    plan = _block_fill_plan(mesh, mc, block_rows, scoring, block_fill)
+    plan = _block_fill_plan(mesh, mc, block_rows, scoring, block_fill,
+                            global_mode=not is_local)
     if plan == "stripe":
         from ..kernels.pallas_fill import stripe_block_fn
         rk = next(r for r in (8, 4, 2, 1) if block_rows % (LANES * r) == 0)
         sfn = stripe_block_fn(mc, block_rows, scoring=scoring,
-                              T=block_rows, R=rk,
+                              T=block_rows, R=rk, local=is_local,
                               interpret=_mesh_platform(mesh) != "tpu")
 
     affine = scoring.is_affine
@@ -96,7 +107,7 @@ def make_pipeline(mesh: Mesh, m: int, n: int, block_rows: int,
                 return sfn(a_shard, b_block, top_row, left_col,
                            top_f, left_e)
             return sfn(a_shard, b_block, top_row, left_col) + (None, None)
-        out = scan_fill(a_shard, b_block, scoring=scoring,
+        out = scan_fill(a_shard, b_block, scoring=scoring, local=is_local,
                         top_row=top_row, left_col=left_col,
                         top_f=top_f if affine else None,
                         left_e=left_e if affine else None)
@@ -136,7 +147,9 @@ def make_pipeline(mesh: Mesh, m: int, n: int, block_rows: int,
             prev_bottom = jnp.where(active, o_bottom, prev_bottom)
             # halo: my right edge becomes the next device's left edge at
             # stage t+1 (device d+1 then works block r = t+1-(d+1) = t-d).
-            halo = jnp.where(active, o_right, jnp.zeros_like(o_right))
+            halo = jnp.where(active, o_right,
+                             jnp.zeros_like(o_right) if is_local
+                             else jnp.full_like(o_right, NEGB))
             if affine:
                 prev_bottom_f = jnp.where(active, o_bottom_f, prev_bottom_f)
                 halo_e = jnp.where(active, o_right_e, NEGB)
@@ -152,14 +165,30 @@ def make_pipeline(mesh: Mesh, m: int, n: int, block_rows: int,
             else:
                 left_next = lax.ppermute(halo, axis, perm) if perm else \
                     jnp.zeros_like(halo)
+                if not is_local:
+                    # NW: device 0 has no sender (ppermute delivers zeros);
+                    # its column-0 boundary below block 0 is -inf
+                    left_next = jnp.where(d == 0,
+                                          jnp.full_like(halo, NEGB),
+                                          left_next)
                 left_e_next = left_e_in
             return (prev_bottom, prev_bottom_f, left_next, left_e_next,
                     bs, bi, bj, last)
 
+        if is_local:
+            top0 = jnp.zeros((mc + 1,), jnp.int32)
+            left0 = jnp.zeros((R + 1,), jnp.int32)
+        else:
+            # NW anchored boundaries: -inf everywhere except the (0, 0)
+            # origin, which only device 0's shard contains
+            top0 = jnp.full((mc + 1,), NEGB).at[0].set(
+                jnp.where(d == 0, 0, NEGB))
+            left0 = jnp.full((R + 1,), NEGB).at[0].set(
+                jnp.where(d == 0, 0, NEGB))
         carry0 = (
-            jnp.zeros((mc + 1,), jnp.int32),   # top boundary of block row 0
+            top0,                              # top boundary of block row 0
             jnp.full((mc + 1,), NEGB),         # F(0, :) = -inf
-            jnp.zeros((R + 1,), jnp.int32),    # left boundary of device 0
+            left0,                             # left boundary of device 0
             jnp.full((R + 1,), NEGB),          # E(:, 0) = -inf
             jnp.int32(0), jnp.int32(0), jnp.int32(0), jnp.int32(0),
         )
@@ -204,6 +233,80 @@ def pipeline_align(a_codes: np.ndarray, b_codes: np.ndarray, mesh: Mesh,
     return res
 
 
+def _pipeline_nw_argmax(a_codes: np.ndarray, b_codes: np.ndarray,
+                        mesh: Mesh, block_rows: int, scoring: Scoring,
+                        axis: str):
+    """Anchored NW argmax over the mesh: (score, i, j) of the first
+    row-major maximum of the global-mode DP with -inf boundaries. Sentinel
+    padding decays strictly (every padded-region inflow adds a negative
+    increment), so padded cells can never tie the true positive max."""
+    D = mesh.shape[axis]
+    m, n = len(a_codes), len(b_codes)
+    mp = -(-max(m, 1) // D) * D
+    np_ = -(-max(n, 1) // block_rows) * block_rows
+    a_pad = np.full((mp,), -1, np.int8)
+    a_pad[:m] = a_codes
+    b_pad = np.full((np_,), -2, np.int8)
+    b_pad[:n] = b_codes
+    fn = make_pipeline(mesh, mp, np_, block_rows, scoring, axis,
+                       mode="global")
+    res = fn(jnp.asarray(a_pad), jnp.asarray(b_pad))
+    return int(res.max_score), int(res.max_i), int(res.max_j)
+
+
+def pipeline_locate(a_codes: np.ndarray, b_codes: np.ndarray, mesh: Mesh,
+                    block_rows: int = 512, scoring: Scoring = Scoring(),
+                    axis: str = "seq"):
+    """Multi-chip locate: forward pipeline finds (score, end), an anchored
+    NW reverse pipeline finds the start — the mesh-scale form of
+    engine/traceback.py locate(). Returns a Located or None.
+
+    This is the capability the reference's memory-lean family never
+    reached: its rotated backtrack is a TODO stub
+    (rotated-cuda/sw-rotated.cu:286-319) and it has no multi-device story
+    at all (SURVEY.md §2.6)."""
+    from ..engine.traceback import Located
+    if scoring.is_affine:
+        raise NotImplementedError(
+            "pipeline locate supports linear gaps only")
+    fwd = pipeline_align(a_codes, b_codes, mesh, block_rows=block_rows,
+                         scoring=scoring, axis=axis)
+    score = int(fwd.max_score)
+    if score <= 0:
+        return None
+    ei, ej = int(fwd.max_i), int(fwd.max_j)
+    ar = a_codes[:ej][::-1].copy()
+    br = b_codes[:ei][::-1].copy()
+    rs, ri, rj = _pipeline_nw_argmax(ar, br, mesh, block_rows, scoring,
+                                     axis)
+    assert rs == score, (rs, score)
+    return Located(score, ei - ri + 1, ej - rj + 1, ei, ej,
+                   int(fwd.last_cell))
+
+
+def pipeline_traceback(a_codes: np.ndarray, b_codes: np.ndarray, mesh: Mesh,
+                       block_rows: int = 512, scoring: Scoring = Scoring(),
+                       axis: str = "seq",
+                       max_window_cells: Optional[int] = None,
+                       alphabet: str = "ACGT"):
+    """Alignment strings for a mega-matrix that needed the mesh: pipeline
+    locate (forward + anchored reverse across chips), then a single-chip
+    windowed refill of just the located alignment window (falling back to
+    Hirschberg when the window itself exceeds the budget). Returns
+    (score, Located, aligned_a, aligned_b) or None.
+
+    Completes the reference's universal post-processing
+    (serial_smithW.c:262-277) for problems no single device can hold."""
+    loc = pipeline_locate(a_codes, b_codes, mesh, block_rows=block_rows,
+                          scoring=scoring, axis=axis)
+    if loc is None:
+        return None
+    from ..engine import traceback as tb
+    return tb.windowed(a_codes, b_codes, scoring,
+                       max_window_cells=max_window_cells, loc=loc,
+                       alphabet=alphabet)
+
+
 def dryrun(mesh: Mesh) -> None:
     """Tiny end-to-end pipeline step for the driver's multichip dry run."""
     axis = list(mesh.shape.keys())[0]
@@ -230,6 +333,17 @@ def dryrun(mesh: Mesh) -> None:
     assert int(res2.max_score) == ref2.max_score, (
         int(res2.max_score), ref2.max_score)
     assert (int(res2.max_i), int(res2.max_j)) == ref2.max_ij
+
+    # multi-chip traceback: pipeline locate (fwd + anchored NW reverse) +
+    # windowed refill must reproduce the oracle's score as an alignment
+    got = pipeline_traceback(a, b, mesh, block_rows=16, axis=axis)
+    assert got is not None
+    score, loc, ra, rb = got
+    assert score == ref.max_score
+    s = 0
+    for x, y in zip(ra, rb):
+        s += -2 if "-" in (x, y) else (3 if x == y else -3)
+    assert s == ref.max_score, (s, ref.max_score)
 
 
 def make_pipeline_batch(mesh: Mesh, P_pairs: int, m: int, n: int,

@@ -8,6 +8,7 @@ selected by ``swtpu.dispatch`` (the v7/v8 analog) or forced via ``plan=``.
 from __future__ import annotations
 
 import dataclasses
+import time
 from typing import Optional, Union
 
 import numpy as np
@@ -17,6 +18,18 @@ from ..core import oracle
 from ..core.config import EngineConfig, Scoring
 from ..core.encode import DNA_ALPHABET, encode
 from ..kernels.scan_fill import diag_to_rowmajor, scan_fill
+
+
+def _default_mesh(axis: str = "seq"):
+    """All local devices as a 1-D mesh for the pipeline tier, or None when
+    this process has a single device (pipeline degenerates to single-chip)."""
+    import jax
+    from jax.sharding import Mesh
+    devs = jax.devices()
+    if len(devs) < 2:
+        return None
+    return Mesh(np.array(devs), (axis,))
+
 
 
 @dataclasses.dataclass
@@ -63,6 +76,7 @@ def align(
     plan: Optional[str] = None,
     substitution: Optional[np.ndarray] = None,
     alphabet: str = DNA_ALPHABET,
+    mesh=None,
 ) -> Alignment:
     """Align sequence ``a`` (columns, length m) against ``b`` (rows, length n).
 
@@ -92,30 +106,61 @@ def align(
         res._m1 = m + 1
         return res
 
+    # resolve the execution plan + tuned kernel configuration (the v7/v8
+    # dispatch; ExecPlan carries the measured best (T, R, CB, C, unroll)
+    # when the autotune table has a near entry)
+    exec_plan = None
+    if plan in (None, "auto"):
+        from ..dispatch.plan import choose_exec
+        exec_plan = choose_exec(m, n, config, scoring)
+        plan = exec_plan.plan
+    # explicit EngineConfig kernel params always win over the tuned table
+    kern = {}
+    if exec_plan is not None and exec_plan.plan == "stripe" \
+            and config.stripe_rows is None \
+            and config.stripe_rows_per_lane is None:
+        kern = {k: getattr(exec_plan, k) for k in
+                ("T", "R", "CB", "C", "unroll")
+                if getattr(exec_plan, k) is not None}
+
+    # multi-chip tier: problems beyond the single-kernel width cap route to
+    # the sequence-parallel pipeline when a mesh is available
+    if plan == "pipeline":
+        if mesh is None:
+            mesh = _default_mesh()
+        if mesh is not None and not return_matrices and sub_np is None \
+                and config.band is None:
+            res = _pipeline_path(a_codes, b_codes, scoring, config, mesh,
+                                 want_tb, alphabet)
+            if res is not None:
+                return res
+        # no mesh / unsupported mode: degrade to the single-chip plans
+        from ..kernels.pallas_fill import stripe_fill_supported
+        plan = ("stripe" if sub_np is None
+                and stripe_fill_supported(m, n, want_tb, scoring)
+                else "scan")
+
     # memory-lean traceback path: skip P capture entirely, use
     # locate + windowed refill / Hirschberg (engine/traceback.py)
     method = config.traceback_method
     if method == "auto":
         method = "full" if m * n <= config.full_p_max_cells else "windowed"
     if (want_tb and method in ("windowed", "hirschberg")
-            and not scoring.is_affine and not return_matrices
-            and substitution is None):
+            and not return_matrices):
         from . import traceback as tb
-        got = (tb.windowed(a_codes, b_codes, scoring) if method == "windowed"
-               else tb.hirschberg(a_codes, b_codes, scoring))
+        kw = dict(sub=sub_np, alphabet=alphabet)
+        got = (tb.windowed(a_codes, b_codes, scoring, **kw)
+               if method == "windowed"
+               else tb.hirschberg(a_codes, b_codes, scoring, **kw))
         if got is None:
             res = Alignment(max_score=0, max_i=0, max_j=0, last_cell=0)
         else:
             score_v, loc, ra, rb = got
             res = Alignment(max_score=score_v, max_i=loc.end_i,
-                            max_j=loc.end_j, last_cell=0,
+                            max_j=loc.end_j, last_cell=loc.last_cell,
                             aligned_a=ra, aligned_b=rb)
         res._m1 = m + 1
         return res
-
-    if plan in (None, "auto"):
-        from ..dispatch.plan import choose_plan
-        plan = choose_plan(m, n, config)
 
     # score-only fast path: fully device-resident (input prep + reduction
     # jitted, one tiny fetch) — the per-call host prep of the general path
@@ -124,9 +169,18 @@ def align(
             and sub_np is None and config.band is None):
         from ..kernels.pallas_fill import stripe_fill_supported
         if stripe_fill_supported(m, n, False, scoring):
-            fn = _score_fn_cached(m, n, scoring)
+            params = tuple(sorted(kern.items()))
+            warm = (m, n, scoring, params) in _score_cache
+            fn = _score_fn_cached(m, n, scoring, params)
+            t0 = time.perf_counter()
             vals = np.asarray(fn(jnp.asarray(a_codes),
                                  jnp.asarray(b_codes)))   # ONE fetch
+            if warm:
+                # live measured feedback into the dispatch policy — the
+                # Apollo region->end() analog (cold calls would pollute
+                # the table with compile time)
+                from ..dispatch.plan import observe
+                observe(m, n, "stripe", time.perf_counter() - t0, **kern)
             res = Alignment(max_score=int(vals[0]), max_i=int(vals[1]),
                             max_j=int(vals[2]), last_cell=int(vals[3]))
             res._m1 = m + 1
@@ -158,10 +212,14 @@ def align(
              if out.h_diag is not None else None)
     elif plan == "stripe":
         from ..kernels.pallas_fill import stripe_fill
+        want_p = want_tb or return_matrices
         out, P, H = stripe_fill(
             a_codes, b_codes, scoring=scoring, config=config,
-            return_p=want_tb or return_matrices, return_h=return_matrices,
+            return_p=want_p, return_h=return_matrices,
             substitution=sub_np, band=config.band,
+            # tuned configs are measured score-only; the P-capture path has
+            # its own VMEM cap, so it keeps the cost-model choice
+            **({} if want_p else kern),
         )
     else:
         raise ValueError(f"unknown plan {plan!r}")
@@ -185,11 +243,15 @@ def align(
 _score_cache = {}
 
 
-def _score_fn_cached(m: int, n: int, scoring: Scoring):
-    key = (m, n, scoring)
+def _score_fn_cached(m: int, n: int, scoring: Scoring, params=()):
+    """params: sorted (name, value) pairs of tuned stripe kernel overrides
+    (T/R/CB/C/unroll) — part of the cache key so a table refresh takes
+    effect immediately."""
+    key = (m, n, scoring, tuple(params))
     if key not in _score_cache:
         from ..kernels.pallas_fill import stripe_score_fn
-        base = stripe_score_fn(m, n, scoring, want_last=True)
+        base = stripe_score_fn(m, n, scoring, want_last=True,
+                               **dict(params))
         import jax as _jax
         _score_cache[key] = _jax.jit(
             lambda a, b: jnp.stack(base(a, b)))   # one device->host fetch
@@ -198,21 +260,58 @@ def _score_fn_cached(m: int, n: int, scoring: Scoring):
     return _score_cache[key]
 
 
+def _pipeline_path(a_codes, b_codes, scoring, config, mesh, want_tb,
+                   alphabet):
+    """Route a beyond-single-chip problem through the sequence-parallel
+    pipeline (score) / pipeline locate + window refill (traceback).
+    Returns None when this scoring/mesh combination can't run there (the
+    caller then degrades to single-chip plans)."""
+    from ..dist import pipeline as pl
+    m, n = len(a_codes), len(b_codes)
+    axis = list(mesh.shape.keys())[0]
+    try:
+        if not want_tb:
+            out = pl.pipeline_align(a_codes, b_codes, mesh, scoring=scoring,
+                                    axis=axis)
+            res = Alignment(max_score=int(out.max_score),
+                            max_i=int(out.max_i), max_j=int(out.max_j),
+                            last_cell=int(out.last_cell))
+        else:
+            got = pl.pipeline_traceback(a_codes, b_codes, mesh,
+                                        scoring=scoring, axis=axis,
+                                        alphabet=alphabet)
+            if got is None:
+                res = Alignment(max_score=0, max_i=0, max_j=0, last_cell=0)
+            else:
+                score_v, loc, ra, rb = got
+                res = Alignment(max_score=score_v, max_i=loc.end_i,
+                                max_j=loc.end_j, last_cell=loc.last_cell,
+                                aligned_a=ra, aligned_b=rb)
+    except NotImplementedError:
+        return None
+    res._m1 = m + 1
+    return res
+
+
 def _fill_fn_for_bench(m: int, n: int, scoring: Scoring = Scoring()):
     """Return (jittable score-only fill fn, plan name) for benchmarking.
 
     The fn takes device arrays (a, b) and returns (max_score, max_i, max_j)
     so timing excludes host traceback — the reference times exactly this
     phase (omp_smithW.c:199-228)."""
-    from ..dispatch.plan import choose_plan
-    plan = choose_plan(m, n)
-    if plan == "stripe":
+    from ..dispatch.plan import choose_exec
+    ep = choose_exec(m, n, scoring=scoring)
+    plan = ep.plan
+    if plan != "scan":
         from ..kernels.pallas_fill import stripe_fill_supported
-        if not stripe_fill_supported(m, n, traceback=False, scoring=scoring):
-            plan = "scan"
+        plan = ("stripe" if stripe_fill_supported(m, n, traceback=False,
+                                                  scoring=scoring)
+                else "scan")     # single-chip bench: no pipeline tier here
     if plan == "stripe":
         from ..kernels.pallas_fill import stripe_score_fn
-        return stripe_score_fn(m, n, scoring), "stripe"
+        kern = {k: getattr(ep, k) for k in ("T", "R", "CB", "C", "unroll")
+                if getattr(ep, k) is not None}
+        return stripe_score_fn(m, n, scoring, **kern), "stripe"
 
     def fn(a, b):
         out = scan_fill(a, b, scoring=scoring)

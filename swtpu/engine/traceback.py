@@ -1,5 +1,5 @@
 """Memory-lean traceback for huge matrices: locate + windowed refill +
-Hirschberg divide-and-conquer.
+Hirschberg / Myers-Miller divide-and-conquer.
 
 The reference keeps the full O(mn) predecessor matrix and walks it on the
 host (serial_smithW.c:262-277); its memory-lean rotated family simply leaves
@@ -14,7 +14,13 @@ This module closes that gap TPU-natively:
 3. `hirschberg()` — otherwise, global-align the located substrings in
    O(m+n) memory via divide-and-conquer, with the row-splitting passes
    running the device NW fill (`scan_fill(local=False)`) and only the
-   O(small) base cases materializing matrices.
+   O(small) base cases materializing matrices. Affine gaps use the full
+   Myers-Miller state split (forward/reverse H AND F last rows, border
+   gap-open flags so a vertical gap crossing a split is charged one open).
+
+All three support linear and affine (Gotoh) gaps and arbitrary substitution
+matrices (BLOSUM/PAM) — capability extensions over the linear-only
+reference (serial_smithW.c:61).
 
 Note on parity: full-P traceback (the default engine path) reproduces the
 reference's tie-breaking exactly. The linear-space paths return an optimal
@@ -29,19 +35,36 @@ from typing import NamedTuple, Optional
 import jax.numpy as jnp
 import numpy as np
 
-from ..core.config import DIAGONAL, LEFT, NONE, UP, Scoring
+from ..core.config import DIAGONAL, E_EXT, F_EXT, LEFT, NONE, UP, Scoring
 from ..core.encode import DNA_ALPHABET
 from ..kernels.scan_fill import diag_to_rowmajor, scan_fill
 
 _STRIPE_MIN_CELLS = 1 << 20
+_NEG = -(1 << 30)
 
 
-def _use_stripe(m: int, n: int, scoring: Scoring) -> bool:
+def _use_stripe(m: int, n: int, scoring: Scoring, nw: bool = False,
+                sub=None) -> bool:
+    """Stripe-kernel gate: score passes support affine; the NW (global)
+    block mode and substitution profiles stay on the scan plan."""
     from ..dispatch.plan import current_platform
     from ..kernels.pallas_fill import _penalties_negative
-    return (current_platform() == "tpu" and not scoring.is_affine
+    if sub is not None:
+        return False
+    if nw and scoring.is_affine:
+        return False
+    return (current_platform() == "tpu"
             and _penalties_negative(scoring) and m >= 2 and n >= 1
             and m * n >= _STRIPE_MIN_CELLS)
+
+
+def _sub_table(sub):
+    """Raw (A, A) substitution matrix -> embedded jnp (A+3, A+3) table for
+    scan_fill (sentinel codes -1/-2/-3 score NEG_SUB)."""
+    if sub is None:
+        return None
+    from ..core.substitution import embed_sentinels
+    return jnp.asarray(embed_sentinels(np.asarray(sub)))
 
 
 _fn_cache = {}
@@ -58,31 +81,33 @@ def _cached(kind, m, n, scoring, **kw):
     return _fn_cache[key]
 
 
-def _local_score(a: np.ndarray, b: np.ndarray, scoring: Scoring):
-    """Score-only forward pass: (max_score, max_i, max_j)."""
+def _local_score(a: np.ndarray, b: np.ndarray, scoring: Scoring, sub=None):
+    """Score-only forward pass: (max_score, max_i, max_j, last_cell)."""
     m, n = len(a), len(b)
-    if _use_stripe(m, n, scoring):
-        fn = _cached("score", m, n, scoring)
-        s, i, j = fn(jnp.asarray(a), jnp.asarray(b))
-        return int(s), int(i), int(j)
-    out = scan_fill(jnp.asarray(a), jnp.asarray(b), scoring=scoring)
-    return int(out.max_score), int(out.max_i), int(out.max_j)
+    if _use_stripe(m, n, scoring, sub=sub):
+        fn = _cached("score", m, n, scoring, want_last=True)
+        s, i, j, last = fn(jnp.asarray(a), jnp.asarray(b))
+        return int(s), int(i), int(j), int(last)
+    out = scan_fill(jnp.asarray(a), jnp.asarray(b), scoring=scoring,
+                    sub_table=_sub_table(sub))
+    return (int(out.max_score), int(out.max_i), int(out.max_j),
+            int(out.last_cell))
 
 
 def _nw_argmax(a: np.ndarray, b: np.ndarray, scoring: Scoring,
-               top: np.ndarray, left: np.ndarray):
+               top: np.ndarray, left: np.ndarray, sub=None):
     """Global-mode fill with injected boundaries; returns
     (max_score, max_i, max_j). Used by the anchored reverse pass, whose
     max is guaranteed positive."""
     m, n = len(a), len(b)
-    if _use_stripe(m, n, scoring):
+    if _use_stripe(m, n, scoring, nw=True, sub=sub):
         fn = _cached("block", m, n, scoring, local=False, want_bottom=False)
         s, i, j, _, _, _ = fn(jnp.asarray(a), jnp.asarray(b),
                               jnp.asarray(top), jnp.asarray(left))
         return int(s), int(i), int(j)
     out = scan_fill(jnp.asarray(a), jnp.asarray(b), scoring=scoring,
                     local=False, top_row=jnp.asarray(top),
-                    left_col=jnp.asarray(left))
+                    left_col=jnp.asarray(left), sub_table=_sub_table(sub))
     return int(out.max_score), int(out.max_i), int(out.max_j)
 
 
@@ -92,13 +117,14 @@ class Located(NamedTuple):
     start_j: int
     end_i: int       # last aligned row
     end_j: int
+    last_cell: int = 0   # H[n, m] (the reference's H[m*n-1] invariant)
 
 
-def locate(a: np.ndarray, b: np.ndarray,
-           scoring: Scoring = Scoring()) -> Optional[Located]:
+def locate(a: np.ndarray, b: np.ndarray, scoring: Scoring = Scoring(),
+           sub=None) -> Optional[Located]:
     """Find score + start/end cells of the optimal local alignment with two
-    score-only passes (no P matrix)."""
-    score, ei, ej = _local_score(a, b, scoring)
+    score-only passes (no P matrix). Linear/affine, optional substitution."""
+    score, ei, ej, last = _local_score(a, b, scoring, sub=sub)
     if score <= 0:
         return None
     # Anchored reverse pass over the clipped reversed prefixes: global-mode
@@ -106,23 +132,38 @@ def locate(a: np.ndarray, b: np.ndarray,
     # START at the forward end cell, so its argmax is the true START of a
     # path ending exactly at (ei, ej). A plain reverse SW would be wrong:
     # its zero floor lets it pick a different equal-scoring path whose end
-    # is elsewhere, breaking the window extraction.
+    # is elsewhere, breaking the window extraction. (Affine: an optimal
+    # local alignment starts and ends in the H state — trimming a terminal
+    # gap always raises the score — so reversing the Gotoh recurrence with
+    # default -inf E/F boundaries scores exactly the reversed paths.)
     ar = a[:ej][::-1].copy()
     br = b[:ei][::-1].copy()
-    NEG = -(1 << 30)
-    top = np.full((ej + 1,), NEG, np.int32)
-    left = np.full((ei + 1,), NEG, np.int32)
+    subr = None if sub is None else np.asarray(sub)   # lookup is symmetric
+    top = np.full((ej + 1,), _NEG, np.int32)
+    left = np.full((ei + 1,), _NEG, np.int32)
     top[0] = left[0] = 0
-    rs, ri, rj = _nw_argmax(ar, br, scoring, top, left)
+    rs, ri, rj = _nw_argmax(ar, br, scoring, top, left, sub=subr)
     assert rs == score, (rs, score)
     si = ei - ri + 1
     sj = ej - rj + 1
-    return Located(score, si, sj, ei, ej)
+    return Located(score, si, sj, ei, ej, last)
 
 
-def _nw_host(a: np.ndarray, b: np.ndarray, scoring: Scoring):
-    """Small dense global alignment on host; returns (aligned_a, aligned_b).
-    Base case of the Hirschberg recursion."""
+# ---------------------------------------------------------------------------
+# Dense host base cases
+
+
+def _score_fn(a, b, scoring, sub):
+    if sub is not None:
+        sm = np.asarray(sub, np.int64)
+        return sm[a[None, :], b[:, None]]       # (n, m): s[b_i, a_j]
+    return np.where(b[:, None] == a[None, :], scoring.match,
+                    scoring.mismatch).astype(np.int64)
+
+
+def _nw_host(a: np.ndarray, b: np.ndarray, scoring: Scoring, sub=None):
+    """Small dense global alignment on host; returns (codes_a, codes_b).
+    Base case of the linear Hirschberg recursion."""
     m, n = len(a), len(b)
     g = scoring.gap
     H = np.zeros((n + 1, m + 1), np.int64)
@@ -131,8 +172,7 @@ def _nw_host(a: np.ndarray, b: np.ndarray, scoring: Scoring):
     P = np.zeros((n + 1, m + 1), np.int8)
     P[0, 1:] = LEFT
     P[1:, 0] = UP
-    sub = np.where(b[:, None] == a[None, :], scoring.match,
-                   scoring.mismatch).astype(np.int64)
+    smat = _score_fn(a, b, scoring, sub)
     # anti-diagonal vectorized NW fill (same wavefront trick as oracle.fill,
     # without the zero floor)
     for d in range(2, n + m + 1):
@@ -141,7 +181,7 @@ def _nw_host(a: np.ndarray, b: np.ndarray, scoring: Scoring):
             continue
         ii = np.arange(i_lo, i_hi + 1)
         jj = d - ii
-        diag = H[ii - 1, jj - 1] + sub[ii - 1, jj - 1]
+        diag = H[ii - 1, jj - 1] + smat[ii - 1, jj - 1]
         up = H[ii - 1, jj] + g
         left = H[ii, jj - 1] + g
         best = np.maximum(np.maximum(diag, up), left)
@@ -163,23 +203,101 @@ def _nw_host(a: np.ndarray, b: np.ndarray, scoring: Scoring):
     return out_a[::-1], out_b[::-1]
 
 
-def _nw_last_row(a: np.ndarray, b: np.ndarray, scoring: Scoring) -> np.ndarray:
-    """Last row of the global DP via the device fill. O(m) output."""
+def _nw_host_affine(a, b, scoring: Scoring, tbg: int, teg: int, sub=None):
+    """Dense global Gotoh alignment with Myers-Miller border gap-open
+    parts: a vertical gap that starts at the top border (down column 0)
+    opens with g-part ``tbg``, one that ends at the bottom-right corner
+    with ``teg`` (0 = the gap continues across the border and was already
+    opened there; g0 = open - extend = normal). Returns (codes_a, codes_b).
+    """
+    m, n = len(a), len(b)
+    op, ext = scoring.gap_open, scoring.gap_extend
+    g0 = op - ext
+    if m == 0:
+        return [-1] * n, list(b)
+    if n == 0:
+        return list(a), [-1] * m
+    NEG = np.int64(_NEG)
+    H = np.empty((n + 1, m + 1), np.int64)
+    E = np.full((n + 1, m + 1), NEG, np.int64)
+    F = np.full((n + 1, m + 1), NEG, np.int64)
+    H[0, 0] = 0
+    H[0, 1:] = g0 + ext * np.arange(1, m + 1)
+    H[1:, 0] = tbg + ext * np.arange(1, n + 1)
+    F[1:, 0] = H[1:, 0]                     # column-0 gap IS the F state
+    smat = _score_fn(a, b, scoring, sub)
+    for i in range(1, n + 1):
+        Ei = NEG
+        for j in range(1, m + 1):
+            Ei = max(H[i, j - 1] + op, Ei + ext)
+            fo = teg + ext if i == n else op   # bottom-border gap open
+            F[i, j] = max(H[i - 1, j] + fo, F[i - 1, j] + ext)
+            E[i, j] = Ei
+            H[i, j] = max(H[i - 1, j - 1] + smat[i - 1, j - 1],
+                          max(Ei, F[i, j]))
+    # walk with the Gotoh state machine
+    out_a, out_b = [], []
+    i, j = n, m
+    state = 0
+    while i > 0 or j > 0:
+        if j == 0:
+            out_a.append(-1); out_b.append(b[i - 1]); i -= 1
+            continue
+        if i == 0:
+            out_a.append(a[j - 1]); out_b.append(-1); j -= 1
+            continue
+        if state == UP:
+            out_a.append(-1); out_b.append(b[i - 1])
+            fo = teg + ext if i == n else op
+            if F[i, j] != H[i - 1, j] + fo:   # extension continues
+                state = UP
+            else:
+                state = 0
+            i -= 1
+            continue
+        if state == LEFT:
+            out_a.append(a[j - 1]); out_b.append(-1)
+            if E[i, j] != H[i, j - 1] + op:
+                state = LEFT
+            else:
+                state = 0
+            j -= 1
+            continue
+        h = H[i, j]
+        if h == H[i - 1, j - 1] + smat[i - 1, j - 1]:
+            out_a.append(a[j - 1]); out_b.append(b[i - 1]); i -= 1; j -= 1
+        elif h == F[i, j]:
+            state = UP
+        else:
+            state = LEFT
+    return out_a[::-1], out_b[::-1]
+
+
+# ---------------------------------------------------------------------------
+# Device last-row passes
+
+
+def _bucket(m: int) -> int:
+    """Power-of-two query padding: the recursion's arbitrary split widths
+    reuse ~log2(m) compiled shapes instead of one per node. NW values at
+    columns <= m are unaffected by sentinel-padded columns to their right
+    (the DP flows left to right), so padding is exact."""
+    return max(16, 1 << (m - 1).bit_length())
+
+
+def _nw_last_row(a: np.ndarray, b: np.ndarray, scoring: Scoring,
+                 sub=None) -> np.ndarray:
+    """Last row of the linear global DP via the device fill. O(m) output."""
     m, n = len(a), len(b)
     if n == 0:
         return scoring.gap * np.arange(m + 1)
     g = scoring.gap
-    # Bucket the query length to a power of two so the Hirschberg
-    # recursion's arbitrary split widths reuse ~log2(m) compiled shapes
-    # instead of one per node (compile time dominated giant tracebacks).
-    # NW values at columns <= m are unaffected by sentinel-padded columns
-    # to their right (the DP flows left to right), so padding is exact.
-    mp = max(16, 1 << (m - 1).bit_length())
+    mp = _bucket(m)
     a_pad = np.full((mp,), -1, np.int8)
     a_pad[:m] = a
     top = (g * np.arange(mp + 1)).astype(np.int32)
     left = (g * np.arange(n + 1)).astype(np.int32)
-    if _use_stripe(n, mp, scoring):
+    if _use_stripe(n, mp, scoring, nw=True, sub=sub):
         # transposed stripe fill: the bottom row of (a, b) is the right
         # column of (b, a), which the kernel exports for any length
         # (padded a-rows sit below the real rows and cannot affect them)
@@ -190,28 +308,98 @@ def _nw_last_row(a: np.ndarray, b: np.ndarray, scoring: Scoring) -> np.ndarray:
         return np.asarray(right[:m + 1]).astype(np.int64)
     out = scan_fill(jnp.asarray(a_pad), jnp.asarray(b), scoring=scoring,
                     local=False, top_row=jnp.asarray(top),
-                    left_col=jnp.asarray(left))
+                    left_col=jnp.asarray(left), sub_table=_sub_table(sub))
     return np.asarray(out.bottom_row[:m + 1]).astype(np.int64)
+
+
+def _nw_last_rows_affine(a: np.ndarray, b: np.ndarray, scoring: Scoring,
+                         tbg: int, sub=None):
+    """(H_last, F_last) of the global Gotoh DP of a x b with left-border
+    gap-open part ``tbg`` — the Myers-Miller forward/reverse pass, run on
+    device via scan_fill(local=False). Both are int64 (m+1,) arrays;
+    F_last[0] is the column-0 boundary gap value."""
+    m, n = len(a), len(b)
+    op, ext = scoring.gap_open, scoring.gap_extend
+    g0 = op - ext
+    if n == 0:
+        H = np.empty((m + 1,), np.int64)
+        H[0] = 0
+        H[1:] = g0 + ext * np.arange(1, m + 1)
+        return H, np.full((m + 1,), _NEG, np.int64)
+    mp = _bucket(m)
+    a_pad = np.full((mp,), -1, np.int8)
+    a_pad[:m] = a
+    top = np.empty((mp + 1,), np.int32)
+    top[0] = 0
+    top[1:] = g0 + ext * np.arange(1, mp + 1)
+    left = (tbg + ext * np.arange(n + 1)).astype(np.int32)
+    left[0] = 0
+    out = scan_fill(jnp.asarray(a_pad), jnp.asarray(b), scoring=scoring,
+                    local=False, top_row=jnp.asarray(top),
+                    left_col=jnp.asarray(left), sub_table=_sub_table(sub))
+    H = np.asarray(out.bottom_row[:m + 1]).astype(np.int64)
+    F = np.asarray(out.bottom_f[:m + 1]).astype(np.int64)
+    F[0] = left[n]          # the column-0 boundary gap is an F state
+    return H, F
 
 
 _BASE_CELLS = 1 << 18
 
 
-def _hirschberg(a: np.ndarray, b: np.ndarray, scoring: Scoring):
+def _hirschberg(a: np.ndarray, b: np.ndarray, scoring: Scoring, sub=None):
     m, n = len(a), len(b)
     if m == 0:
         return [-1] * n, list(b)
     if n == 0:
         return list(a), [-1] * m
     if (m + 1) * (n + 1) <= _BASE_CELLS or n == 1:
-        return _nw_host(a, b, scoring)
+        return _nw_host(a, b, scoring, sub=sub)
     half = n // 2
-    top = _nw_last_row(a, b[:half], scoring)
-    bot = _nw_last_row(a[::-1].copy(), b[half:][::-1].copy(), scoring)[::-1]
+    top = _nw_last_row(a, b[:half], scoring, sub=sub)
+    bot = _nw_last_row(a[::-1].copy(), b[half:][::-1].copy(), scoring,
+                       sub=sub)[::-1]
     split = int(np.argmax(top + bot))
-    a1, b1 = _hirschberg(a[:split], b[:half], scoring)
-    a2, b2 = _hirschberg(a[split:], b[half:], scoring)
+    a1, b1 = _hirschberg(a[:split], b[:half], scoring, sub=sub)
+    a2, b2 = _hirschberg(a[split:], b[half:], scoring, sub=sub)
     return a1 + a2, b1 + b2
+
+
+def _mm_affine(a: np.ndarray, b: np.ndarray, scoring: Scoring,
+               tbg: int, teg: int, sub=None):
+    """Myers-Miller affine divide-and-conquer (Myers & Miller 1988,
+    'Optimal alignments in linear space'): split b (rows) at half; the
+    crossing is either an H-state cell (type 1) or a vertical gap spanning
+    the split (type 2, joined with a single gap-open: DD + SS - g0).
+    ``tbg``/``teg`` are the g-parts charged to gaps touching the top /
+    bottom borders (0 when the gap continues across a type-2 split)."""
+    m, n = len(a), len(b)
+    op, ext = scoring.gap_open, scoring.gap_extend
+    g0 = op - ext
+    if m == 0 or n <= 2 or (m + 1) * (n + 1) <= _BASE_CELLS:
+        return _nw_host_affine(a, b, scoring, tbg, teg, sub=sub)
+    half = n // 2
+    CC, DD = _nw_last_rows_affine(a, b[:half], scoring, tbg, sub=sub)
+    subr = None if sub is None else np.asarray(sub)
+    RRr, SSr = _nw_last_rows_affine(a[::-1].copy(),
+                                    b[half:][::-1].copy(), scoring, teg,
+                                    sub=subr)
+    RR, SS = RRr[::-1], SSr[::-1]
+    t1 = CC + RR
+    t2 = DD + SS - g0
+    j1, j2 = int(np.argmax(t1)), int(np.argmax(t2))
+    if t1[j1] >= t2[j2]:
+        j = j1
+        a1, b1 = _mm_affine(a[:j], b[:half], scoring, tbg, g0, sub=sub)
+        a2, b2 = _mm_affine(a[j:], b[half:], scoring, g0, teg, sub=sub)
+        return a1 + a2, b1 + b2
+    # type 2: rows half and half+1 are inside one vertical gap; emit them
+    # explicitly and tell both halves their border gap is already open
+    j = j2
+    a1, b1 = _mm_affine(a[:j], b[:half - 1], scoring, tbg, 0, sub=sub)
+    a2, b2 = _mm_affine(a[j:], b[half + 1:], scoring, 0, teg, sub=sub)
+    mid_a = [-1, -1]
+    mid_b = [b[half - 1], b[half]]
+    return a1 + mid_a + a2, b1 + mid_b + b2
 
 
 def _render(codes_a, codes_b, alphabet=DNA_ALPHABET):
@@ -220,31 +408,39 @@ def _render(codes_a, codes_b, alphabet=DNA_ALPHABET):
     return ra, rb
 
 
-def hirschberg(a: np.ndarray, b: np.ndarray, scoring: Scoring = Scoring()):
+def hirschberg(a: np.ndarray, b: np.ndarray, scoring: Scoring = Scoring(),
+               loc: Optional[Located] = None,
+               alphabet: str = DNA_ALPHABET, sub=None):
     """O(m+n)-memory optimal local alignment. Returns (score, Located,
     aligned_a, aligned_b) or None if nothing scores above 0.
 
-    Linear-gap only (Gotoh/Myers-Miller state splitting for affine is a
-    planned extension; affine traceback is available via the full-P path).
+    Linear gaps use classic Hirschberg; affine gaps the full Myers-Miller
+    state split (type-2 vertical-gap crossings charged one open). ``sub``:
+    optional substitution matrix. ``loc``: optional precomputed Located
+    (e.g. from the multi-chip pipeline locate) — skips the score passes.
     """
-    if scoring.is_affine:
-        raise NotImplementedError("hirschberg supports linear gaps only")
-    loc = locate(a, b, scoring)
+    if loc is None:
+        loc = locate(a, b, scoring, sub=sub)
     if loc is None:
         return None
-    sub_a = a[loc.start_j - 1: loc.end_j]
-    sub_b = b[loc.start_i - 1: loc.end_i]
-    ca, cb = _hirschberg(np.asarray(sub_a), np.asarray(sub_b), scoring)
-    ra, rb = _render(ca, cb)
+    sub_a = np.asarray(a[loc.start_j - 1: loc.end_j])
+    sub_b = np.asarray(b[loc.start_i - 1: loc.end_i])
+    if scoring.is_affine:
+        g0 = scoring.gap_open - scoring.gap_extend
+        ca, cb = _mm_affine(sub_a, sub_b, scoring, g0, g0, sub=sub)
+    else:
+        ca, cb = _hirschberg(sub_a, sub_b, scoring, sub=sub)
+    ra, rb = _render(ca, cb, alphabet)
     return loc.score, loc, ra, rb
 
 
 def _stripe_window_walk(sub_a, sub_b, wn, wm, scoring):
     """LOCAL P-capture refill on the stripe kernel + an ON-DEVICE walk of
-    the predecessor chain. The P tensor (O(window) int32) never leaves the
-    chip — only the O(path) code sequence does. The window's bottom-right
-    corner is the located end cell, so walking from there reproduces an
-    optimal path; the zero-floor NONE stop is the located start."""
+    the predecessor chain (full Gotoh state machine for affine P). The P
+    tensor (O(window) int32) never leaves the chip — only the O(path) move
+    sequence does. The window's bottom-right corner is the located end
+    cell, so walking from there reproduces an optimal path; the zero-floor
+    NONE stop is the located start."""
     import jax
     from jax import lax
     from ..kernels import pallas_fill as pf
@@ -258,97 +454,126 @@ def _stripe_window_walk(sub_a, sub_b, wn, wm, scoring):
         jnp.asarray(ap), jnp.asarray(bt), scoring=scoring, T=T, R=R,
         C=pf.DEFAULT_CHUNK, m=wm, n=wn, return_p=True, interpret=interp,
         unroll=pf._auto_unroll(pf.DEFAULT_CHUNK, interp))
-    pdev = outs[2]                 # (S, steps_pad, R, sub, 128) on device
+    pdev = outs[2]                 # (S, steps_pad, CB, R, sub, 128) device
 
     @jax.jit
     def walk(p):
         cap = wn + wm
 
         def body(carry):
-            i, j, pos, codes = carry
+            i, j, state, pos, moves = carry
             li = i - 1
             s_ = li // T
             lin = (li % T) // R
             r_ = li % R
             t_ = lin + j - 1
             code = p[s_, t_, 0, r_, lin // 128, lin % 128]
-            codes = codes.at[pos].set(code.astype(jnp.int8))
-            di = jnp.where(code == DIAGONAL, 1, jnp.where(code == UP, 1, 0))
-            dj = jnp.where(code == DIAGONAL, 1, jnp.where(code == LEFT, 1, 0))
+            base = code & 3
+            move = jnp.where(state != 0, state, base).astype(jnp.int8)
+            # Gotoh state machine: an UP/LEFT move stays in the F/E run
+            # while the extension bit says the gap continues
+            new_state = jnp.where(
+                (move == UP) & ((code & F_EXT) != 0), jnp.int32(UP),
+                jnp.where((move == LEFT) & ((code & E_EXT) != 0),
+                          jnp.int32(LEFT), jnp.int32(0)))
+            moves = moves.at[pos].set(move)
+            di = jnp.where((move == DIAGONAL) | (move == UP), 1, 0)
+            dj = jnp.where((move == DIAGONAL) | (move == LEFT), 1, 0)
             # pos always advances; a written NONE terminates via cond and
             # is trimmed on the host
-            return i - di, j - dj, pos + 1, codes
+            return i - di, j - dj, new_state, pos + 1, moves
 
         def cond(carry):
-            i, j, pos, codes = carry
-            moved = (pos == 0) | (codes[pos - 1] != NONE)
+            i, j, state, pos, moves = carry
+            moved = (pos == 0) | (moves[pos - 1] != NONE)
             return (i > 0) & (j > 0) & moved & (pos < cap)
 
-        codes0 = jnp.full((cap,), jnp.int8(NONE))
-        i, j, pos, codes = lax.while_loop(
-            cond, body, (jnp.int32(wn), jnp.int32(wm), jnp.int32(0), codes0))
-        return pos, codes
+        moves0 = jnp.full((cap,), jnp.int8(NONE))
+        i, j, state, pos, moves = lax.while_loop(
+            cond, body, (jnp.int32(wn), jnp.int32(wm), jnp.int32(0),
+                         jnp.int32(0), moves0))
+        return pos, moves
 
-    pos, codes = walk(pdev)
+    pos, moves = walk(pdev)
     npos = int(pos)
-    cds = np.asarray(codes)[:npos]
-    if npos and cds[-1] == NONE:
-        cds = cds[:-1]
+    mvs = np.asarray(moves)[:npos]
+    if npos and mvs[-1] == NONE:
+        mvs = mvs[:-1]
+    return _apply_moves(sub_a, sub_b, wn, wm, mvs)
+
+
+def _apply_moves(sub_a, sub_b, wn, wm, moves):
+    """End-first move sequence -> (codes_a, codes_b) from the corner."""
     out_a, out_b = [], []
     i, j = wn, wm
-    for code in cds:
-        if code == DIAGONAL:
+    for move in moves:
+        if move == DIAGONAL:
             out_a.append(sub_a[j - 1]); out_b.append(sub_b[i - 1])
             i -= 1; j -= 1
-        elif code == UP:
+        elif move == UP:
             out_a.append(-1); out_b.append(sub_b[i - 1]); i -= 1
         else:
             out_a.append(sub_a[j - 1]); out_b.append(-1); j -= 1
     return out_a[::-1], out_b[::-1]
 
 
+def _scan_window_walk(sub_a, sub_b, wn, wm, scoring, sub=None):
+    """Portable window walk: LOCAL scan refill with P capture, host walk
+    with the Gotoh state machine (linear P has no state bits; the same
+    walk covers both)."""
+    out = scan_fill(jnp.asarray(sub_a), jnp.asarray(sub_b), scoring=scoring,
+                    return_p=True, sub_table=_sub_table(sub))
+    P = diag_to_rowmajor(out.p_diag, wn, wm)
+    moves = []
+    i, j, state = wn, wm, 0
+    while i > 0 and j > 0:
+        code = int(P[i, j])
+        base = code & 3
+        move = state if state else base
+        if move == NONE:
+            break
+        moves.append(move)
+        if move == UP:
+            state = UP if (code & F_EXT) else 0
+            i -= 1
+        elif move == LEFT:
+            state = LEFT if (code & E_EXT) else 0
+            j -= 1
+        else:
+            state = 0
+            i -= 1
+            j -= 1
+    return _apply_moves(sub_a, sub_b, wn, wm, moves)
+
+
 def windowed(a: np.ndarray, b: np.ndarray, scoring: Scoring = Scoring(),
-             max_window_cells: Optional[int] = None):
+             max_window_cells: Optional[int] = None,
+             loc: Optional[Located] = None,
+             alphabet: str = DNA_ALPHABET, sub=None):
     """Locate, then refill only the alignment window with predecessors and
-    walk it. Falls back to hirschberg() when the window exceeds the budget."""
-    if scoring.is_affine:
-        raise NotImplementedError("windowed traceback supports linear gaps")
-    loc = locate(a, b, scoring)
+    walk it. Falls back to hirschberg() when the window exceeds the budget.
+    Linear/affine, optional substitution matrix.
+    ``loc``: optional precomputed Located (skips the score passes)."""
+    if loc is None:
+        loc = locate(a, b, scoring, sub=sub)
     if loc is None:
         return None
     wm = loc.end_j - loc.start_j + 1
     wn = loc.end_i - loc.start_i + 1
+    use_stripe = _use_stripe(wm, wn, scoring, sub=sub)
     if max_window_cells is None:
         # the stripe refill keeps P on-device (int32 in HBM) and walks it
         # there, so the budget is HBM, not transfer: 2^29 cells = 2 GB of P
-        max_window_cells = (1 << 30) if _use_stripe(wm, wn, scoring) \
-            else (1 << 26)
+        # (plus Pallas double-buffering headroom on a 16 GB chip)
+        max_window_cells = (1 << 29) if use_stripe else (1 << 26)
     if wm * wn > max_window_cells:
-        return hirschberg(a, b, scoring)
+        return hirschberg(a, b, scoring, loc=loc, alphabet=alphabet,
+                          sub=sub)
     sub_a = np.asarray(a[loc.start_j - 1: loc.end_j])
     sub_b = np.asarray(b[loc.start_i - 1: loc.end_i])
-    if _use_stripe(wm, wn, scoring):
+    if use_stripe:
         ca, cb = _stripe_window_walk(sub_a, sub_b, wn, wm, scoring)
-        ra, rb = _render(ca, cb)
-        return loc.score, loc, ra, rb
-    g = scoring.gap
-    top = jnp.asarray(g * np.arange(wm + 1), jnp.int32)
-    left = jnp.asarray(g * np.arange(wn + 1), jnp.int32)
-    out = scan_fill(jnp.asarray(sub_a), jnp.asarray(sub_b), scoring=scoring,
-                    local=False, top_row=top, left_col=left, return_p=True)
-    P = diag_to_rowmajor(out.p_diag, wn, wm)
-    P[0, 1:] = LEFT
-    P[1:, 0] = UP
-    out_a, out_b = [], []
-    i, j = wn, wm
-    while i > 0 or j > 0:
-        code = P[i, j]
-        if code == DIAGONAL:
-            out_a.append(sub_a[j - 1]); out_b.append(sub_b[i - 1])
-            i -= 1; j -= 1
-        elif code == UP:
-            out_a.append(-1); out_b.append(sub_b[i - 1]); i -= 1
-        else:
-            out_a.append(sub_a[j - 1]); out_b.append(-1); j -= 1
-    ra, rb = _render(out_a[::-1], out_b[::-1])
+    else:
+        ca, cb = _scan_window_walk(sub_a, sub_b, wn, wm, scoring, sub=sub)
+    ra, rb = _render(ca, cb, alphabet)
     return loc.score, loc, ra, rb

@@ -975,6 +975,9 @@ def _resolve_params(m, n, T, R, scoring, return_p=False,
     elif T is None:
         T, _, _ = choose_params(m, n, affine=scoring.is_affine, r_max=R,
                                 t_cap=cap, cb_max=1)
+        # choose_params may have settled on a smaller internal R; round T
+        # up to a multiple of 128*R so the requested R is always honored
+        T = -(-T // (LANES * R)) * (LANES * R)
     if CB is None:
         CB = 1
     if T % (LANES * R):
@@ -987,11 +990,19 @@ def _resolve_params(m, n, T, R, scoring, return_p=False,
 def stripe_fill(a_codes, b_codes, scoring: Scoring = Scoring(),
                 config: EngineConfig = EngineConfig(),
                 return_p: bool = False, return_h: bool = False,
-                substitution=None, band=None):
-    """Engine adapter: returns (FillOut-like, P row-major or None, H=None)."""
+                substitution=None, band=None,
+                T: Optional[int] = None, R: Optional[int] = None,
+                CB: Optional[int] = None, C: Optional[int] = None,
+                unroll: Optional[int] = None):
+    """Engine adapter: returns (FillOut-like, P row-major or None, H=None).
+    Explicit T/R/CB/C/unroll (e.g. from the autotune table via dispatch)
+    override the EngineConfig fields and the cost model."""
     out = stripe_fill_raw(
         np.asarray(a_codes, np.int8), np.asarray(b_codes, np.int8),
-        scoring=scoring, T=config.stripe_rows, R=config.stripe_rows_per_lane,
+        scoring=scoring,
+        T=T if T is not None else config.stripe_rows,
+        R=R if R is not None else config.stripe_rows_per_lane,
+        CB=CB, C=C if C is not None else DEFAULT_CHUNK, unroll=unroll,
         return_p=return_p, substitution=substitution, band=band)
     P = None
     if return_p and out.p_stripes is not None:

@@ -149,3 +149,71 @@ def test_pipeline_affine_stripe_blocks():
     assert int(res.max_score) == ref.max_score
     assert (int(res.max_i), int(res.max_j)) == ref.max_ij
     assert int(res.last_cell) == int(ref.H[-1, -1])
+
+
+def _alignment_score(ra, rb, scoring=None):
+    from swtpu import Scoring
+    scoring = scoring or Scoring()
+    s = 0
+    for x, y in zip(ra, rb):
+        if x == "-" or y == "-":
+            s += scoring.gap
+        elif x == y:
+            s += scoring.match
+        else:
+            s += scoring.mismatch
+    return s
+
+
+@pytest.mark.parametrize("m,n,R", [(96, 64, 16), (200, 72, 24)])
+def test_pipeline_locate_matches_oracle(mesh, m, n, R):
+    """Multi-chip locate: forward + anchored-reverse NW pipeline must find
+    the same end cell as the oracle and a start that re-scores exactly."""
+    from swtpu.dist.pipeline import pipeline_locate
+
+    a, b = random_pair(m, n, seed=m * n)
+    ref = oracle.fill(a, b)
+    loc = pipeline_locate(a, b, mesh, block_rows=R)
+    assert loc.score == ref.max_score
+    assert (loc.end_i, loc.end_j) == ref.max_ij
+    # single-chip locate agrees on the start (linear scoring: the anchored
+    # reverse pass has the same tie rule in both implementations)
+    from swtpu.engine.traceback import locate as sc_locate
+    sloc = sc_locate(a, b)
+    assert (loc.start_i, loc.start_j) == (sloc.start_i, sloc.start_j)
+
+
+def test_pipeline_traceback_alignment(mesh):
+    """The round-1 gap: a mesh-filled pair must yield alignment STRINGS.
+    The pair is wider than one device's shard (m=128 over 8 devices =>
+    16-col shards; the planted alignment spans several shards)."""
+    from swtpu.dist.pipeline import pipeline_traceback
+
+    rng = np.random.default_rng(7)
+    a = rng.integers(0, 4, 128).astype(np.int8)
+    b = rng.integers(0, 4, 64).astype(np.int8)
+    b[10:42] = a[60:92]          # planted 32-base exact match across shards
+    ref = oracle.fill(a, b)
+    got = pipeline_traceback(a, b, mesh, block_rows=16)
+    assert got is not None
+    score, loc, ra, rb = got
+    assert score == ref.max_score
+    assert _alignment_score(ra, rb) == ref.max_score
+    assert len(ra) == len(rb)
+    assert loc.last_cell == int(ref.H[-1, -1])
+
+
+def test_align_routes_pipeline_plan(mesh):
+    """align(plan='pipeline', mesh=...) end-to-end: score, positions,
+    last_cell and alignment strings from the multi-chip path."""
+    from swtpu.engine.align import align
+
+    a, b = random_pair(112, 48, seed=3)
+    ref = oracle.fill(a, b)
+    res = align(a, b, plan="pipeline", mesh=mesh, traceback=True)
+    assert res.max_score == ref.max_score
+    assert (res.max_i, res.max_j) == ref.max_ij
+    assert _alignment_score(res.aligned_a, res.aligned_b) == ref.max_score
+    res2 = align(a, b, plan="pipeline", mesh=mesh, traceback=False)
+    assert res2.max_score == ref.max_score
+    assert (res2.max_i, res2.max_j) == ref.max_ij
