@@ -29,35 +29,70 @@ M = N = 25632          # the reference's largest standard sweep size
 K = 10                 # dispatches per timed sample
 
 
+def _tuned_params():
+    """Best stripe config for the bench size: the persisted autotune table
+    (dispatch consults the same one) with the cost model as fallback."""
+    from swtpu.dispatch.plan import _tuned_policy
+    from swtpu.kernels import pallas_fill as pf
+
+    T, R, CB = pf.choose_params(M, N)
+    C, unroll = pf.DEFAULT_CHUNK, None
+    pol = _tuned_policy()
+    if pol is not None:
+        e = pol.choose_near(M, N)
+        if e and e.get("plan") == "stripe" and e.get("T"):
+            T, R = e["T"], e.get("R") or R
+            CB = e.get("CB") or CB
+            C = e.get("C") or C
+            unroll = e.get("unroll")
+            T = min(-(-T // (128 * R)) * 128 * R,
+                    -(-N // (128 * R)) * 128 * R)
+    return T, R, CB, C, unroll
+
+
 def bench_stripe():
     from swtpu import Scoring
     from swtpu.core.encode import random_pair
+    from swtpu.instrument.profiling import trace
     from swtpu.kernels import pallas_fill as pf
 
     a, b = random_pair(M, N, seed=0)
-    T, R, CB = pf.choose_params(M, N)
-    C = pf.DEFAULT_CHUNK
+    T, R, CB, C, unroll = _tuned_params()
+    t0 = time.perf_counter()
     ap, bt, S = pf._build_inputs(a, b, T, C, R, CB)
     apj, btj = jnp.asarray(ap), jnp.asarray(bt)
+    prep_s = time.perf_counter() - t0
     kw = dict(scoring=Scoring(), T=T, R=R, C=C, CB=CB, m=M, n=N,
               return_p=False, interpret=False,
-              unroll=pf._auto_unroll(C, False))
+              unroll=unroll or pf._auto_unroll(C, False))
 
     t0 = time.perf_counter()
     outs = pf._stripe_call(apj, btj, **kw)
     best = np.asarray(outs[0])
     compile_s = time.perf_counter() - t0
 
+    trace_dir = os.environ.get("SWTPU_BENCH_TRACE")
     times = []
-    for _ in range(3):
+    for i in range(3):
+        ctx = trace(trace_dir) if (trace_dir and i == 0) else None
+        if ctx:
+            ctx.__enter__()
         t0 = time.perf_counter()
         for _ in range(K - 1):
             pf._stripe_call(apj, btj, **kw)
         outs = pf._stripe_call(apj, btj, **kw)
         best = np.asarray(outs[0])
         times.append((time.perf_counter() - t0) / K)
+        if ctx:
+            ctx.__exit__(None, None, None)
+    t0 = time.perf_counter()
+    np.asarray(outs[1])
+    fetch_s = time.perf_counter() - t0
+    phases = {"input_prep_s": round(prep_s, 4),
+              "fill_per_call_s": round(min(times), 5),
+              "result_fetch_s": round(fetch_s, 4)}
     return (min(times), int(best[:, 0].max()), compile_s,
-            f"stripe(T={T},R={R},CB={CB},C={C})")
+            f"stripe(T={T},R={R},CB={CB},C={C})", phases)
 
 
 def bench_scan():
@@ -77,7 +112,7 @@ def bench_scan():
             fn(aj, bj)
         score = int(fn(aj, bj)[0])
         times.append((time.perf_counter() - t0) / K)
-    return min(times), score, compile_s, plan
+    return min(times), score, compile_s, plan, {}
 
 
 def bench_big():
@@ -108,7 +143,8 @@ def bench_big():
 
 def main():
     on_tpu = jax.default_backend() == "tpu"
-    fill_s, score, compile_s, plan = bench_stripe() if on_tpu else bench_scan()
+    fill_s, score, compile_s, plan, phases = (bench_stripe() if on_tpu
+                                              else bench_scan())
     gcups = M * N / fill_s / 1e9
     details = {
         "m": M, "n": N, "plan": plan, "fill_s": round(fill_s, 5),
@@ -117,6 +153,8 @@ def main():
         "backend": jax.default_backend(),
         "baseline": "reference v1 OpenMP 44T lassen, 0.54 GCUPS @25632^2",
     }
+    if phases:
+        details["phases"] = phases
     if on_tpu and not os.environ.get("SWTPU_BENCH_NO_EXTRAS"):
         try:
             details["gcups_65536sq"] = bench_big()

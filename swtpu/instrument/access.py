@@ -115,6 +115,85 @@ def compiled_cost(fn, *example_args) -> Optional[dict]:
         return None
 
 
+@dataclasses.dataclass
+class MeasuredMemory:
+    """Compiler-reported memory facts of ONE compiled executable — the
+    C18 shadow-profiler's question answered by XLA itself
+    (cuda_shared_instrumented_smithW.cu:328-353 measures per-element
+    access kinds to find what must cross the device boundary; here the
+    executable's argument/output sizes ARE the HBM-crossing bytes and
+    temp_size the on-chip working set)."""
+
+    argument_bytes: int       # input buffers (stream in once)
+    output_bytes: int         # result buffers (stream out once)
+    temp_bytes: int           # XLA temp allocations (working set)
+    code_bytes: int
+
+    def bytes_per_cell(self, cells: int) -> float:
+        return (self.argument_bytes + self.output_bytes) / cells
+
+
+def measured_memory(fn, *example_args) -> Optional[MeasuredMemory]:
+    """Compile ``fn`` and return its measured memory profile, or None when
+    the backend exposes no memory_analysis."""
+    import jax
+    try:
+        compiled = jax.jit(fn).lower(*example_args).compile()
+        ma = compiled.memory_analysis()
+        if ma is None:
+            return None
+        return MeasuredMemory(
+            argument_bytes=int(ma.argument_size_in_bytes),
+            output_bytes=int(ma.output_size_in_bytes),
+            temp_bytes=int(ma.temp_size_in_bytes),
+            code_bytes=int(ma.generated_code_size_in_bytes),
+        )
+    except Exception:
+        return None
+
+
+def validate_model(m: int, n: int, scoring: Scoring = Scoring()) -> dict:
+    """Measure both plans' compiled memory profiles and compare them with
+    the analytic models. Returns {plan: (analytic TrafficReport,
+    MeasuredMemory)} for every plan that compiled — the model-vs-measured
+    agreement check the round-1 analytic models lacked."""
+    import jax.numpy as jnp
+    import numpy as np
+    from ..core.encode import random_pair
+    from ..kernels import pallas_fill as pf
+    from ..kernels.scan_fill import scan_fill
+
+    a, b = random_pair(m, n, seed=0)
+    aj, bj = jnp.asarray(a), jnp.asarray(b)
+    out = {}
+
+    meas = measured_memory(
+        lambda x, y: scan_fill(x, y, scoring=scoring, return_p=True).p_diag,
+        aj, bj)
+    if meas is not None:
+        out["scan+P"] = (scan_traffic(m, n, traceback=True), meas)
+    meas = measured_memory(
+        lambda x, y: scan_fill(x, y, scoring=scoring).max_score, aj, bj)
+    if meas is not None:
+        out["scan"] = (scan_traffic(m, n), meas)
+
+    T, R, CB = pf.choose_params(m, n, affine=scoring.is_affine)
+    C = pf.DEFAULT_CHUNK
+    ap, bt, _ = pf._build_inputs(a, b, T, C, R, CB)
+    interp = pf._interpret_default()
+
+    def stripe_fn(q, bt_):
+        return pf._stripe_call(q, bt_, scoring=scoring, T=T, R=R, C=C,
+                               CB=CB, m=m, n=n, return_p=False,
+                               interpret=interp,
+                               unroll=pf._auto_unroll(C, interp))[0]
+
+    meas = measured_memory(stripe_fn, jnp.asarray(ap), jnp.asarray(bt))
+    if meas is not None:
+        out["stripe"] = (stripe_traffic(m, n, T=T, C=C), meas)
+    return out
+
+
 def report(m: int, n: int, config: EngineConfig = EngineConfig()) -> str:
     """Human-readable traffic comparison for a problem size."""
     from ..kernels.pallas_fill import choose_stripe_rows

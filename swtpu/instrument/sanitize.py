@@ -1,0 +1,148 @@
+"""Debug-mode kernel sanitizer — the C22 analog.
+
+The reference's rotated-omp DEBUG build wraps every element access in
+`at()`/`set()` sentinels that catch out-of-bounds, read-of-uninitialized and
+double-writes (rotated-cuda/sw-rotated-omp.cc:77-117). The stripe kernel's
+correctness rests on invariants of comparable subtlety (CLAUDE.md pins
+them): the UNMASKED fill is only valid because (1) pre-start lanes provably
+stay at the zero floor, (2) post-finish garbage strictly decays and can
+never tie the true maximum, and (3) the boundary-ring consumer offset
+`up_in(t) = ring[t + L - 1]` keeps the producer >=128 lanes ahead.
+
+`sanitize_stripe()` checks all three STRUCTURALLY: it runs the kernel in
+interpret mode with a per-step H capture (`debug_h`) and verifies every
+computed value against the NumPy oracle — valid cells bit-equal, pre-start
+cells exactly zero, out-of-range cells strictly below the true max and
+strictly decaying. A future violation of any invariant (e.g. a broken ring
+offset — see the `_DEBUG_RING_SKEW` test hook) is caught here as a
+structural error, not as a wrong answer three layers downstream.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.config import Scoring
+
+
+class SanitizeError(AssertionError):
+    """A stripe-kernel invariant was violated."""
+
+
+@dataclasses.dataclass
+class SanitizeReport:
+    valid_cells: int          # in-matrix cells checked bit-equal vs oracle
+    prestart_cells: int       # pre-start lane slots verified == 0
+    garbage_cells: int        # post-finish/padded slots verified < max
+    config: tuple             # (T, R, CB, C)
+
+
+def sanitize_stripe(a: np.ndarray, b: np.ndarray,
+                    scoring: Scoring = Scoring(),
+                    T=None, R=None, CB=None, C: int = 128) -> SanitizeReport:
+    """Run the stripe kernel in interpret mode with full H capture and
+    check every invariant of the unmasked fill. Raises SanitizeError on
+    the first violation; returns a coverage report otherwise."""
+    from ..core import oracle
+    from ..kernels import pallas_fill as pf
+
+    a = np.asarray(a, np.int8)
+    b = np.asarray(b, np.int8)
+    m, n = len(a), len(b)
+    T, R, CB = pf._resolve_params(m, n, T, R, scoring, CB=CB)
+    pf._check_packing(m, n, R, scoring, CB)
+    ap, bt, S = pf._build_inputs(a, b, T, C, R, CB)
+    outs = pf._stripe_call(
+        jnp.asarray(ap), jnp.asarray(bt), scoring=scoring, T=T, R=R, C=C,
+        CB=CB, m=m, n=n, return_p=False, interpret=True, unroll=1,
+        debug_h=True)
+    best = np.asarray(outs[0])
+    dbg = np.asarray(outs[2])     # (S, steps_pad, CB, R, sub, LANES)
+
+    ref = oracle.fill(a, b, scoring)
+    Sn, steps_pad, CBn, Rn, sub, LN = dbg.shape
+    L = sub * LN
+
+    # cell map: slot (s, t, c, r, lin) computes (i, j) =
+    # (s*T + lin*R + r + 1, CB*(t - lin) + c + 1)
+    t_ = np.arange(steps_pad)[None, :, None, None, None]
+    c_ = np.arange(CBn)[None, None, :, None, None]
+    r_ = np.arange(Rn)[None, None, None, :, None]
+    lin_ = np.arange(L)[None, None, None, None, :]
+    s_ = np.arange(Sn)[:, None, None, None, None]
+    dbgf = dbg.reshape(Sn, steps_pad, CBn, Rn, L)
+    jj = CBn * (t_ - lin_) + c_ + 1
+    ii = s_ * T + lin_ * Rn + r_ + 1
+    pre = jj < 1
+    valid = (jj >= 1) & (jj <= m) & (ii <= n)
+    garbage = ~pre & ~valid
+
+    # invariant 1: pre-start lanes stay at the zero floor (the unmasked
+    # fill's induction base — any nonzero here means a sentinel or ring
+    # offset leak)
+    bad = pre & (dbgf != 0)
+    if bad.any():
+        s0, t0, c0, r0, l0 = [int(x[0]) for x in np.nonzero(bad)]
+        raise SanitizeError(
+            f"pre-start lane slot (stripe={s0}, step={t0}, slot={c0}, "
+            f"r={r0}, lane={l0}) holds {dbgf[s0, t0, c0, r0, l0]} != 0")
+
+    # invariant 2: every in-matrix cell is bit-equal to the oracle (this is
+    # where a skewed boundary ring or broken left-inject shows up)
+    iv = np.where(valid, ii, 0)
+    jv = np.where(valid, jj, 0)
+    want = ref.H[iv, jv]
+    bad = valid & (dbgf != want)
+    if bad.any():
+        s0, t0, c0, r0, l0 = [int(x[0]) for x in np.nonzero(bad)]
+        i0 = int(ii[0, t0, 0, 0, l0] if Sn == 1 else
+                 s0 * T + l0 * Rn + r0 + 1)
+        j0 = int(CBn * (t0 - l0) + c0 + 1)
+        raise SanitizeError(
+            f"cell (i={i0}, j={j0}) = {dbgf[s0, t0, c0, r0, l0]} != oracle "
+            f"{ref.H[i0, j0]} (stripe={s0}, step={t0}, slot={c0}, r={r0}, "
+            f"lane={l0}) — boundary-ring/injection invariant violated")
+
+    # invariant 3: out-of-range garbage never ties the true max (the
+    # decay argument) and strictly decays step over step
+    if ref.max_score > 0:
+        bad = garbage & (dbgf >= ref.max_score)
+        if bad.any():
+            s0, t0, c0, r0, l0 = [int(x[0]) for x in np.nonzero(bad)]
+            raise SanitizeError(
+                f"garbage slot (stripe={s0}, step={t0}, slot={c0}, r={r0}, "
+                f"lane={l0}) = {dbgf[s0, t0, c0, r0, l0]} >= max "
+                f"{ref.max_score}: the decay invariant is broken")
+        # decay envelope: every post-finish (j > m) inflow subtracts >= 1,
+        # so the PER-COLUMN maximum G(j) = max over garbage cells of column
+        # j strictly decreases with j until the zero floor clamps it.
+        # (Individual lanes need not be monotone in affine mode — an E/F
+        # state can recover toward a slower-decaying neighbor — but the
+        # envelope decay is what guarantees garbage never re-ties the max.)
+        post = np.broadcast_to(garbage & (jj > m), dbgf.shape)
+        if post.any():
+            jpost = np.broadcast_to(jj, dbgf.shape)[post] - m - 1
+            vals = dbgf[post]
+            ncol = int(jpost.max()) + 1
+            G = np.full((ncol,), -(1 << 62), np.int64)
+            np.maximum.at(G, jpost, vals.astype(np.int64))
+            have = G > -(1 << 61)
+            for j0 in range(ncol - 1):
+                if have[j0] and have[j0 + 1] and G[j0 + 1] != 0 \
+                        and G[j0 + 1] >= G[j0]:
+                    raise SanitizeError(
+                        f"garbage column envelope fails strict decay at "
+                        f"j={m + 1 + j0}: G={G[j0]} -> {G[j0 + 1]}")
+
+    # end-to-end: the kernel's own reduction agrees with the oracle
+    got = int(best[:, 0].max(initial=0))
+    if max(got, 0) != max(ref.max_score, 0):
+        raise SanitizeError(
+            f"kernel max {got} != oracle max {ref.max_score}")
+
+    return SanitizeReport(
+        valid_cells=int(valid.sum()), prestart_cells=int(pre.sum()),
+        garbage_cells=int(garbage.sum()), config=(T, R, CB, C))

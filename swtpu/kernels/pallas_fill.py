@@ -163,12 +163,19 @@ def _interpret_default() -> bool:
         return True
 
 
+# Test hook for the debug sanitizer (instrument/sanitize.py): skews the
+# boundary-ring consumer offset so a deliberately broken ring is CAUGHT by
+# the invariant checks. Must stay 0 in production; interpret-mode only
+# (Mosaic requires 128-multiple lane offsets).
+_DEBUG_RING_SKEW = 0
+
+
 def _kernel(scoring: Scoring, T: int, R: int, C: int, m: int, n: int,
             steps: int, num_chunks: int, return_p: bool,
             batch: bool = False, unroll: int = 1,
             boundary: bool = False, want_bottom: bool = False,
             pairs: bool = False, local: bool = True, CB: int = 1,
-            nsym: int = 0, band: int = 0):
+            nsym: int = 0, band: int = 0, debug_h: bool = False):
     L = T // R                       # lanes per stripe
     sub_rows = L // LANES
     logR = R.bit_length() - 1        # R is a power of two
@@ -225,6 +232,9 @@ def _kernel(scoring: Scoring, T: int, R: int, C: int, m: int, n: int,
             rest = rest[1:]
         if return_p:
             p_ref = rest[0]
+            rest = rest[1:]
+        if debug_h:
+            dbg_ref = rest[0]          # per-step H capture (sanitizer)
             rest = rest[1:]
         if want_bottom:
             bot = rest[0]           # rings exposed as an output
@@ -330,7 +340,8 @@ def _kernel(scoring: Scoring, T: int, R: int, C: int, m: int, n: int,
         # lane per step:
         #   bw[c][0, 127+tl] = ring_c[cc*C + L - 1 + tl] = H(above, j_c(t))
         #   av[c][0, tl]     = a[CB*t + c] — the slot-c query stream
-        bw0 = [bot[c:c + 1, pl.ds(c_idx * C + L - 128, C + 128)]
+        bw0 = [bot[c:c + 1, pl.ds(c_idx * C + L - 128 + _DEBUG_RING_SKEW,
+                                  C + 128)]
                for c in range(CB)]
         av0 = [a_ref[0, c:c + 1, pl.ds(c_idx * C, C)] for c in range(CB)]
         if affine:
@@ -472,6 +483,8 @@ def _kernel(scoring: Scoring, T: int, R: int, C: int, m: int, n: int,
                         if band:
                             doff = CB * t - bandbase + (c - r)
                             hn = jnp.where(abs(doff) <= band, hn, 0)
+                        if debug_h:
+                            dbg_ref[0, tl, c, r] = hn
                         new_h[c][r] = hn
                         up = hn
                         hpk = hn if local else jnp.maximum(hn, -8)
@@ -716,12 +729,12 @@ def _ring_len(m: int, T: int, R: int, C: int, CB: int = 1) -> int:
     jax.jit,
     static_argnames=("scoring", "T", "R", "C", "m", "n", "return_p",
                      "interpret", "unroll", "want_bottom", "local", "CB",
-                     "nsym", "band"),
+                     "nsym", "band", "debug_h"),
 )
 def _stripe_call(q, bt, greset=None, top=None, lc=None, ftop=None, *,
                  scoring, T, R=1, C=256, m, n, return_p, interpret,
                  unroll=1, want_bottom=False, local=True, CB=1, nsym=0,
-                 band=0):
+                 band=0, debug_h=False):
     num_stripes = bt.shape[0]
     L = T // R
     steps = _steps(m, L, CB)
@@ -746,10 +759,12 @@ def _stripe_call(q, bt, greset=None, top=None, lc=None, ftop=None, *,
             "substitution-matrix boundary-injected fills not supported")
     if band and (boundary or batch or not local):
         raise NotImplementedError("banded mode: plain single-pair fills")
+    if debug_h and not interpret:
+        raise ValueError("debug_h (sanitizer capture) is interpret-only")
     kernel = _kernel(scoring, T, R, C, m, n, steps, num_chunks, return_p,
                      batch=batch, unroll=unroll, boundary=boundary,
                      want_bottom=want_bottom, local=local, CB=CB,
-                     nsym=nsym, band=band)
+                     nsym=nsym, band=band, debug_h=debug_h)
 
     out_shape = [
         jax.ShapeDtypeStruct((num_stripes, 8), jnp.int32),                 # best
@@ -775,6 +790,13 @@ def _stripe_call(q, bt, greset=None, top=None, lc=None, ftop=None, *,
                 (1, sub_rows, LANES), lambda s, c: (s, 0, 0),
                 memory_space=pltpu.VMEM))
     if return_p:
+        out_shape.append(jax.ShapeDtypeStruct(
+            (num_stripes, num_chunks * C, CB, R, sub_rows, LANES),
+            jnp.int32))
+        out_specs.append(pl.BlockSpec(
+            (1, C, CB, R, sub_rows, LANES), lambda s, c: (s, c, 0, 0, 0, 0),
+            memory_space=pltpu.VMEM))
+    if debug_h:
         out_shape.append(jax.ShapeDtypeStruct(
             (num_stripes, num_chunks * C, CB, R, sub_rows, LANES),
             jnp.int32))

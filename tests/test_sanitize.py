@@ -1,0 +1,55 @@
+"""Debug-mode sanitizer tests (the C22 analog): a clean kernel passes all
+invariant checks; a deliberately broken boundary-ring offset is CAUGHT."""
+
+import numpy as np
+import pytest
+
+from swtpu import Scoring
+from swtpu.core.encode import random_pair
+from swtpu.instrument.sanitize import SanitizeError, sanitize_stripe
+from swtpu.kernels import pallas_fill as pf
+
+
+def test_sanitizer_clean_pass_multistripe():
+    a, b = random_pair(150, 300, seed=0)
+    rep = sanitize_stripe(a, b, T=128, R=1, CB=1)
+    assert rep.valid_cells == 150 * 300
+    assert rep.prestart_cells > 0 and rep.garbage_cells > 0
+
+
+def test_sanitizer_clean_pass_blocked_config():
+    a, b = random_pair(100, 512, seed=1)
+    rep = sanitize_stripe(a, b, T=256, R=2, CB=2)
+    assert rep.valid_cells == 100 * 512
+    assert rep.config[:3] == (256, 2, 2)
+
+
+def test_sanitizer_clean_pass_affine():
+    a, b = random_pair(80, 256, seed=2)
+    sc = Scoring(mode="affine", gap_open=-5, gap_extend=-1)
+    rep = sanitize_stripe(a, b, scoring=sc, T=128, R=1)
+    assert rep.valid_cells == 80 * 256
+
+
+def test_sanitizer_catches_broken_ring_offset(monkeypatch):
+    """Skew the boundary-ring consumer by one slot: stripe 2 then reads a
+    shifted top boundary — a wrong-answer class the round-1 framework could
+    only detect as a downstream mismatch. The sanitizer must pinpoint it
+    as an invariant violation."""
+    a, b = random_pair(150, 300, seed=3)
+    monkeypatch.setattr(pf, "_DEBUG_RING_SKEW", 1)
+    pf._stripe_call.clear_cache()    # the skew is baked in at trace time
+    try:
+        with pytest.raises(SanitizeError, match="invariant|!= oracle"):
+            sanitize_stripe(a, b, T=128, R=1, CB=1)
+    finally:
+        monkeypatch.setattr(pf, "_DEBUG_RING_SKEW", 0)
+        pf._stripe_call.clear_cache()
+
+
+def test_sanitizer_catches_positive_mismatch_scoring():
+    """A scoring that violates the unmasked kernel's precondition must be
+    refused before it can produce silently wrong fills."""
+    a, b = random_pair(64, 64, seed=4)
+    with pytest.raises(ValueError, match="negative"):
+        sanitize_stripe(a, b, scoring=Scoring(mismatch=1))
