@@ -75,11 +75,12 @@ def main(argv=None) -> int:
     config = EngineConfig(band=args.band, traceback=not args.skip_backtrack)
 
     # warm the jit caches so the timed phase matches the reference's
-    # compile-free binaries (first compile of a new shape is ~10-30 s)
-    if not use_builtin:
-        t0 = time.perf_counter()
-        align(a, b, scoring=scoring, config=config, plan=args.plan)
-        print(f"(jit warmup: {time.perf_counter() - t0:.2f}s)")
+    # compile-free binaries (first compile of a new shape is ~10-30 s);
+    # the builtin example warms too — its "Elapsed time" would otherwise
+    # read as a 40 s result for a 9x8 problem
+    t0 = time.perf_counter()
+    align(a, b, scoring=scoring, config=config, plan=args.plan)
+    print(f"(jit warmup: {time.perf_counter() - t0:.2f}s)")
 
     best = None
     res = None

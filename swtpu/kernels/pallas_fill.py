@@ -374,6 +374,17 @@ def _kernel(scoring: Scoring, T: int, R: int, C: int, m: int, n: int,
                     h_tops.append(ht)
                     wvs.append(jnp.where(origin, av[c][0, 0],
                                          jnp.where(col0, wr2[c], wr1[c])))
+                if nsym:
+                    # substitution select tree: the query-code bit masks are
+                    # hoisted per column slot (shared by all R rows), so the
+                    # per-cell cost drops from nsym compares + nsym chained
+                    # selects to ~nsym tournament selects of depth
+                    # ceil(log2 nsym) — the chain, not the op count, is
+                    # what the per-step cost model charges (DESIGN.md §5)
+                    nbits = max(1, (nsym - 1).bit_length())
+                    wneg = [wvs[c] < 0 for c in range(CB)]
+                    wbit = [[((wvs[c] >> k) & 1) == 1 for k in range(nbits)]
+                            for c in range(CB)]
                 if affine:
                     f_tops = []
                     for c in range(CB):
@@ -416,10 +427,20 @@ def _kernel(scoring: Scoring, T: int, R: int, C: int, m: int, n: int,
                             if affine:
                                 ev = jnp.where(first, lce[r], ev)
                         if nsym:
-                            sub = jnp.full_like(dg, -(1 << 20))
-                            for q in range(nsym):
-                                sub = jnp.where(wvs[c] == q, profs[q][r],
-                                                sub)
+                            # tournament over the profile leaves: level k
+                            # pairs nodes differing in query-code bit k
+                            nodes = [profs[q][r] for q in range(nsym)]
+                            for k in range(nbits):
+                                nxt = [jnp.where(wbit[c][k], nodes[q0 + 1],
+                                                 nodes[q0])
+                                       for q0 in range(0, len(nodes) - 1, 2)]
+                                if len(nodes) % 2:
+                                    nxt.append(nodes[-1])
+                                nodes = nxt
+                            # sentinel queries (a-padding, code < 0) must
+                            # score NEG so post-finish garbage decays
+                            sub = jnp.where(wneg[c], jnp.int32(-(1 << 20)),
+                                            nodes[0])
                         else:
                             sub = jnp.where(wvs[c] == btiles[r], match,
                                             mismatch)
