@@ -24,10 +24,18 @@ from .core.config import (
 from .core.encode import decode, encode, random_batch, random_pair
 from .engine.align import Alignment, align, score
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
+
+
+def sanitize(a, b, **kw):
+    """Debug-mode structural check of the stripe kernel on (a, b) — the
+    reference's DEBUG sanitizer analog (instrument.sanitize)."""
+    from .instrument.sanitize import sanitize_stripe
+    return sanitize_stripe(a, b, **kw)
+
 
 __all__ = [
-    "align", "score", "Alignment", "Scoring", "EngineConfig",
+    "align", "score", "sanitize", "Alignment", "Scoring", "EngineConfig",
     "encode", "decode", "random_pair", "random_batch",
     "NONE", "UP", "LEFT", "DIAGONAL", "PATH",
     "BUILTIN_A", "BUILTIN_B", "BUILTIN_MAX_SCORE", "BUILTIN_MAX_POS",

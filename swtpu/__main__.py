@@ -29,8 +29,12 @@ def main(argv=None) -> int:
     ap.add_argument("n", nargs="?", type=int, default=None,
                     help="rows (length of b)")
     ap.add_argument("--plan", default=None,
-                    choices=["scan", "stripe", "auto"],
+                    choices=["scan", "stripe", "pipeline", "auto"],
                     help="execution plan (default: adaptive dispatch)")
+    ap.add_argument("--sanitize", action="store_true",
+                    help="run the stripe-kernel structural sanitizer on "
+                         "this input (interpret mode; the DEBUG memory-"
+                         "check analog)")
     ap.add_argument("--band", type=int, default=None, help="band half-width")
     ap.add_argument("--affine", action="store_true",
                     help="affine gaps (Gotoh) instead of linear")
@@ -91,6 +95,19 @@ def main(argv=None) -> int:
         best = dt if best is None else min(best, dt)
         print(f"Elapsed time for scoring matrix computation: {dt:.6f}  "
               f"({gcups(m*n, dt):.3f} GCUPS)")
+
+    if args.sanitize:
+        from .instrument.sanitize import sanitize_stripe
+        a_codes = a if isinstance(a, np.ndarray) else None
+        if a_codes is None:
+            from .core.encode import encode
+            a_codes, b_codes = encode(a), encode(b)
+        else:
+            b_codes = b
+        rep = sanitize_stripe(a_codes, b_codes, scoring=scoring)
+        print(f"Sanitizer: OK — {rep.valid_cells} cells bit-checked, "
+              f"{rep.prestart_cells} pre-start, {rep.garbage_cells} "
+              f"garbage slots verified (config {rep.config})")
 
     print(f"Max score {res.max_score} at (i={res.max_i}, j={res.max_j}) "
           f"[padded row-major index {res.max_pos}]")
