@@ -56,14 +56,17 @@ def unroll_study(results):
     ap, bt, _ = pf._build_inputs(a, b, T, C, R, CB)
     apj, btj = jnp.asarray(ap), jnp.asarray(bt)
     rows = []
-    for U in (8, 16, 32):
+    for U, spec in ((8, True), (16, True), (32, True), (32, False),
+                    (16, False)):
         kw = dict(scoring=Scoring(), T=T, R=R, C=C, CB=CB, m=M, n=N,
-                  return_p=False, interpret=False, unroll=U)
+                  return_p=False, interpret=False, unroll=U,
+                  specialize_chunks=spec)
         t0 = time.perf_counter()
         np.asarray(pf._stripe_call(apj, btj, **kw)[0])
         compile_s = time.perf_counter() - t0
         fill = time_call(lambda: pf._stripe_call(apj, btj, **kw)[0])
-        rows.append({"U": U, "compile_s": round(compile_s, 1),
+        rows.append({"U": U, "specialize": spec,
+                     "compile_s": round(compile_s, 1),
                      "fill_s": round(fill, 5),
                      "gcups": round(M * N / fill / 1e9, 1)})
         print("unroll", rows[-1])

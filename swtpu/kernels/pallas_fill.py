@@ -175,7 +175,8 @@ def _kernel(scoring: Scoring, T: int, R: int, C: int, m: int, n: int,
             batch: bool = False, unroll: int = 1,
             boundary: bool = False, want_bottom: bool = False,
             pairs: bool = False, local: bool = True, CB: int = 1,
-            nsym: int = 0, band: int = 0, debug_h: bool = False):
+            nsym: int = 0, band: int = 0, debug_h: bool = False,
+            specialize_chunks: bool = True):
     L = T // R                       # lanes per stripe
     sub_rows = L // LANES
     logR = R.bit_length() - 1        # R is a power of two
@@ -622,21 +623,31 @@ def _kernel(scoring: Scoring, T: int, R: int, C: int, m: int, n: int,
         # fires for steps t in [rc_t0, rc_t0+L), the left-boundary inject
         # only for t in [0, L). Trace only the (rc, inject) combos that
         # actually occur; the common steady phase pays neither.
-        base = c_idx * C
-        touches_edge = jnp.logical_and(base + C > rc_t0, base < rc_t0 + L)
-        combos = set()
-        for cb_ in range(0, num_chunks * C, C):
-            rc_on = cb_ + C > rc_t0 and cb_ < rc_t0 + L
-            inj_on = boundary and cb_ < L
-            combos.add((rc_on, inj_on))
-        if boundary:
-            injecting = base < L
-        for rc_on, inj_on in sorted(combos):
-            pred = touches_edge if rc_on else jnp.logical_not(touches_edge)
+        # specialize_chunks=False traces ONE unconditional body instead
+        # (every chunk pays rc/inject selects) — ~half the trace size, a
+        # few percent more per-step vector work; the A/B lives in
+        # scripts/tpu_round2.py (compile-latency diet).
+        if not specialize_chunks:
+            run_chunk(True, boundary)
+        else:
+            base = c_idx * C
+            touches_edge = jnp.logical_and(base + C > rc_t0,
+                                           base < rc_t0 + L)
+            combos = set()
+            for cb_ in range(0, num_chunks * C, C):
+                rc_on = cb_ + C > rc_t0 and cb_ < rc_t0 + L
+                inj_on = boundary and cb_ < L
+                combos.add((rc_on, inj_on))
             if boundary:
-                ipred = injecting if inj_on else jnp.logical_not(injecting)
-                pred = jnp.logical_and(pred, ipred)
-            pl.when(pred)(functools.partial(run_chunk, rc_on, inj_on))
+                injecting = base < L
+            for rc_on, inj_on in sorted(combos):
+                pred = touches_edge if rc_on \
+                    else jnp.logical_not(touches_edge)
+                if boundary:
+                    ipred = injecting if inj_on \
+                        else jnp.logical_not(injecting)
+                    pred = jnp.logical_and(pred, ipred)
+                pl.when(pred)(functools.partial(run_chunk, rc_on, inj_on))
 
         @pl.when(c_idx == num_chunks - 1)
         def _finish_stripe():
@@ -750,12 +761,12 @@ def _ring_len(m: int, T: int, R: int, C: int, CB: int = 1) -> int:
     jax.jit,
     static_argnames=("scoring", "T", "R", "C", "m", "n", "return_p",
                      "interpret", "unroll", "want_bottom", "local", "CB",
-                     "nsym", "band", "debug_h"),
+                     "nsym", "band", "debug_h", "specialize_chunks"),
 )
 def _stripe_call(q, bt, greset=None, top=None, lc=None, ftop=None, *,
                  scoring, T, R=1, C=256, m, n, return_p, interpret,
                  unroll=1, want_bottom=False, local=True, CB=1, nsym=0,
-                 band=0, debug_h=False):
+                 band=0, debug_h=False, specialize_chunks=True):
     num_stripes = bt.shape[0]
     L = T // R
     steps = _steps(m, L, CB)
@@ -785,7 +796,8 @@ def _stripe_call(q, bt, greset=None, top=None, lc=None, ftop=None, *,
     kernel = _kernel(scoring, T, R, C, m, n, steps, num_chunks, return_p,
                      batch=batch, unroll=unroll, boundary=boundary,
                      want_bottom=want_bottom, local=local, CB=CB,
-                     nsym=nsym, band=band, debug_h=debug_h)
+                     nsym=nsym, band=band, debug_h=debug_h,
+                     specialize_chunks=specialize_chunks)
 
     out_shape = [
         jax.ShapeDtypeStruct((num_stripes, 8), jnp.int32),                 # best

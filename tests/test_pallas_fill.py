@@ -355,3 +355,26 @@ def test_banded_matches_scan():
         P1 = p_stripes_to_rowmajor(np.asarray(out.p_stripes), 300, 90)
         P2 = diag_to_rowmajor(ref.p_diag, 300, 90)
         np.testing.assert_array_equal(P1, P2, err_msg=str(band))
+
+
+def test_fused_chunk_body_matches_oracle():
+    """specialize_chunks=False (one unconditional chunk trace — the
+    compile-latency diet variant) must be bit-identical to the default."""
+    import jax.numpy as jnp
+    from swtpu import Scoring
+    from swtpu.core import oracle
+    from swtpu.core.encode import random_pair
+    from swtpu.kernels import pallas_fill as pf
+
+    a, b = random_pair(170, 300, seed=8)
+    ref = oracle.fill(a, b)
+    ap, bt, _ = pf._build_inputs(a, b, 128, 128, 1, 1)
+    outs = pf._stripe_call(
+        jnp.asarray(ap), jnp.asarray(bt), scoring=Scoring(), T=128, R=1,
+        C=128, m=170, n=300, return_p=False, interpret=True, unroll=1,
+        specialize_chunks=False)
+    best = np.asarray(outs[0])
+    assert int(best[:, 0].max()) == ref.max_score
+    # right-column capture must still fire (track_rc is unconditional)
+    rc = pf._lane_major_to_rowmajor(np.asarray(outs[1]), 128, 1)[:300]
+    assert np.array_equal(rc, ref.H[1:, 170])
