@@ -110,9 +110,19 @@ def protein_bench(results):
 def shape_sweep(results):
     from swtpu.dispatch import autotune
 
-    sizes = (2048, 8192, 25632, (2000, 145002), (145002, 2000),
-             (2000, 25632), (512, 8192))
-    table = autotune.sweep(sizes=sizes, unrolls=(8, 32))
+    # focused grid: the rectangular entries the round-1 table lacked plus a
+    # square refresh; R narrowed to the known-good register blockings to
+    # bound compile count (each distinct config is a fresh Mosaic compile)
+    sizes = ((2000, 145002), (145002, 2000), (2000, 25632), 8192, 25632)
+    table = autotune.sweep(sizes=sizes, r_candidates=(4, 8),
+                           cb_candidates=(1, 2), unrolls=(8, 32))
+    # merge with the existing table (keep sizes we did not re-measure)
+    old = autotune.load("swtpu_tuned_v5e.json")
+    if old:
+        seen = {(e["m"], e["n"]) for e in table["entries"]}
+        for e in old["entries"]:
+            if (e["m"], e["n"]) not in seen:
+                table["entries"].append(e)
     autotune.save(table, "swtpu_tuned_v5e.json")
     results["sweep"] = [
         {"m": e["m"], "n": e["n"], "best": e["best"]}
