@@ -17,6 +17,7 @@ import os
 import sys
 import time
 
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/swtpu-jax-cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
@@ -130,7 +131,11 @@ def shape_sweep(results):
 
 
 def main():
-    assert jax.default_backend() == "tpu", jax.default_backend()
+    # NOT jax.default_backend(): the axon plugin stays visible even under
+    # JAX_PLATFORMS=cpu (CLAUDE.md gotcha) — a CPU-configured session
+    # would sweep interpreter timings into the tuned table
+    from swtpu.dispatch.plan import current_platform
+    assert current_platform() == "tpu", current_platform()
     if not probe():
         print("tunnel too slow; aborting")
         return 1

@@ -185,6 +185,8 @@ class Policy:
         for e in self.table["entries"]:
             if e["m"] == m and e["n"] == n:
                 e["all"].append(row)
+                if len(e["all"]) > 64:       # bounded history: every warm
+                    del e["all"][:-64]       # align() call observes
                 if row["gcups"] > e["best"]["gcups"]:
                     e["best"] = row
                 return

@@ -99,10 +99,11 @@ def _sanitize(e: dict, m: int, n: int) -> Optional[ExecPlan]:
     if T is not None:
         R_ = R or 1
         T = -(-T // (LANES * R_)) * LANES * R_    # multiple of 128*R
-    if C is not None and unroll is not None and C % unroll:
-        unroll = None                             # let the engine re-derive
     if C is not None and C % LANES:
         C = DEFAULT_CHUNK
+    # unroll must divide the FINAL C (checked after any C replacement)
+    if unroll is not None and (C or DEFAULT_CHUNK) % unroll:
+        unroll = None                             # let the engine re-derive
     return ExecPlan("stripe", T=T, R=R, CB=CB, C=C, unroll=unroll,
                     source="tuned")
 

@@ -215,21 +215,38 @@ def make_pipeline(mesh: Mesh, m: int, n: int, block_rows: int,
     return jax.jit(sharded)
 
 
+def _pad_shapes(m: int, n: int, D: int, block_rows: int):
+    return -(-max(m, 1) // D) * D, -(-max(n, 1) // block_rows) * block_rows
+
+
 def pipeline_align(a_codes: np.ndarray, b_codes: np.ndarray, mesh: Mesh,
                    block_rows: int = 512, scoring: Scoring = Scoring(),
                    axis: str = "seq") -> PipelineResult:
-    """Convenience wrapper: pad to divisibility and run the pipeline."""
+    """Convenience wrapper: pad to divisibility and run the pipeline.
+
+    Padding goes on the LEFT/TOP: under the local zero floor a sentinel
+    prefix fills with exact zeros (every cell is max(0, negatives)), i.e.
+    it just extends the zero boundary, so the padded matrix's bottom-right
+    corner IS the true H[n, m] (the reference's H[m*n-1] invariant) and
+    max positions shift by the constant offsets. Right/bottom padding
+    would leave last_cell pointing at decayed garbage."""
     D = mesh.shape[axis]
     m, n = len(a_codes), len(b_codes)
-    mp = -(-m // D) * D
-    np_ = -(-n // block_rows) * block_rows
-    # pad with distinct sentinels so padded cells never score
+    mp, np_ = _pad_shapes(m, n, D, block_rows)
     a_pad = np.full((mp,), -1, np.int8)
-    a_pad[:m] = a_codes
+    a_pad[mp - m:] = a_codes
     b_pad = np.full((np_,), -2, np.int8)
-    b_pad[:n] = b_codes
+    b_pad[np_ - n:] = b_codes
     fn = make_pipeline(mesh, mp, np_, block_rows, scoring, axis)
     res = fn(jnp.asarray(a_pad), jnp.asarray(b_pad))
+    di, dj = np_ - n, mp - m
+    if di or dj:
+        has = res.max_score > 0
+        res = PipelineResult(
+            res.max_score,
+            jnp.where(has, res.max_i - di, 0),
+            jnp.where(has, res.max_j - dj, 0),
+            res.last_cell)
     return res
 
 
@@ -242,8 +259,10 @@ def _pipeline_nw_argmax(a_codes: np.ndarray, b_codes: np.ndarray,
     increment), so padded cells can never tie the true positive max."""
     D = mesh.shape[axis]
     m, n = len(a_codes), len(b_codes)
-    mp = -(-max(m, 1) // D) * D
-    np_ = -(-max(n, 1) // block_rows) * block_rows
+    mp, np_ = _pad_shapes(m, n, D, block_rows)
+    # NW mode pads on the RIGHT/BOTTOM: the anchored origin must stay at
+    # (0, 0), and padded-region values strictly decay so they never win
+    # the argmax (last_cell is not consumed from this pass)
     a_pad = np.full((mp,), -1, np.int8)
     a_pad[:m] = a_codes
     b_pad = np.full((np_,), -2, np.int8)

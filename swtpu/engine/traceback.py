@@ -46,16 +46,19 @@ _NEG = -(1 << 30)
 def _use_stripe(m: int, n: int, scoring: Scoring, nw: bool = False,
                 sub=None) -> bool:
     """Stripe-kernel gate: score passes support affine; the NW (global)
-    block mode and substitution profiles stay on the scan plan."""
+    block mode and substitution profiles stay on the scan plan. m is the
+    WIDTH of the fill being launched — beyond MAX_WIDTH the Q stream +
+    boundary ring no longer fit VMEM (mega-matrix windows reached via the
+    pipeline tier fall back to the scan fills here)."""
     from ..dispatch.plan import current_platform
-    from ..kernels.pallas_fill import _penalties_negative
+    from ..kernels.pallas_fill import MAX_WIDTH, _penalties_negative
     if sub is not None:
         return False
     if nw and scoring.is_affine:
         return False
     return (current_platform() == "tpu"
             and _penalties_negative(scoring) and m >= 2 and n >= 1
-            and m * n >= _STRIPE_MIN_CELLS)
+            and m <= MAX_WIDTH and m * n >= _STRIPE_MIN_CELLS)
 
 
 def _sub_table(sub):
@@ -230,7 +233,13 @@ def _nw_host_affine(a, b, scoring: Scoring, tbg: int, teg: int, sub=None):
         Ei = NEG
         for j in range(1, m + 1):
             Ei = max(H[i, j - 1] + op, Ei + ext)
-            fo = teg + ext if i == n else op   # bottom-border gap open
+            # teg discounts ONLY the final corner gap: any used vertical
+            # gap in column m necessarily runs to row n (from (i, m) the
+            # path can only continue down), so discounting opens in
+            # column m == discounting the gap glued across the bottom
+            # border at the crossing column. A row-n gap at j < m does
+            # NOT continue below and must pay the normal open.
+            fo = teg + ext if j == m else op
             F[i, j] = max(H[i - 1, j] + fo, F[i - 1, j] + ext)
             E[i, j] = Ei
             H[i, j] = max(H[i - 1, j - 1] + smat[i - 1, j - 1],
@@ -248,7 +257,7 @@ def _nw_host_affine(a, b, scoring: Scoring, tbg: int, teg: int, sub=None):
             continue
         if state == UP:
             out_a.append(-1); out_b.append(b[i - 1])
-            fo = teg + ext if i == n else op
+            fo = teg + ext if j == m else op
             if F[i, j] != H[i - 1, j] + fo:   # extension continues
                 state = UP
             else:

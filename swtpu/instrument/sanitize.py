@@ -98,9 +98,8 @@ def sanitize_stripe(a: np.ndarray, b: np.ndarray,
     bad = valid & (dbgf != want)
     if bad.any():
         s0, t0, c0, r0, l0 = [int(x[0]) for x in np.nonzero(bad)]
-        i0 = int(ii[0, t0, 0, 0, l0] if Sn == 1 else
-                 s0 * T + l0 * Rn + r0 + 1)
-        j0 = int(CBn * (t0 - l0) + c0 + 1)
+        i0 = s0 * T + l0 * Rn + r0 + 1
+        j0 = CBn * (t0 - l0) + c0 + 1
         raise SanitizeError(
             f"cell (i={i0}, j={j0}) = {dbgf[s0, t0, c0, r0, l0]} != oracle "
             f"{ref.H[i0, j0]} (stripe={s0}, step={t0}, slot={c0}, r={r0}, "

