@@ -53,7 +53,7 @@ def _block_fill_plan(mesh: Mesh, mc: int, block_rows: int, scoring: Scoring,
     from ..kernels.pallas_fill import _penalties_negative
     if (_mesh_platform(mesh) == "tpu"
             and _penalties_negative(scoring) and block_rows % LANES == 0
-            and mc >= 2 and not (global_mode and scoring.is_affine)):
+            and mc >= 2):
         return "stripe"
     return "scan"
 
@@ -85,9 +85,6 @@ def make_pipeline(mesh: Mesh, m: int, n: int, block_rows: int,
     stages = nblocks + D - 1
     perm = [(i, i + 1) for i in range(D - 1)]
     is_local = mode == "local"
-    if not is_local and scoring.is_affine:
-        raise NotImplementedError(
-            "global-mode pipeline supports linear gaps only")
 
     plan = _block_fill_plan(mesh, mc, block_rows, scoring, block_fill,
                             global_mode=not is_local)
@@ -165,13 +162,13 @@ def make_pipeline(mesh: Mesh, m: int, n: int, block_rows: int,
             else:
                 left_next = lax.ppermute(halo, axis, perm) if perm else \
                     jnp.zeros_like(halo)
-                if not is_local:
-                    # NW: device 0 has no sender (ppermute delivers zeros);
-                    # its column-0 boundary below block 0 is -inf
-                    left_next = jnp.where(d == 0,
-                                          jnp.full_like(halo, NEGB),
-                                          left_next)
                 left_e_next = left_e_in
+            if not is_local:
+                # NW: device 0 has no sender (ppermute delivers zeros);
+                # its column-0 boundary below block 0 is -inf
+                left_next = jnp.where(d == 0,
+                                      jnp.full_like(left_next, NEGB),
+                                      left_next)
             return (prev_bottom, prev_bottom_f, left_next, left_e_next,
                     bs, bi, bj, last)
 
@@ -285,9 +282,6 @@ def pipeline_locate(a_codes: np.ndarray, b_codes: np.ndarray, mesh: Mesh,
     (rotated-cuda/sw-rotated.cu:286-319) and it has no multi-device story
     at all (SURVEY.md §2.6)."""
     from ..engine.traceback import Located
-    if scoring.is_affine:
-        raise NotImplementedError(
-            "pipeline locate supports linear gaps only")
     fwd = pipeline_align(a_codes, b_codes, mesh, block_rows=block_rows,
                          scoring=scoring, axis=axis)
     score = int(fwd.max_score)

@@ -54,8 +54,6 @@ def _use_stripe(m: int, n: int, scoring: Scoring, nw: bool = False,
     from ..kernels.pallas_fill import MAX_WIDTH, _penalties_negative
     if sub is not None:
         return False
-    if nw and scoring.is_affine:
-        return False
     return (current_platform() == "tpu"
             and _penalties_negative(scoring) and m >= 2 and n >= 1
             and m <= MAX_WIDTH and m * n >= _STRIPE_MIN_CELLS)
@@ -105,8 +103,16 @@ def _nw_argmax(a: np.ndarray, b: np.ndarray, scoring: Scoring,
     m, n = len(a), len(b)
     if _use_stripe(m, n, scoring, nw=True, sub=sub):
         fn = _cached("block", m, n, scoring, local=False, want_bottom=False)
-        s, i, j, _, _, _ = fn(jnp.asarray(a), jnp.asarray(b),
-                              jnp.asarray(top), jnp.asarray(left))
+        if scoring.is_affine:
+            # anchored boundaries: E/F cannot flow in from outside
+            top_f = jnp.full((m + 1,), _NEG, jnp.int32)
+            left_e = jnp.full((n + 1,), _NEG, jnp.int32)
+            s, i, j, *_ = fn(jnp.asarray(a), jnp.asarray(b),
+                             jnp.asarray(top), jnp.asarray(left),
+                             top_f, left_e)
+        else:
+            s, i, j, _, _, _ = fn(jnp.asarray(a), jnp.asarray(b),
+                                  jnp.asarray(top), jnp.asarray(left))
         return int(s), int(i), int(j)
     out = scan_fill(jnp.asarray(a), jnp.asarray(b), scoring=scoring,
                     local=False, top_row=jnp.asarray(top),

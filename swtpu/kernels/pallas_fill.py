@@ -495,7 +495,8 @@ def _kernel(scoring: Scoring, T: int, R: int, C: int, m: int, n: int,
                             p_ref[0, tl, c, r] = pn
                         elif affine:
                             hn = jnp.maximum(jnp.maximum(diag, u_val),
-                                             jnp.maximum(l_val, 0))
+                                             jnp.maximum(l_val, 0)
+                                             if local else l_val)
                         else:
                             # (global/NW mode differs only in dl's floor;
                             # deep negatives are clamped for the packed
@@ -1272,8 +1273,6 @@ def stripe_block_fn(m: int, n: int, scoring: Scoring = Scoring(),
     returns (..., bottom_row, right_col, bottom_f, right_e) — the Gotoh
     block decomposition with full H/E/F boundary continuation.
     """
-    if scoring.is_affine and not local:
-        raise NotImplementedError("affine NW block fills not supported")
     if interpret is None:
         interpret = _interpret_default()
     T, R, _ = _resolve_params(m, n, T, R, scoring, CB=1)

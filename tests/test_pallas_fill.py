@@ -378,3 +378,77 @@ def test_fused_chunk_body_matches_oracle():
     # right-column capture must still fire (track_rc is unconditional)
     rc = pf._lane_major_to_rowmajor(np.asarray(outs[1]), 128, 1)[:300]
     assert np.array_equal(rc, ref.H[1:, 170])
+
+
+def test_affine_nw_block_matches_scan():
+    """Affine global (NW) stripe block fill: max/argmax and halos must
+    match the scan plan's local=False affine fill under anchored (-inf)
+    boundaries — the affine locate reverse-pass contract."""
+    import jax.numpy as jnp
+    from swtpu import Scoring
+    from swtpu.core.encode import random_pair
+    from swtpu.kernels.pallas_fill import stripe_block_fn
+    from swtpu.kernels.scan_fill import scan_fill
+
+    sc = Scoring(mode="affine", gap_open=-5, gap_extend=-1)
+    m, n = 48, 128
+    a, b = random_pair(m, n, seed=21)
+    b[10:40] = a[5:35]                 # a positive anchored optimum
+    NEG = -(1 << 30)
+    top = np.full((m + 1,), NEG, np.int32)
+    left = np.full((n + 1,), NEG, np.int32)
+    top[0] = left[0] = 0
+    top_f = np.full((m + 1,), NEG, np.int32)
+    left_e = np.full((n + 1,), NEG, np.int32)
+
+    ref = scan_fill(jnp.asarray(a), jnp.asarray(b), scoring=sc,
+                    local=False, top_row=jnp.asarray(top),
+                    left_col=jnp.asarray(left))
+    fn = stripe_block_fn(m, n, sc, T=128, R=1, local=False,
+                         want_bottom=True, interpret=True)
+    s, i, j, last, bottom, right, bottom_f, right_e = fn(
+        jnp.asarray(a), jnp.asarray(b), jnp.asarray(top),
+        jnp.asarray(left), jnp.asarray(top_f), jnp.asarray(left_e))
+    assert int(ref.max_score) > 0
+    assert int(s) == int(ref.max_score)
+    assert (int(i), int(j)) == (int(ref.max_i), int(ref.max_j))
+    assert int(last) == int(ref.last_cell)
+    np.testing.assert_array_equal(np.asarray(bottom),
+                                  np.asarray(ref.bottom_row))
+    np.testing.assert_array_equal(np.asarray(right),
+                                  np.asarray(ref.right_col))
+    # E/F halos: clamp the scan's -inf sentinels to the kernel's gentler
+    # scale before comparing (values above the sentinel range are exact)
+    NEGR = -(1 << 24)
+    sf = np.maximum(np.asarray(ref.bottom_f), NEGR)
+    se = np.maximum(np.asarray(ref.right_e), NEGR)
+    kf = np.asarray(bottom_f)
+    ke = np.asarray(right_e)
+    real_f = sf > NEGR // 2
+    real_e = se > NEGR // 2
+    np.testing.assert_array_equal(kf[real_f], sf[real_f])
+    np.testing.assert_array_equal(ke[real_e], se[real_e])
+
+
+def test_affine_locate_stripe_path(monkeypatch):
+    """locate() with affine scoring through the stripe NW reverse pass
+    (platform faked to tpu, interpret forced) must match the oracle."""
+    from swtpu.core import oracle
+    from swtpu.core.encode import random_pair
+    from swtpu import Scoring
+    from swtpu.dispatch import plan as planmod
+    from swtpu.engine import traceback as tb
+    from swtpu.kernels import pallas_fill as pf
+
+    monkeypatch.setattr(planmod, "current_platform", lambda: "tpu")
+    monkeypatch.setattr(pf, "_interpret_default", lambda: True)
+    monkeypatch.setattr(tb, "_STRIPE_MIN_CELLS", 1)
+    monkeypatch.setattr(tb, "_fn_cache", {})
+    sc = Scoring(mode="affine", gap_open=-5, gap_extend=-1)
+    a, b = random_pair(96, 200, seed=33)
+    b[20:80] = a[10:70]
+    ref = oracle.fill(a, b, sc)
+    loc = tb.locate(a, b, sc)
+    assert loc.score == ref.max_score
+    assert (loc.end_i, loc.end_j) == ref.max_ij
+    assert loc.last_cell == int(ref.H[-1, -1])

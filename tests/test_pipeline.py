@@ -228,3 +228,41 @@ def test_pipeline_last_cell_with_padding(mesh):
     assert int(res.max_score) == ref.max_score
     assert (int(res.max_i), int(res.max_j)) == ref.max_ij
     assert int(res.last_cell) == int(ref.H[-1, -1])
+
+
+def test_pipeline_affine_locate_and_traceback(mesh):
+    """Affine mega-matrix alignment across the mesh: NW-mode pipeline
+    (Gotoh E/F halos under anchored boundaries) locates the window, the
+    windowed refill emits an alignment that re-scores exactly."""
+    from swtpu import Scoring
+    from swtpu.dist.pipeline import pipeline_locate, pipeline_traceback
+
+    sc = Scoring(mode="affine", gap_open=-5, gap_extend=-1)
+    rng = np.random.default_rng(17)
+    a = rng.integers(0, 4, 96).astype(np.int8)
+    b = rng.integers(0, 4, 80).astype(np.int8)
+    b[8:56] = np.concatenate([a[30:50], a[54:82]])   # gapped homology
+    ref = oracle.fill(a, b, sc)
+    loc = pipeline_locate(a, b, mesh, block_rows=16, scoring=sc)
+    assert loc.score == ref.max_score
+    assert (loc.end_i, loc.end_j) == ref.max_ij
+    assert loc.last_cell == int(ref.H[-1, -1])
+    got = pipeline_traceback(a, b, mesh, block_rows=16, scoring=sc)
+    score, loc2, ra, rb = got
+    assert score == ref.max_score
+    assert _alignment_score_affine(ra, rb, sc) == ref.max_score
+
+
+def _alignment_score_affine(ra, rb, sc):
+    s, side = 0, None
+    for x, y in zip(ra, rb):
+        if x == "-":
+            s += sc.gap_extend if side == "a" else sc.gap_open
+            side = "a"
+        elif y == "-":
+            s += sc.gap_extend if side == "b" else sc.gap_open
+            side = "b"
+        else:
+            side = None
+            s += 3 if x == y else -3
+    return s
