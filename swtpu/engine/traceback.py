@@ -349,11 +349,29 @@ def _nw_last_rows_affine(a: np.ndarray, b: np.ndarray, scoring: Scoring,
     top[1:] = g0 + ext * np.arange(1, mp + 1)
     left = (tbg + ext * np.arange(n + 1)).astype(np.int32)
     left[0] = 0
-    out = scan_fill(jnp.asarray(a_pad), jnp.asarray(b), scoring=scoring,
-                    local=False, top_row=jnp.asarray(top),
-                    left_col=jnp.asarray(left), sub_table=_sub_table(sub))
-    H = np.asarray(out.bottom_row[:m + 1]).astype(np.int64)
-    F = np.asarray(out.bottom_f[:m + 1]).astype(np.int64)
+    if _use_stripe(n, mp, scoring, nw=True, sub=sub):
+        # transposed stripe NW: the bottom row of (a, b) is the right
+        # column of (b, a), and transposition swaps the Gotoh states —
+        # transposed E (horizontal, consumes b chars) IS the original F,
+        # so right_e of the transposed fill is the original bottom_f.
+        # Boundaries swap accordingly (top<->left, top_f<->left_e).
+        fn = _cached("block", n, mp, scoring, local=False,
+                     want_bottom=False)
+        negf = jnp.full((n + 1,), _NEG, jnp.int32)
+        nege = jnp.full((mp + 1,), _NEG, jnp.int32)
+        _, _, _, _, _, right, _, right_e = fn(
+            jnp.asarray(b), jnp.asarray(a_pad), jnp.asarray(left),
+            jnp.asarray(top), negf, nege)
+        H = np.asarray(right[:m + 1]).astype(np.int64)
+        F = np.asarray(right_e[:m + 1]).astype(np.int64)
+    else:
+        out = scan_fill(jnp.asarray(a_pad), jnp.asarray(b),
+                        scoring=scoring, local=False,
+                        top_row=jnp.asarray(top),
+                        left_col=jnp.asarray(left),
+                        sub_table=_sub_table(sub))
+        H = np.asarray(out.bottom_row[:m + 1]).astype(np.int64)
+        F = np.asarray(out.bottom_f[:m + 1]).astype(np.int64)
     F[0] = left[n]          # the column-0 boundary gap is an F state
     return H, F
 

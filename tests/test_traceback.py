@@ -291,3 +291,26 @@ def test_affine_mm_fuzz_rescore(monkeypatch, seed):
     score, loc, ra, rb = got
     assert score == ref.max_score
     assert gotoh_score(ra, rb, aff) == ref.max_score, (ra, rb)
+
+
+def test_affine_mm_stripe_last_rows(monkeypatch):
+    """Myers-Miller split passes through the transposed affine stripe NW
+    (E<->F state swap) must give the same alignments as the scan path."""
+    from swtpu.dispatch import plan as planmod
+    from swtpu.kernels import pallas_fill as pf
+
+    rng = np.random.default_rng(71)
+    a = rng.integers(0, 4, 100).astype(np.int8)
+    ins = rng.integers(0, 4, 24).astype(np.int8)
+    b = np.concatenate([a[:50], ins, a[50:]])
+    ref = oracle.fill(a, b, AFF)
+
+    monkeypatch.setattr(planmod, "current_platform", lambda: "tpu")
+    monkeypatch.setattr(pf, "_interpret_default", lambda: True)
+    monkeypatch.setattr(tb, "_STRIPE_MIN_CELLS", 1)
+    monkeypatch.setattr(tb, "_fn_cache", {})
+    monkeypatch.setattr(tb, "_BASE_CELLS", 256)   # force deep splits
+    got = tb.hirschberg(a, b, AFF)
+    score, loc, ra, rb = got
+    assert score == ref.max_score
+    assert gotoh_score(ra, rb, AFF) == ref.max_score
