@@ -358,6 +358,18 @@ def dryrun(mesh: Mesh) -> None:
         s += -2 if "-" in (x, y) else (3 if x == y else -3)
     assert s == ref.max_score, (s, ref.max_score)
 
+    # affine (Gotoh) pipeline across the mesh: E/F ppermute halos (the
+    # NW/locate variant is exercised in tests/test_pipeline.py — one
+    # compile fewer keeps the dryrun's cold time bounded)
+    from ..core.config import Scoring as _S
+    aff = _S(mode="affine", gap_open=-5, gap_extend=-1)
+    refa = oracle.fill_loop(a, b, aff)
+    resa = pipeline_align(a, b, mesh, block_rows=16, scoring=aff,
+                          axis=axis)
+    assert int(resa.max_score) == refa.max_score
+    assert (int(resa.max_i), int(resa.max_j)) == refa.max_ij
+    assert int(resa.last_cell) == int(refa.H[-1, -1])
+
 
 def make_pipeline_batch(mesh: Mesh, P_pairs: int, m: int, n: int,
                         block_rows: int, scoring: Scoring = Scoring(),
