@@ -141,6 +141,36 @@ def bench_big():
     return round(mb * mb / best / 1e9, 1)
 
 
+def bench_protein():
+    """Capability extra: BLOSUM62 + affine at the headline size (guarded).
+    Round-1 select chain measured 34 GCUPS; the round-2 bit-tournament
+    select tree targets >= 50."""
+    from swtpu import Scoring
+    from swtpu.core.substitution import BLOSUM62
+    from swtpu.kernels import pallas_fill as pf
+
+    rng = np.random.default_rng(0)
+    a = rng.integers(0, 20, M).astype(np.int8)
+    b = rng.integers(0, 20, N).astype(np.int8)
+    sc = Scoring(mode="affine", gap_open=-11, gap_extend=-1)
+    T, R, _ = pf.choose_params(M, N, affine=True, cb_max=1)
+    C = pf.DEFAULT_CHUNK
+    ap, bt, _ = pf._build_inputs(a, b, T, C, R, 1)
+    btp = pf._build_profile(bt, np.asarray(BLOSUM62, np.int32))
+    apj, btj = jnp.asarray(ap), jnp.asarray(btp)
+    kw = dict(scoring=sc, T=T, R=R, C=C, CB=1, m=M, n=N, return_p=False,
+              interpret=False, unroll=pf._auto_unroll(C, False), nsym=21)
+    np.asarray(pf._stripe_call(apj, btj, **kw)[0])
+    k, best = 5, float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        for _ in range(k - 1):
+            pf._stripe_call(apj, btj, **kw)
+        np.asarray(pf._stripe_call(apj, btj, **kw)[0])
+        best = min(best, (time.perf_counter() - t0) / k)
+    return round(M * N / best / 1e9, 1)
+
+
 def main():
     on_tpu = jax.default_backend() == "tpu"
     fill_s, score, compile_s, plan, phases = (bench_stripe() if on_tpu
@@ -160,6 +190,11 @@ def main():
             details["gcups_65536sq"] = bench_big()
         except Exception as e:          # extras must never sink the bench
             details["gcups_65536sq"] = f"failed: {type(e).__name__}"
+        try:
+            details["gcups_protein_blosum62_affine"] = bench_protein()
+        except Exception as e:
+            details["gcups_protein_blosum62_affine"] = \
+                f"failed: {type(e).__name__}"
     print(json.dumps({
         "metric": "single_chip_fill_GCUPS",
         "value": round(gcups, 3),
