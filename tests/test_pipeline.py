@@ -266,3 +266,15 @@ def _alignment_score_affine(ra, rb, sc):
             side = None
             s += 3 if x == y else -3
     return s
+
+
+def test_align_pipeline_default_mesh():
+    """align(plan='pipeline') with no mesh builds one from all local
+    devices (the dispatch tier's zero-config path)."""
+    from swtpu.engine.align import align
+
+    a, b = random_pair(64, 32, seed=4)
+    ref = oracle.fill(a, b)
+    res = align(a, b, plan="pipeline", traceback=False)
+    assert res.max_score == ref.max_score
+    assert (res.max_i, res.max_j) == ref.max_ij
