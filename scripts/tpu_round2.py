@@ -26,12 +26,15 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def probe(max_s=30.0):
+def probe(max_s=10.0):
     t0 = time.perf_counter()
-    int(jnp.sum(jnp.arange(8)))
-    dt = time.perf_counter() - t0
-    print(f"tunnel probe: {dt:.2f}s")
-    return dt < max_s
+    int(jnp.sum(jnp.arange(8)))          # backend init + first compile
+    cold = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    int(jnp.sum(jnp.arange(9)))          # warm-path fetch (~35 ms healthy)
+    warm = time.perf_counter() - t0
+    print(f"tunnel probe: cold {cold:.2f}s warm {warm:.2f}s")
+    return warm < max_s
 
 
 def time_call(fn, k=10, repeats=3):
