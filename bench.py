@@ -155,11 +155,12 @@ def bench_protein():
     sc = Scoring(mode="affine", gap_open=-11, gap_extend=-1)
     T, R, _ = pf.choose_params(M, N, affine=True, cb_max=1)
     C = pf.DEFAULT_CHUNK
-    ap, bt, _ = pf._build_inputs(a, b, T, C, R, 1)
-    btp = pf._build_profile(bt, np.asarray(BLOSUM62, np.int32))
+    ap, bt, _ = pf._build_inputs(a, b, T, C, R, 2)
+    btp = pf._build_profile_packed(bt, np.asarray(BLOSUM62, np.int32))
     apj, btj = jnp.asarray(ap), jnp.asarray(btp)
-    kw = dict(scoring=sc, T=T, R=R, C=C, CB=1, m=M, n=N, return_p=False,
-              interpret=False, unroll=pf._auto_unroll(C, False), nsym=21)
+    kw = dict(scoring=sc, T=T, R=R, C=C, CB=2, m=M, n=N, return_p=False,
+              interpret=False, unroll=pf._auto_unroll(C, False),
+              npack=btp.shape[1])
     np.asarray(pf._stripe_call(apj, btj, **kw)[0])
     k, best = 5, float("inf")
     for _ in range(2):

@@ -176,7 +176,7 @@ def _kernel(scoring: Scoring, T: int, R: int, C: int, m: int, n: int,
             boundary: bool = False, want_bottom: bool = False,
             pairs: bool = False, local: bool = True, CB: int = 1,
             nsym: int = 0, band: int = 0, debug_h: bool = False,
-            specialize_chunks: bool = True):
+            specialize_chunks: bool = False, npack: int = 0):
     L = T // R                       # lanes per stripe
     sub_rows = L // LANES
     logR = R.bit_length() - 1        # R is a power of two
@@ -321,10 +321,18 @@ def _kernel(scoring: Scoring, T: int, R: int, C: int, m: int, n: int,
         if nsym:
             # substitution-matrix mode: b_ref is a per-symbol query PROFILE
             # (prof[q][r][lane] = S[q, b_code(row)]; padding rows hold
-            # NEG_SUB) and the per-cell score is a select chain over the
+            # NEG_SUB) and the per-cell score is a select tree over the
             # nsym possible query codes — no gathers on the VPU
             profs = [[b_ref[0, q, r] for r in range(R)]
                      for q in range(nsym)]
+        elif npack:
+            # int8-PACKED profiles: 4 adjacent query symbols per int32
+            # word (prof8[g] holds S[4g..4g+3, b] as bytes), so the
+            # per-cell select tree runs over ceil(nsym/4) words and one
+            # hoisted variable shift extracts the byte — ~10 vector ops
+            # per cell vs ~22 for the unpacked tree. Requires |S| <= 127.
+            profs8 = [[b_ref[0, g, r] for r in range(R)]
+                      for g in range(npack)]
         else:
             btiles = [b_ref[0, r] for r in range(R)]
         if batch:
@@ -386,6 +394,14 @@ def _kernel(scoring: Scoring, T: int, R: int, C: int, m: int, n: int,
                     wneg = [wvs[c] < 0 for c in range(CB)]
                     wbit = [[((wvs[c] >> k) & 1) == 1 for k in range(nbits)]
                             for c in range(CB)]
+                if npack:
+                    # packed mode: tree bits start above the in-word byte
+                    # index (bits 0-1 select the byte via the shift)
+                    nbits8 = max(1, (npack - 1).bit_length())
+                    wneg = [wvs[c] < 0 for c in range(CB)]
+                    wsh = [(wvs[c] & 3) * 8 for c in range(CB)]
+                    wbit8 = [[((wvs[c] >> (k + 2)) & 1) == 1
+                              for k in range(nbits8)] for c in range(CB)]
                 if affine:
                     f_tops = []
                     for c in range(CB):
@@ -442,6 +458,19 @@ def _kernel(scoring: Scoring, T: int, R: int, C: int, m: int, n: int,
                             # score NEG so post-finish garbage decays
                             sub = jnp.where(wneg[c], jnp.int32(-(1 << 20)),
                                             nodes[0])
+                        elif npack:
+                            nodes = [profs8[g][r] for g in range(npack)]
+                            for k in range(nbits8):
+                                nxt = [jnp.where(wbit8[c][k],
+                                                 nodes[g0 + 1], nodes[g0])
+                                       for g0 in range(0, len(nodes) - 1, 2)]
+                                if len(nodes) % 2:
+                                    nxt.append(nodes[-1])
+                                nodes = nxt
+                            byte = (nodes[0] >> wsh[c]) & 0xFF
+                            sub = jnp.where(wneg[c],
+                                            jnp.int32(-(1 << 20)),
+                                            (byte ^ 0x80) - 0x80)
                         else:
                             sub = jnp.where(wvs[c] == btiles[r], match,
                                             mismatch)
@@ -620,14 +649,14 @@ def _kernel(scoring: Scoring, T: int, R: int, C: int, m: int, n: int,
                     f2[c] = carry[11][c]
                     fbot[c:c + 1, pl.ds(c_idx * C, C)] = carry[13][c]
 
-        # Specialize the step body per chunk: the right-column capture only
-        # fires for steps t in [rc_t0, rc_t0+L), the left-boundary inject
-        # only for t in [0, L). Trace only the (rc, inject) combos that
-        # actually occur; the common steady phase pays neither.
-        # specialize_chunks=False traces ONE unconditional body instead
-        # (every chunk pays rc/inject selects) — ~half the trace size, a
-        # few percent more per-step vector work; the A/B lives in
-        # scripts/tpu_round2.py (compile-latency diet).
+        # specialize_chunks=False (the DEFAULT, measured 2026-08-17:
+        # 92.4 GCUPS / 4.8 s compile vs 90.4 / 9.3 s specialized at
+        # 25632^2 U=32) traces ONE unconditional chunk body: every chunk
+        # pays the rc/inject selects, but the halved code size schedules
+        # better AND compiles in half the time. specialize_chunks=True
+        # keeps the round-1 behavior: trace only the (rc, inject) combos
+        # that occur (rc fires for t in [rc_t0, rc_t0+L), inject for
+        # t in [0, L)).
         if not specialize_chunks:
             run_chunk(True, boundary)
         else:
@@ -762,12 +791,13 @@ def _ring_len(m: int, T: int, R: int, C: int, CB: int = 1) -> int:
     jax.jit,
     static_argnames=("scoring", "T", "R", "C", "m", "n", "return_p",
                      "interpret", "unroll", "want_bottom", "local", "CB",
-                     "nsym", "band", "debug_h", "specialize_chunks"),
+                     "nsym", "band", "debug_h", "specialize_chunks",
+                     "npack"),
 )
 def _stripe_call(q, bt, greset=None, top=None, lc=None, ftop=None, *,
                  scoring, T, R=1, C=256, m, n, return_p, interpret,
                  unroll=1, want_bottom=False, local=True, CB=1, nsym=0,
-                 band=0, debug_h=False, specialize_chunks=True):
+                 band=0, debug_h=False, specialize_chunks=False, npack=0):
     num_stripes = bt.shape[0]
     L = T // R
     steps = _steps(m, L, CB)
@@ -787,9 +817,11 @@ def _stripe_call(q, bt, greset=None, top=None, lc=None, ftop=None, *,
         raise NotImplementedError(
             "global (NW) mode requires boundary injection; P capture and "
             "batch mode are not supported there")
-    if nsym and boundary:
+    if (nsym or npack) and boundary:
         raise NotImplementedError(
             "substitution-matrix boundary-injected fills not supported")
+    if nsym and npack:
+        raise ValueError("nsym and npack are exclusive profile modes")
     if band and (boundary or batch or not local):
         raise NotImplementedError("banded mode: plain single-pair fills")
     if debug_h and not interpret:
@@ -798,7 +830,7 @@ def _stripe_call(q, bt, greset=None, top=None, lc=None, ftop=None, *,
                      batch=batch, unroll=unroll, boundary=boundary,
                      want_bottom=want_bottom, local=local, CB=CB,
                      nsym=nsym, band=band, debug_h=debug_h,
-                     specialize_chunks=specialize_chunks)
+                     specialize_chunks=specialize_chunks, npack=npack)
 
     out_shape = [
         jax.ShapeDtypeStruct((num_stripes, 8), jnp.int32),                 # best
@@ -874,10 +906,10 @@ def _stripe_call(q, bt, greset=None, top=None, lc=None, ftop=None, *,
 
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.VMEM),      # a streams (1, CB, *)
-        pl.BlockSpec((1, nsym, R, sub_rows, LANES),
+        pl.BlockSpec((1, nsym or npack, R, sub_rows, LANES),
                      lambda s, c: (s, 0, 0, 0, 0),
                      memory_space=pltpu.VMEM)       # query profile
-        if nsym else
+        if (nsym or npack) else
         pl.BlockSpec((1, R, sub_rows, LANES), lambda s, c: (s, 0, 0, 0),
                      memory_space=pltpu.VMEM),      # b stripe
     ]
@@ -926,6 +958,29 @@ def _build_profile(bt: np.ndarray, table: np.ndarray) -> np.ndarray:
     return np.ascontiguousarray(prof.transpose(1, 0, 2, 3, 4))
 
 
+def _pack_fits(table: np.ndarray) -> bool:
+    """int8-packed profiles require every score in [-127, 127] (the
+    sentinel byte is -128); BLOSUM/PAM tables all fit."""
+    return int(np.abs(table).max()) <= 127
+
+
+def _build_profile_packed(bt: np.ndarray, table: np.ndarray) -> np.ndarray:
+    """(S, R, sub, L) target codes -> (S, ceil(nsym/4), R, sub, L) int32
+    packed profile: byte k of word g holds S[4g+k, b] (two's complement);
+    sentinel target codes and padding symbols hold -128 so padded rows
+    mismatch strongly and decay (the NEG_SUB analog at int8 scale)."""
+    nsym = table.shape[0]
+    ngroups = -(-nsym // 4)
+    emb = np.full((4 * ngroups, nsym + 4), -128, np.int64)
+    emb[:nsym, 4:] = np.asarray(table, np.int64)
+    prof = emb[:, bt + 4]                     # (4*ngroups, S, R, sub, L)
+    by = prof & 0xFF
+    packed = (by[0::4] | (by[1::4] << 8) | (by[2::4] << 16)
+              | (by[3::4] << 24))             # (ngroups, S, R, sub, L)
+    packed = packed.astype(np.uint32).view(np.int32)
+    return np.ascontiguousarray(packed.transpose(1, 0, 2, 3, 4))
+
+
 def _lane_major_to_rowmajor(x: np.ndarray, T: int, R: int) -> np.ndarray:
     """(S, R, sub, 128) per-stripe lane-major values -> flat row order."""
     S = x.shape[0]
@@ -956,31 +1011,38 @@ def stripe_fill_raw(
     if interpret is None:
         interpret = _interpret_default()
     if substitution is not None and CB is None:
-        CB = 1      # the select chain is throughput-bound; CB=2 loses
+        # packed profiles: CB=2 measured 59.3 vs 57.9 GCUPS (BLOSUM62
+        # affine 25632^2); the unpacked tree stays throughput-bound at CB=1
+        CB = 2 if _pack_fits(np.asarray(substitution)) else 1
     T, R, CB = _resolve_params(m, n, T, R, scoring, return_p=return_p,
                                CB=CB)
-    nsym = 0
+    nsym = npack = 0
     if substitution is not None:
         substitution = np.asarray(substitution, np.int32)
-        nsym = substitution.shape[0]
         hi = max(int(substitution.max()), 1) * min(m, n)
         if hi * R * CB >= (1 << 30):
             raise ValueError("score range too large for packed argmax")
         if not (scoring.gap < 0 if not scoring.is_affine else
                 (scoring.gap_open < 0 and scoring.gap_extend < 0)):
             raise ValueError("substitution mode needs negative gaps")
+        if _pack_fits(substitution):
+            npack = -(-substitution.shape[0] // 4)
+        else:
+            nsym = substitution.shape[0]
     else:
         _check_packing(m, n, R, scoring, CB)
     ap, bt, num_stripes = _build_inputs(a_codes, b_codes, T, C, R, CB)
     if nsym:
         bt = _build_profile(bt, substitution)
+    elif npack:
+        bt = _build_profile_packed(bt, substitution)
 
     if unroll is None:
         unroll = _auto_unroll(C, interpret)
     outs = _stripe_call(
         jnp.asarray(ap), jnp.asarray(bt), scoring=scoring, T=T, R=R, C=C,
         m=m, n=n, return_p=return_p, interpret=interpret, unroll=unroll,
-        CB=CB, nsym=nsym, band=int(band) if band else 0)
+        CB=CB, nsym=nsym, npack=npack, band=int(band) if band else 0)
     best = np.asarray(outs[0])
     rc = _lane_major_to_rowmajor(np.asarray(outs[1]), T, R)[:n]
     p_stripes = None
@@ -1396,18 +1458,29 @@ def batch_score_fn(B: int, rlen: int, W: int,
         T, _, _ = choose_params(W, n, affine=scoring.is_affine, r_max=R,
                                 cb_max=1)
         T = -(-T // (LANES * R)) * LANES * R
-    nsym = 0
+    nsym = npack = 0
     sub_emb = None
     if substitution is not None:
         substitution = np.asarray(substitution, np.int32)
-        nsym = substitution.shape[0]
-        CB = 1 if CB is None or CB == 2 else CB   # select chain: CB=1 wins
-        sub_emb = jnp.asarray(
-            np.concatenate([np.full((nsym, 4), NEG_SUB, np.int32),
-                            substitution], axis=1))
+        CB = 1 if CB is None or CB == 2 else CB   # profile path: CB=1 wins
+        if _pack_fits(substitution):
+            npack = -(-substitution.shape[0] // 4)
+            A = substitution.shape[0]
+            emb8 = np.full((4 * npack, A + 4), -128, np.int64)
+            emb8[:A, 4:] = substitution
+            sub_emb = jnp.asarray(emb8.astype(np.int32))
+        else:
+            nsym = substitution.shape[0]
+            sub_emb = jnp.asarray(
+                np.concatenate([np.full((nsym, 4), NEG_SUB, np.int32),
+                                substitution], axis=1))
     T, R, CB = _resolve_params(W, n, T, R, scoring, CB=CB)
     if substitution is None:
         _check_packing(W, n, R, scoring, CB)
+    else:
+        hi = max(int(substitution.max()), 1) * min(W, n)
+        if hi * R * CB >= (1 << 30):
+            raise ValueError("score range too large for packed argmax")
     u = _auto_unroll(C, interpret) if unroll is None else unroll
     L = T // R
     num_stripes = -(-n // T)
@@ -1429,6 +1502,12 @@ def batch_score_fn(B: int, rlen: int, W: int,
         if nsym:
             # (S, nsym, R, sub, L) query profile (see _build_profile)
             bt = jnp.moveaxis(sub_emb[:, bt + 4], 0, 1)
+        elif npack:
+            prof = sub_emb[:, bt + 4]            # (4*npack, S, R, sub, L)
+            by = prof & 0xFF
+            packed = (by[0::4] | (by[1::4] << 8) | (by[2::4] << 16)
+                      | (by[3::4] << 24))
+            bt = jnp.moveaxis(packed, 0, 1)
         return bt, grt
 
     def score_prepared(prepared, window):
@@ -1438,7 +1517,8 @@ def batch_score_fn(B: int, rlen: int, W: int,
         ap = aa.reshape(num_chunks * C, CB).T[None]
         outs = _stripe_call(ap, bt, grt, scoring=scoring, T=T, R=R, C=C,
                             CB=CB, m=W, n=n, return_p=False,
-                            interpret=interpret, unroll=u, nsym=nsym)
+                            interpret=interpret, unroll=u, nsym=nsym,
+                            npack=npack)
         lanes_total = num_stripes * L
         npr = B * lanes_per_read
 

@@ -357,9 +357,10 @@ def test_banded_matches_scan():
         np.testing.assert_array_equal(P1, P2, err_msg=str(band))
 
 
-def test_fused_chunk_body_matches_oracle():
-    """specialize_chunks=False (one unconditional chunk trace — the
-    compile-latency diet variant) must be bit-identical to the default."""
+@pytest.mark.parametrize("spec", [False, True])
+def test_chunk_body_variants_match_oracle(spec):
+    """Both chunk-body variants — fused (default; one unconditional trace)
+    and specialized (per-combo traces) — must be bit-identical."""
     import jax.numpy as jnp
     from swtpu import Scoring
     from swtpu.core import oracle
@@ -372,10 +373,10 @@ def test_fused_chunk_body_matches_oracle():
     outs = pf._stripe_call(
         jnp.asarray(ap), jnp.asarray(bt), scoring=Scoring(), T=128, R=1,
         C=128, m=170, n=300, return_p=False, interpret=True, unroll=1,
-        specialize_chunks=False)
+        specialize_chunks=spec)
     best = np.asarray(outs[0])
     assert int(best[:, 0].max()) == ref.max_score
-    # right-column capture must still fire (track_rc is unconditional)
+    # right-column capture must fire in both variants
     rc = pf._lane_major_to_rowmajor(np.asarray(outs[1]), 128, 1)[:300]
     assert np.array_equal(rc, ref.H[1:, 170])
 

@@ -150,3 +150,35 @@ def test_blosum_affine_traceback_rescore():
         assert total == r.max_score, (t, total, r.max_score)
         checked += 1
     assert checked >= 4
+
+
+def test_large_score_table_uses_unpacked_tree():
+    """Tables with |S| > 127 can't int8-pack; the unpacked select tree
+    must still be exact (and agree with the packed path on a scaled-down
+    twin)."""
+    import numpy as np
+    import swtpu
+    from swtpu.core import oracle
+    from swtpu.core.encode import PROTEIN_ALPHABET
+    from swtpu.core.substitution import BLOSUM62
+    from swtpu.kernels import pallas_fill as pf
+
+    rng = np.random.default_rng(13)
+    pa = rng.integers(0, 20, 64).astype(np.int8)
+    pb = rng.integers(0, 20, 150).astype(np.int8)
+    pb[20:70] = pa[5:55]
+    big = (np.asarray(BLOSUM62, np.int32) * 20)     # |S| up to 220
+    assert not pf._pack_fits(big)
+    sc = swtpu.Scoring(gap=-40)
+    ref = oracle.fill(pa, pb, sc, sub=big)
+    out = pf.stripe_fill_raw(pa, pb, scoring=sc, substitution=big,
+                             T=128, R=1)
+    assert int(out.max_score) == ref.max_score
+    assert (int(out.max_i), int(out.max_j)) == ref.max_ij
+
+    # packed path on the unscaled table agrees with the oracle too
+    assert pf._pack_fits(BLOSUM62)
+    ref2 = oracle.fill(pa, pb, sub=np.asarray(BLOSUM62))
+    out2 = pf.stripe_fill_raw(pa, pb, substitution=BLOSUM62, T=128, R=1)
+    assert int(out2.max_score) == ref2.max_score
+    assert (int(out2.max_i), int(out2.max_j)) == ref2.max_ij
