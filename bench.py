@@ -153,12 +153,12 @@ def bench_protein():
     a = rng.integers(0, 20, M).astype(np.int8)
     b = rng.integers(0, 20, N).astype(np.int8)
     sc = Scoring(mode="affine", gap_open=-11, gap_extend=-1)
-    T, R, _ = pf.choose_params(M, N, affine=True, cb_max=1)
+    T, R, CB = pf.choose_params(M, N, affine=True)
     C = pf.DEFAULT_CHUNK
-    ap, bt, _ = pf._build_inputs(a, b, T, C, R, 2)
+    ap, bt, _ = pf._build_inputs(a, b, T, C, R, CB)
     btp = pf._build_profile_packed(bt, np.asarray(BLOSUM62, np.int32))
     apj, btj = jnp.asarray(ap), jnp.asarray(btp)
-    kw = dict(scoring=sc, T=T, R=R, C=C, CB=2, m=M, n=N, return_p=False,
+    kw = dict(scoring=sc, T=T, R=R, C=C, CB=CB, m=M, n=N, return_p=False,
               interpret=False, unroll=pf._auto_unroll(C, False),
               npack=btp.shape[1])
     np.asarray(pf._stripe_call(apj, btj, **kw)[0])

@@ -82,13 +82,19 @@ def choose_stripe_rows(m: int, n: int, t_max: int = 16384) -> int:
     return best_T
 
 
-# Cost model for (T, R, CB), calibrated on v5e (see git history):
+# Cost model for (T, R, CB), calibrated on v5e (rounds 1-2):
 # cycles/step ~ max(CHAIN(CB), BETA * V) where CHAIN is the cross-step
 # serial dependency cost (rolls -> selects -> in-step (R, CB) chain) and
 # V = CB * vregs * (per_row*R + per_step) counts vector instructions.
-# Measured anchors: (R4,SUB52,CB1)=245, (R8,SUB26,CB2)=427, (R8,SUB26,CB4)
-# =772 cycles/step; 65536^2 single stripe R8: CB1 250, CB2 443.
-_CHAIN0, _CHAINC = 250.0, 175.0
+# Round-2 same-session anchors at 25632^2 (u32, fused): (R8,CB2)=530,
+# (R16,CB2)=470, (R32,CB2)=486, (R16,CB4)=902, (R32,CB4)=820,
+# (R16,CB8)=1434; 65536^2 (R32,CB4)=1059 (ALU term engaged: SUB=16).
+# CHAIN is ~flat in R up to 32 (R=64 collapses on register pressure —
+# hard cap) and grows ~190 cyc per extra CB slot. Deep register blocking
+# pays because it shrinks the lane count and so the ramp bubble:
+# (T=28672,R=32,CB=4) measured 103 GCUPS vs the round-1 champion
+# (T=26624,R=8,CB=2) at 92.5.
+_CHAIN0, _CHAINC = 250.0, 190.0
 _BETA = 0.3
 _COST_LIN = (10, 10)   # per-row, per-step vector instr factors (linear gap)
 _COST_AFF = (16, 12)
@@ -98,9 +104,9 @@ DEFAULT_UNROLL = 32
 
 
 def choose_params(m: int, n: int, affine: bool = False,
-                  r_max: int = 8, sub_max: int = 128,
+                  r_max: int = 32, sub_max: int = 128,
                   t_cap: Optional[int] = None,
-                  cb_max: int = 2) -> tuple:
+                  cb_max: int = 4) -> tuple:
     """Pick (T, R, CB) minimizing the modeled fill time. T = 128*SUB*R.
     t_cap bounds the stripe height (the P-capture path needs CB*C*T*4
     bytes of double-buffered VMEM for its output block)."""
@@ -110,7 +116,7 @@ def choose_params(m: int, n: int, affine: bool = False,
     for CB in (1, 2, 4):
         if CB > cb_max:
             continue
-        for R in (1, 2, 4, 8):
+        for R in (1, 2, 4, 8, 16, 32):
             if R > r_max:
                 continue
             for SUB in range(1, sub_max + 1):

@@ -91,7 +91,7 @@ def test_choose_params_covers_shapes():
     for m, n in ((100, 100), (25632, 25632), (2000, 145002), (64, 70000)):
         T, R, CB = choose_params(m, n)
         assert T % (128 * R) == 0
-        assert R in (1, 2, 4, 8)
+        assert R in (1, 2, 4, 8, 16, 32)
         assert CB in (1, 2, 4)
 
 
@@ -453,3 +453,15 @@ def test_affine_locate_stripe_path(monkeypatch):
     assert loc.score == ref.max_score
     assert (loc.end_i, loc.end_j) == ref.max_ij
     assert loc.last_cell == int(ref.H[-1, -1])
+
+
+@pytest.mark.parametrize("T,R,CB", [(2048, 16, 4), (4096, 32, 2)])
+def test_deep_register_blocking_matches_oracle(T, R, CB):
+    """Round-2 frontier configs (R in {16, 32}, CB=4) must stay bit-exact
+    (the production champion is T=28672, R=32, CB=4 on v5e)."""
+    a, b = random_pair(300, 2048 if T == 2048 else 4096, seed=42)
+    ref = oracle.fill(a, b)
+    out = stripe_fill_raw(a, b, T=T, R=R, CB=CB)
+    assert int(out.max_score) == ref.max_score
+    assert (int(out.max_i), int(out.max_j)) == ref.max_ij
+    assert int(out.last_cell) == int(ref.H[-1, -1])
