@@ -90,7 +90,8 @@ def make_pipeline(mesh: Mesh, m: int, n: int, block_rows: int,
                             global_mode=not is_local)
     if plan == "stripe":
         from ..kernels.pallas_fill import stripe_block_fn
-        rk = next(r for r in (8, 4, 2, 1) if block_rows % (LANES * r) == 0)
+        rk = next(r for r in (32, 16, 8, 4, 2, 1)
+                  if block_rows % (LANES * r) == 0)
         sfn = stripe_block_fn(mc, block_rows, scoring=scoring,
                               T=block_rows, R=rk, local=is_local,
                               interpret=_mesh_platform(mesh) != "tpu")
@@ -405,7 +406,8 @@ def make_pipeline_batch(mesh: Mesh, P_pairs: int, m: int, n: int,
     plan = _block_fill_plan(mesh, mc, block_rows, scoring, block_fill)
     if plan == "stripe":
         from ..kernels.pallas_fill import stripe_block_fn
-        rk = next(r for r in (8, 4, 2, 1) if block_rows % (LANES * r) == 0)
+        rk = next(r for r in (32, 16, 8, 4, 2, 1)
+                  if block_rows % (LANES * r) == 0)
         sfn = stripe_block_fn(mc, block_rows, scoring=scoring,
                               T=block_rows, R=rk,
                               interpret=_mesh_platform(mesh) != "tpu")
