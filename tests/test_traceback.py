@@ -314,3 +314,29 @@ def test_affine_mm_stripe_last_rows(monkeypatch):
     score, loc, ra, rb = got
     assert score == ref.max_score
     assert gotoh_score(ra, rb, AFF) == ref.max_score
+
+
+def test_windowed_budget_covers_whole_matrix_25k(monkeypatch):
+    """Regression: the on-device window budget must cover a 25632^2
+    whole-matrix window (random DNA at reference scoring aligns
+    end-to-end, so giant windows are the COMMON case; dropping the budget
+    to 2^29 silently pushed them into the 8x slower Hirschberg path)."""
+    calls = {}
+    monkeypatch.setattr(tb, "_use_stripe",
+                        lambda m, n, scoring, nw=False, sub=None: True)
+    monkeypatch.setattr(
+        tb, "locate",
+        lambda a, b, scoring, sub=None: tb.Located(9, 1, 1, 25632, 25632))
+    def fake_walk(*a, **k):
+        calls["windowed"] = True
+        return [], []
+
+    def fake_hb(*a, **k):
+        calls["hirschberg"] = True
+        return None
+
+    monkeypatch.setattr(tb, "_stripe_window_walk", fake_walk)
+    monkeypatch.setattr(tb, "hirschberg", fake_hb)
+    a = np.zeros(25632, np.int8)
+    tb.windowed(a, a)
+    assert "windowed" in calls and "hirschberg" not in calls
