@@ -144,7 +144,7 @@ class Policy:
 
     table: Optional[dict] = None
 
-    def choose_near(self, m: int, n: int, max_cells_ratio: float = 16.0,
+    def choose_near(self, m: int, n: int, max_cells_ratio: float = 6.0,
                     max_aspect_ratio: float = 4.0) -> Optional[dict]:
         """Best measured config of the nearest entry in (cells, aspect)
         log-space, or None when nothing is near enough — shape matters
@@ -163,6 +163,10 @@ class Policy:
 
         entry = min(self.table["entries"], key=lambda e: sum(dist(e)))
         dc, da = dist(entry)
+        # tuned T is size-specific (a 25632^2-tuned stripe height applied
+        # to 65536^2 would force 3 stripes where one is optimal), so the
+        # cells gate is deliberately tight; beyond it the engine's cost
+        # model generalizes better than a transferred config
         if dc > math.log(max_cells_ratio) or da > math.log(max_aspect_ratio):
             return None
         return dict(entry["best"])
