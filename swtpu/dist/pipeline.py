@@ -45,7 +45,7 @@ def _mesh_platform(mesh: Mesh) -> str:
 
 
 def _block_fill_plan(mesh: Mesh, mc: int, block_rows: int, scoring: Scoring,
-                     block_fill: str, global_mode: bool = False) -> str:
+                     block_fill: str) -> str:
     """'stripe' iff the Pallas block kernel applies (TPU mesh, linear gap,
     block_rows a multiple of 128); 'scan' otherwise."""
     if block_fill != "auto":
@@ -86,8 +86,7 @@ def make_pipeline(mesh: Mesh, m: int, n: int, block_rows: int,
     perm = [(i, i + 1) for i in range(D - 1)]
     is_local = mode == "local"
 
-    plan = _block_fill_plan(mesh, mc, block_rows, scoring, block_fill,
-                            global_mode=not is_local)
+    plan = _block_fill_plan(mesh, mc, block_rows, scoring, block_fill)
     if plan == "stripe":
         from ..kernels.pallas_fill import stripe_block_fn
         rk = next(r for r in (32, 16, 8, 4, 2, 1)

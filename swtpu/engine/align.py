@@ -162,16 +162,24 @@ def align(
         res._m1 = m + 1
         return res
 
-    # score-only fast path: fully device-resident (input prep + reduction
-    # jitted, one tiny fetch) — the per-call host prep of the general path
-    # costs ~10x the kernel itself at benchmark sizes
+    # score-only fast path: fully device-resident (input prep, the
+    # substitution-profile build, and the reduction all jitted; one tiny
+    # fetch) — the per-call host prep of the general path costs ~10x the
+    # kernel itself at benchmark sizes
     if (plan == "stripe" and not want_tb and not return_matrices
-            and sub_np is None and config.band is None):
-        from ..kernels.pallas_fill import stripe_fill_supported
-        if stripe_fill_supported(m, n, False, scoring):
+            and config.band is None):
+        from ..kernels.pallas_fill import MAX_WIDTH, stripe_fill_supported
+        if sub_np is None:
+            fast_ok = stripe_fill_supported(m, n, False, scoring)
+        else:
+            gaps_ok = (scoring.gap_open < 0 and scoring.gap_extend < 0
+                       if scoring.is_affine else scoring.gap < 0)
+            fast_ok = gaps_ok and m >= 2 and n >= 1 and m <= MAX_WIDTH
+        if fast_ok:
             params = tuple(sorted(kern.items()))
-            warm = (m, n, scoring, params) in _score_cache
-            fn = _score_fn_cached(m, n, scoring, params)
+            sub_key = None if sub_np is None else sub_np.tobytes()
+            warm = (m, n, scoring, params, sub_key) in _score_cache
+            fn = _score_fn_cached(m, n, scoring, params, sub_np)
             t0 = time.perf_counter()
             vals = np.asarray(fn(jnp.asarray(a_codes),
                                  jnp.asarray(b_codes)))   # ONE fetch
@@ -243,15 +251,18 @@ def align(
 _score_cache = {}
 
 
-def _score_fn_cached(m: int, n: int, scoring: Scoring, params=()):
+def _score_fn_cached(m: int, n: int, scoring: Scoring, params=(),
+                     sub=None):
     """params: sorted (name, value) pairs of tuned stripe kernel overrides
     (T/R/CB/C/unroll) — part of the cache key so a table refresh takes
-    effect immediately."""
-    key = (m, n, scoring, tuple(params))
+    effect immediately. ``sub``: optional substitution matrix (keyed by
+    content)."""
+    key = (m, n, scoring, tuple(params),
+           None if sub is None else sub.tobytes())
     if key not in _score_cache:
         from ..kernels.pallas_fill import stripe_score_fn
         base = stripe_score_fn(m, n, scoring, want_last=True,
-                               **dict(params))
+                               substitution=sub, **dict(params))
         import jax as _jax
         _score_cache[key] = _jax.jit(
             lambda a, b: jnp.stack(base(a, b)))   # one device->host fetch

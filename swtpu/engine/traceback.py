@@ -45,15 +45,24 @@ _NEG = -(1 << 30)
 
 def _use_stripe(m: int, n: int, scoring: Scoring, nw: bool = False,
                 sub=None) -> bool:
-    """Stripe-kernel gate: score passes support affine; the NW (global)
-    block mode and substitution profiles stay on the scan plan. m is the
-    WIDTH of the fill being launched — beyond MAX_WIDTH the Q stream +
-    boundary ring no longer fit VMEM (mega-matrix windows reached via the
-    pipeline tier fall back to the scan fills here)."""
+    """Stripe-kernel gate: all score and NW (global) passes, linear AND
+    affine, run the stripe kernel on TPU; substitution profiles stay on
+    the scan plan here (the lean path's fills are boundary-injected,
+    which the profile modes do not support). m is the WIDTH of the fill
+    being launched — beyond MAX_WIDTH the Q stream + boundary ring no
+    longer fit VMEM (mega-matrix windows reached via the pipeline tier
+    fall back to the scan fills here). NW affine additionally requires
+    the kernel's gentler -2^24 E/F sentinel to dominate every reachable
+    score by 2x (extreme penalty scales keep the scan's -2^30)."""
     from ..dispatch.plan import current_platform
     from ..kernels.pallas_fill import MAX_WIDTH, _penalties_negative
     if sub is not None:
         return False
+    if nw and scoring.is_affine:
+        worst = max(abs(scoring.gap_open), abs(scoring.gap_extend),
+                    abs(scoring.mismatch), abs(scoring.match))
+        if worst * (m + n) >= (1 << 23):
+            return False
     return (current_platform() == "tpu"
             and _penalties_negative(scoring) and m >= 2 and n >= 1
             and m <= MAX_WIDTH and m * n >= _STRIPE_MIN_CELLS)

@@ -1016,10 +1016,12 @@ def stripe_fill_raw(
     m, n = len(a_codes), len(b_codes)
     if interpret is None:
         interpret = _interpret_default()
-    if substitution is not None and CB is None:
-        # packed profiles: CB=2 measured 59.3 vs 57.9 GCUPS (BLOSUM62
-        # affine 25632^2); the unpacked tree stays throughput-bound at CB=1
-        CB = 2 if _pack_fits(np.asarray(substitution)) else 1
+    if substitution is not None and CB is None \
+            and not _pack_fits(np.asarray(substitution)):
+        CB = 1      # the UNPACKED tree is throughput-bound at CB=1;
+        #             packed profiles leave CB to the cost model, whose
+        #             champion (R=32, CB=4) measured 70.1 GCUPS BLOSUM62
+        #             affine @25632^2 vs 61.6 at (R=8, CB=2)
     T, R, CB = _resolve_params(m, n, T, R, scoring, return_p=return_p,
                                CB=CB)
     nsym = npack = 0
@@ -1173,21 +1175,55 @@ def p_stripes_to_rowmajor(p: np.ndarray, n: int, m: int) -> np.ndarray:
 def stripe_score_fn(m: int, n: int, scoring: Scoring = Scoring(),
                     T: Optional[int] = None, R: Optional[int] = None,
                     C: int = DEFAULT_CHUNK, CB: Optional[int] = None,
-                    unroll: Optional[int] = None, want_last: bool = False):
+                    unroll: Optional[int] = None, want_last: bool = False,
+                    substitution=None):
     """Jittable (a, b) -> (max_score, max_i, max_j[, last_cell]) using the
-    stripe kernel with all input prep and reductions on device."""
+    stripe kernel with all input prep and reductions on device —
+    including the substitution-profile build (packed int8 words when the
+    table fits, the unpacked select tree otherwise)."""
     interpret = _interpret_default()
+    nsym = npack = 0
+    emb = None
+    if substitution is not None:
+        sub32 = np.asarray(substitution, np.int32)
+        if not (scoring.gap < 0 if not scoring.is_affine else
+                (scoring.gap_open < 0 and scoring.gap_extend < 0)):
+            raise ValueError("substitution mode needs negative gaps")
+        if CB is None and not _pack_fits(sub32):
+            CB = 1
+        if _pack_fits(sub32):
+            npack = -(-sub32.shape[0] // 4)
+            A = sub32.shape[0]
+            emb8 = np.full((4 * npack, A + 4), -128, np.int64)
+            emb8[:A, 4:] = sub32
+            emb = jnp.asarray(emb8.astype(np.int32))
+        else:
+            nsym = sub32.shape[0]
+            emb = jnp.asarray(np.concatenate(
+                [np.full((nsym, 4), NEG_SUB, np.int32), sub32], axis=1))
     T, R, CB = _resolve_params(m, n, T, R, scoring, CB=CB)
-    _check_packing(m, n, R, scoring, CB)
+    if substitution is None:
+        _check_packing(m, n, R, scoring, CB)
+    else:
+        hi = max(int(np.asarray(substitution).max()), 1) * min(m, n)
+        if hi * R * CB >= (1 << 30):
+            raise ValueError("score range too large for packed argmax")
     u = _auto_unroll(C, interpret) if unroll is None else unroll
     L = T // R
 
     def fn(a, b):
         # inputs as device arrays of codes; build q/bt on device
         ap, bt = _device_inputs(a, b, m, n, T, C, R, CB)
+        if nsym:
+            bt = jnp.moveaxis(emb[:, bt + 4], 0, 1)
+        elif npack:
+            prof = emb[:, bt + 4]
+            by = prof & 0xFF
+            bt = jnp.moveaxis(by[0::4] | (by[1::4] << 8)
+                              | (by[2::4] << 16) | (by[3::4] << 24), 0, 1)
         outs = _stripe_call(ap, bt, scoring=scoring, T=T, R=R, C=C, m=m,
                             n=n, return_p=False, interpret=interpret,
-                            unroll=u, CB=CB)
+                            unroll=u, CB=CB, nsym=nsym, npack=npack)
         best = outs[0]
         scores = best[:, 0]
         s_star = jnp.max(scores)

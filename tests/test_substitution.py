@@ -182,3 +182,34 @@ def test_large_score_table_uses_unpacked_tree():
     out2 = pf.stripe_fill_raw(pa, pb, substitution=BLOSUM62, T=128, R=1)
     assert int(out2.max_score) == ref2.max_score
     assert (int(out2.max_i), int(out2.max_j)) == ref2.max_ij
+
+
+def test_substitution_score_fast_path(monkeypatch):
+    """The device-resident score fast path must serve substitution too
+    (profile built on device; one fetch) and match the general path."""
+    import numpy as np
+    import swtpu
+    import swtpu.engine.align as al
+    from swtpu.core import oracle
+    from swtpu.core.encode import PROTEIN_ALPHABET
+    from swtpu.core.substitution import BLOSUM62
+    from swtpu.dispatch import plan as planmod
+    from swtpu.kernels import pallas_fill as pf
+
+    monkeypatch.setattr(planmod, "current_platform", lambda: "tpu")
+    monkeypatch.setattr(pf, "_interpret_default", lambda: True)
+    monkeypatch.setattr(al, "_score_cache", {})
+    rng = np.random.default_rng(23)
+    pa = rng.integers(0, 20, 80).astype(np.int8)
+    pb = rng.integers(0, 20, 120).astype(np.int8)
+    pb[20:60] = pa[10:50]
+    for sc in (swtpu.Scoring(),
+               swtpu.Scoring(mode="affine", gap_open=-11, gap_extend=-1)):
+        ref = oracle.fill(pa, pb, sc, sub=np.asarray(BLOSUM62))
+        r = al.align(pa, pb, scoring=sc, substitution=BLOSUM62,
+                     traceback=False, plan="stripe",
+                     alphabet=PROTEIN_ALPHABET)
+        assert r.max_score == ref.max_score, sc.mode
+        assert (r.max_i, r.max_j) == ref.max_ij, sc.mode
+        assert r.last_cell == int(ref.H[-1, -1]), sc.mode
+    assert len(al._score_cache) == 2      # the fast path actually served
