@@ -53,3 +53,12 @@ def test_sanitizer_catches_positive_mismatch_scoring():
     a, b = random_pair(64, 64, seed=4)
     with pytest.raises(ValueError, match="negative"):
         sanitize_stripe(a, b, scoring=Scoring(mismatch=1))
+
+
+def test_sanitizer_champion_config_class():
+    """The production champion's config class (deep register blocking
+    R=32, CB=4) passes every structural invariant check."""
+    a, b = random_pair(90, 8192, seed=5)
+    rep = sanitize_stripe(a, b, T=4096, R=32, CB=4)
+    assert rep.valid_cells == 90 * 8192
+    assert rep.config[:3] == (4096, 32, 4)
