@@ -69,8 +69,8 @@ def _time_scan(m: int, n: int, repeats: int = 2, k: int = 3) -> float:
 
 
 def sweep(sizes=(512, 2048, 8192, 25632),
-          r_candidates=(1, 2, 4, 8),
-          cb_candidates=(1, 2),
+          r_candidates=(1, 4, 8, 16, 32),
+          cb_candidates=(1, 2, 4),
           c_candidates=(128,),
           unrolls=(8, 32),
           verbose: bool = True,

@@ -1290,8 +1290,13 @@ def batch_fill_raw(
     if interpret is None:
         interpret = _interpret_default()
     if R is None:
-        R = next(r for r in (8, 4, 2, 1)
-                 if T is None or T % (LANES * r) == 0)
+        # prefer a divisor of the read length (zero pad waste); else the
+        # classic R=8 with sentinel padding (bounded waste for short reads)
+        R = next((r for r in (32, 16, 8, 4, 2, 1)
+                  if (T is None or T % (LANES * r) == 0)
+                  and rlen % r == 0),
+                 next(r for r in (8, 4, 2, 1)
+                      if T is None or T % (LANES * r) == 0))
         if rlen % R:
             # pad every read to a multiple of R with the -3 sentinel: the
             # padding rows mismatch everywhere, their values strictly decay,
@@ -1491,7 +1496,7 @@ def batch_score_fn(B: int, rlen: int, W: int,
     if interpret is None:
         interpret = _interpret_default()
     if R is None:
-        R = next(r for r in (8, 4, 2, 1)
+        R = next(r for r in (32, 16, 8, 4, 2, 1)
                  if rlen % r == 0 and (T is None or T % (LANES * r) == 0))
     elif rlen % R:
         raise ValueError(f"R={R} must divide the padded read length {rlen}")
