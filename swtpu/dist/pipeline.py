@@ -292,7 +292,10 @@ def pipeline_locate(a_codes: np.ndarray, b_codes: np.ndarray, mesh: Mesh,
     br = b_codes[:ei][::-1].copy()
     rs, ri, rj = _pipeline_nw_argmax(ar, br, mesh, block_rows, scoring,
                                      axis)
-    assert rs == score, (rs, score)
+    if rs != score:
+        from ..engine.traceback import AnchoredReverseMismatch
+        raise AnchoredReverseMismatch(score, rs, ei, ej,
+                                      int(fwd.last_cell))
     return Located(score, ei - ri + 1, ej - rj + 1, ei, ej,
                    int(fwd.last_cell))
 
@@ -310,11 +313,23 @@ def pipeline_traceback(a_codes: np.ndarray, b_codes: np.ndarray, mesh: Mesh,
 
     Completes the reference's universal post-processing
     (serial_smithW.c:262-277) for problems no single device can hold."""
-    loc = pipeline_locate(a_codes, b_codes, mesh, block_rows=block_rows,
-                          scoring=scoring, axis=axis)
+    from ..engine import traceback as tb
+    try:
+        loc = pipeline_locate(a_codes, b_codes, mesh,
+                              block_rows=block_rows, scoring=scoring,
+                              axis=axis)
+    except tb.AnchoredReverseMismatch as e:
+        # recover single-chip when the end-anchored prefix fits the window
+        # budget; otherwise the typed error (with scores) propagates
+        budget = max_window_cells if max_window_cells is not None \
+            else (1 << 26)
+        if e.end_i * e.end_j <= budget:
+            return tb.walk_from_end(a_codes, b_codes, scoring,
+                                    e.forward_score, e.end_i, e.end_j,
+                                    e.last_cell, alphabet=alphabet)
+        raise
     if loc is None:
         return None
-    from ..engine import traceback as tb
     return tb.windowed(a_codes, b_codes, scoring,
                        max_window_cells=max_window_cells, loc=loc,
                        alphabet=alphabet)

@@ -141,10 +141,16 @@ def align(
                 else "scan")
 
     # memory-lean traceback path: skip P capture entirely, use
-    # locate + windowed refill / Hirschberg (engine/traceback.py)
+    # locate + windowed refill / Hirschberg (engine/traceback.py).
+    # Banded problems always use the full-P path: the lean fills would
+    # silently drop the band (the anchored-reverse pass needs an
+    # off-centre band the kernels don't model), and a full-matrix
+    # alignment where a banded one was requested is a wrong answer.
     method = config.traceback_method
     if method == "auto":
         method = "full" if m * n <= config.full_p_max_cells else "windowed"
+    if config.band is not None:
+        method = "full"
     if (want_tb and method in ("windowed", "hirschberg")
             and not return_matrices):
         from . import traceback as tb

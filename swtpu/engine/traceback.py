@@ -129,6 +129,33 @@ def _nw_argmax(a: np.ndarray, b: np.ndarray, scoring: Scoring,
     return int(out.max_score), int(out.max_i), int(out.max_j)
 
 
+class AnchoredReverseMismatch(RuntimeError):
+    """The anchored reverse pass did not reproduce the forward score.
+
+    The locate trick's precondition: an optimal LOCAL alignment starts and
+    ends in the H state, so a global-mode reverse DP anchored at the
+    forward end cell must reach exactly the forward score. A mismatch
+    means the scoring model violates that contract (e.g. a non-negative
+    gap/mismatch making terminal gaps free) or an internal inconsistency
+    between the forward and reverse fills. Unlike the reference's
+    fail-fast asserts (simple-cuda/cuda_global_mem_smithW.cu:90-96), this
+    carries the evidence and survives ``python -O``.
+    """
+
+    def __init__(self, forward_score: int, reverse_score: int,
+                 end_i: int, end_j: int, last_cell: int = 0):
+        self.forward_score = int(forward_score)
+        self.reverse_score = int(reverse_score)
+        self.end_i = int(end_i)
+        self.end_j = int(end_j)
+        self.last_cell = int(last_cell)
+        super().__init__(
+            f"anchored reverse pass scored {reverse_score} but the forward "
+            f"pass found {forward_score} ending at ({end_i}, {end_j}); the "
+            f"locate contract requires negative gap/mismatch penalties so "
+            f"optimal local alignments start and end in the H state")
+
+
 class Located(NamedTuple):
     score: int
     start_i: int     # first aligned row (1-based, padded coords)
@@ -161,7 +188,8 @@ def locate(a: np.ndarray, b: np.ndarray, scoring: Scoring = Scoring(),
     left = np.full((ei + 1,), _NEG, np.int32)
     top[0] = left[0] = 0
     rs, ri, rj = _nw_argmax(ar, br, scoring, top, left, sub=subr)
-    assert rs == score, (rs, score)
+    if rs != score:
+        raise AnchoredReverseMismatch(score, rs, ei, ej, last)
     si = ei - ri + 1
     sj = ej - rj + 1
     return Located(score, si, sj, ei, ej, last)
@@ -588,6 +616,27 @@ def _scan_window_walk(sub_a, sub_b, wn, wm, scoring, sub=None):
     return _apply_moves(sub_a, sub_b, wn, wm, moves)
 
 
+def walk_from_end(a: np.ndarray, b: np.ndarray, scoring: Scoring,
+                  score: int, end_i: int, end_j: int, last_cell: int = 0,
+                  alphabet: str = DNA_ALPHABET, sub=None):
+    """Full-P fallback when the anchored reverse pass is unavailable: refill
+    [1..end_i] x [1..end_j] with predecessors and walk from the end cell
+    (the zero-floor NONE stop finds the start without a reverse pass).
+    O(end_i * end_j) memory — the caller gates on the window budget."""
+    sub_a = np.asarray(a[:end_j])
+    sub_b = np.asarray(b[:end_i])
+    if sub is None and _use_stripe(end_j, end_i, scoring):
+        ca, cb = _stripe_window_walk(sub_a, sub_b, end_i, end_j, scoring)
+    else:
+        ca, cb = _scan_window_walk(sub_a, sub_b, end_i, end_j, scoring,
+                                   sub=sub)
+    si = end_i - sum(1 for c in cb if c != -1) + 1
+    sj = end_j - sum(1 for c in ca if c != -1) + 1
+    loc = Located(int(score), si, sj, end_i, end_j, int(last_cell))
+    ra, rb = _render(ca, cb, alphabet)
+    return loc.score, loc, ra, rb
+
+
 def windowed(a: np.ndarray, b: np.ndarray, scoring: Scoring = Scoring(),
              max_window_cells: Optional[int] = None,
              loc: Optional[Located] = None,
@@ -595,9 +644,23 @@ def windowed(a: np.ndarray, b: np.ndarray, scoring: Scoring = Scoring(),
     """Locate, then refill only the alignment window with predecessors and
     walk it. Falls back to hirschberg() when the window exceeds the budget.
     Linear/affine, optional substitution matrix.
-    ``loc``: optional precomputed Located (skips the score passes)."""
+    ``loc``: optional precomputed Located (skips the score passes).
+
+    If the anchored reverse pass inside locate() fails its contract
+    (AnchoredReverseMismatch), the full-P end-anchored walk recovers the
+    alignment when [1..end] fits the window budget; the typed error
+    propagates otherwise."""
     if loc is None:
-        loc = locate(a, b, scoring, sub=sub)
+        try:
+            loc = locate(a, b, scoring, sub=sub)
+        except AnchoredReverseMismatch as e:
+            budget = max_window_cells if max_window_cells is not None \
+                else (1 << 26)
+            if e.end_i * e.end_j <= budget:
+                return walk_from_end(a, b, scoring, e.forward_score,
+                                     e.end_i, e.end_j, e.last_cell,
+                                     alphabet=alphabet, sub=sub)
+            raise
     if loc is None:
         return None
     wm = loc.end_j - loc.start_j + 1

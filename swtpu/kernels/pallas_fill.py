@@ -823,9 +823,6 @@ def _stripe_call(q, bt, greset=None, top=None, lc=None, ftop=None, *,
         raise NotImplementedError(
             "global (NW) mode requires boundary injection; P capture and "
             "batch mode are not supported there")
-    if (nsym or npack) and boundary:
-        raise NotImplementedError(
-            "substitution-matrix boundary-injected fills not supported")
     if nsym and npack:
         raise ValueError("nsym and npack are exclusive profile modes")
     if band and (boundary or batch or not local):
@@ -1030,8 +1027,7 @@ def stripe_fill_raw(
         hi = max(int(substitution.max()), 1) * min(m, n)
         if hi * R * CB >= (1 << 30):
             raise ValueError("score range too large for packed argmax")
-        if not (scoring.gap < 0 if not scoring.is_affine else
-                (scoring.gap_open < 0 and scoring.gap_extend < 0)):
+        if not _sub_gaps_ok(scoring):
             raise ValueError("substitution mode needs negative gaps")
         if _pack_fits(substitution):
             npack = -(-substitution.shape[0] // 4)
@@ -1185,22 +1181,11 @@ def stripe_score_fn(m: int, n: int, scoring: Scoring = Scoring(),
     nsym = npack = 0
     emb = None
     if substitution is not None:
-        sub32 = np.asarray(substitution, np.int32)
-        if not (scoring.gap < 0 if not scoring.is_affine else
-                (scoring.gap_open < 0 and scoring.gap_extend < 0)):
+        if not _sub_gaps_ok(scoring):
             raise ValueError("substitution mode needs negative gaps")
-        if CB is None and not _pack_fits(sub32):
+        if CB is None and not _pack_fits(np.asarray(substitution)):
             CB = 1
-        if _pack_fits(sub32):
-            npack = -(-sub32.shape[0] // 4)
-            A = sub32.shape[0]
-            emb8 = np.full((4 * npack, A + 4), -128, np.int64)
-            emb8[:A, 4:] = sub32
-            emb = jnp.asarray(emb8.astype(np.int32))
-        else:
-            nsym = sub32.shape[0]
-            emb = jnp.asarray(np.concatenate(
-                [np.full((nsym, 4), NEG_SUB, np.int32), sub32], axis=1))
+        nsym, npack, emb = _sub_embed(substitution)
     T, R, CB = _resolve_params(m, n, T, R, scoring, CB=CB)
     if substitution is None:
         _check_packing(m, n, R, scoring, CB)
@@ -1214,13 +1199,8 @@ def stripe_score_fn(m: int, n: int, scoring: Scoring = Scoring(),
     def fn(a, b):
         # inputs as device arrays of codes; build q/bt on device
         ap, bt = _device_inputs(a, b, m, n, T, C, R, CB)
-        if nsym:
-            bt = jnp.moveaxis(emb[:, bt + 4], 0, 1)
-        elif npack:
-            prof = emb[:, bt + 4]
-            by = prof & 0xFF
-            bt = jnp.moveaxis(by[0::4] | (by[1::4] << 8)
-                              | (by[2::4] << 16) | (by[3::4] << 24), 0, 1)
+        if nsym or npack:
+            bt = _profile_on_device(bt, emb, nsym, npack)
         outs = _stripe_call(ap, bt, scoring=scoring, T=T, R=R, C=C, m=m,
                             n=n, return_p=False, interpret=interpret,
                             unroll=u, CB=CB, nsym=nsym, npack=npack)
@@ -1358,11 +1338,49 @@ def batch_fill_raw(
     return BatchStripeOut(scores.astype(np.int32), read_i, win_j)
 
 
+def _sub_embed(substitution):
+    """Raw (A, A) int table -> (nsym, npack, emb) for the on-device profile
+    build: packed int8 words when every score fits int8 (4 symbols/word),
+    the unpacked NEG_SUB-padded select-tree table otherwise. The leading
+    4 sentinel columns catch the -1/-2/-3 padding codes (indexed at
+    code + 4)."""
+    sub32 = np.asarray(substitution, np.int32)
+    A = sub32.shape[0]
+    if _pack_fits(sub32):
+        npack = -(-A // 4)
+        emb8 = np.full((4 * npack, A + 4), -128, np.int64)
+        emb8[:A, 4:] = sub32
+        return 0, npack, jnp.asarray(emb8.astype(np.int32))
+    emb = np.concatenate([np.full((A, 4), NEG_SUB, np.int32), sub32],
+                         axis=1)
+    return A, 0, jnp.asarray(emb)
+
+
+def _profile_on_device(bt, emb, nsym: int, npack: int):
+    """(S, R, sub, L) device target codes -> per-stripe query profile in
+    the layout _kernel expects (the device twin of _build_profile[_packed])."""
+    if nsym:
+        return jnp.moveaxis(emb[:, bt + 4], 0, 1)
+    prof = emb[:, bt + 4]
+    by = prof & 0xFF
+    return jnp.moveaxis(by[0::4] | (by[1::4] << 8) | (by[2::4] << 16)
+                        | (by[3::4] << 24), 0, 1)
+
+
+def _sub_gaps_ok(scoring: Scoring) -> bool:
+    """Substitution mode's unmasked-fill precondition: only the gap
+    penalties must be negative (sentinel profile rows supply the strongly
+    negative 'mismatch')."""
+    if scoring.is_affine:
+        return scoring.gap_open < 0 and scoring.gap_extend < 0
+    return scoring.gap < 0
+
+
 def stripe_block_fn(m: int, n: int, scoring: Scoring = Scoring(),
                     T: Optional[int] = None, R: Optional[int] = None,
                     C: int = DEFAULT_CHUNK, unroll: Optional[int] = None,
                     interpret: Optional[bool] = None, local: bool = True,
-                    want_bottom: bool = True):
+                    want_bottom: bool = True, substitution=None):
     """Jittable boundary-injected block fill for the multi-chip pipeline
     and the linear-space traceback passes.
 
@@ -1381,11 +1399,27 @@ def stripe_block_fn(m: int, n: int, scoring: Scoring = Scoring(),
     Affine mode takes fn(a, b, top_row, left_col, top_f, left_e) and
     returns (..., bottom_row, right_col, bottom_f, right_e) — the Gotoh
     block decomposition with full H/E/F boundary continuation.
+
+    ``substitution``: optional (A, A) int table — the profile modes
+    compose with boundary injection (the reference's scoring hook runs
+    inside every strategy, serial_smithW.c:251-256; so does this one),
+    which is what lets protein/BLOSUM workloads ride the multi-chip
+    pipeline and the linear-space traceback at stripe speed.
     """
     if interpret is None:
         interpret = _interpret_default()
     T, R, _ = _resolve_params(m, n, T, R, scoring, CB=1)
-    _check_packing(m, n, R, scoring)
+    nsym = npack = 0
+    emb = None
+    if substitution is not None:
+        if not _sub_gaps_ok(scoring):
+            raise ValueError("substitution mode needs negative gaps")
+        hi = max(int(np.asarray(substitution).max()), 1) * min(m, n)
+        if hi * R >= (1 << 30):
+            raise ValueError("score range too large for packed argmax")
+        nsym, npack, emb = _sub_embed(substitution)
+    else:
+        _check_packing(m, n, R, scoring)
     L = T // R
     num_stripes = -(-n // T)
     if want_bottom and num_stripes * T != n:
@@ -1405,6 +1439,8 @@ def stripe_block_fn(m: int, n: int, scoring: Scoring = Scoring(),
 
     def fn(a, b, top_row, left_col, top_f=None, left_e=None):
         ap, bt = _device_inputs(a, b, m, n, T, C, R)
+        if nsym or npack:
+            bt = _profile_on_device(bt, emb, nsym, npack)
         top = jnp.zeros((1, rlen), jnp.int32)
         top = jax.lax.dynamic_update_slice(
             top, top_row.astype(jnp.int32)[None, :], (0, L - 2))
@@ -1433,7 +1469,8 @@ def stripe_block_fn(m: int, n: int, scoring: Scoring = Scoring(),
         outs = _stripe_call(ap, bt, None, top, lc, ftop, scoring=scoring,
                             T=T, R=R, C=C, m=m, n=n, return_p=False,
                             interpret=interpret, unroll=u,
-                            want_bottom=want_bottom, local=local)
+                            want_bottom=want_bottom, local=local,
+                            nsym=nsym, npack=npack)
         outs = list(outs)
         best, rc = outs.pop(0), outs.pop(0)
         rce = outs.pop(0) if affine else None
@@ -1510,17 +1547,7 @@ def batch_score_fn(B: int, rlen: int, W: int,
     if substitution is not None:
         substitution = np.asarray(substitution, np.int32)
         CB = 1 if CB is None or CB == 2 else CB   # profile path: CB=1 wins
-        if _pack_fits(substitution):
-            npack = -(-substitution.shape[0] // 4)
-            A = substitution.shape[0]
-            emb8 = np.full((4 * npack, A + 4), -128, np.int64)
-            emb8[:A, 4:] = substitution
-            sub_emb = jnp.asarray(emb8.astype(np.int32))
-        else:
-            nsym = substitution.shape[0]
-            sub_emb = jnp.asarray(
-                np.concatenate([np.full((nsym, 4), NEG_SUB, np.int32),
-                                substitution], axis=1))
+        nsym, npack, sub_emb = _sub_embed(substitution)
     T, R, CB = _resolve_params(W, n, T, R, scoring, CB=CB)
     if substitution is None:
         _check_packing(W, n, R, scoring, CB)
@@ -1546,15 +1573,9 @@ def batch_score_fn(B: int, rlen: int, W: int,
         bp = bp.at[:n].set(reads.reshape(-1).astype(jnp.int32))
         bt = (bp.reshape(num_stripes, L, R).transpose(0, 2, 1)
               .reshape(num_stripes, R, L // LANES, LANES))
-        if nsym:
-            # (S, nsym, R, sub, L) query profile (see _build_profile)
-            bt = jnp.moveaxis(sub_emb[:, bt + 4], 0, 1)
-        elif npack:
-            prof = sub_emb[:, bt + 4]            # (4*npack, S, R, sub, L)
-            by = prof & 0xFF
-            packed = (by[0::4] | (by[1::4] << 8) | (by[2::4] << 16)
-                      | (by[3::4] << 24))
-            bt = jnp.moveaxis(packed, 0, 1)
+        if nsym or npack:
+            # (S, nsym|npack, R, sub, L) query profile (see _build_profile)
+            bt = _profile_on_device(bt, sub_emb, nsym, npack)
         return bt, grt
 
     def score_prepared(prepared, window):

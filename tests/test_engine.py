@@ -114,3 +114,23 @@ def test_affine_traceback_stripe_plan():
             total += sc.match if x == y else sc.mismatch
             in_gap = False
     assert total == r.max_score
+
+
+def test_banded_traceback_never_drops_band():
+    """A banded alignment request must return the BANDED optimum even when
+    the lean traceback method is selected (explicitly or via size): the
+    engine routes banded traceback to the full-P path, which honors the
+    band (the lean fills would silently drop it)."""
+    from swtpu.core.encode import encode
+
+    a = encode("AAAAAAAATTTT")
+    b = encode("TTTTAAAAAAAA")
+    unbanded = align(a, b, traceback=True)
+    for method in ("windowed", "hirschberg", "auto"):
+        cfg = EngineConfig(band=2, traceback_method=method)
+        r = align(a, b, config=cfg, traceback=True)
+        ref = align(a, b, config=EngineConfig(band=2),
+                    traceback=True, plan="scan")
+        assert r.max_score == ref.max_score
+        assert r.max_score < unbanded.max_score
+        assert (r.aligned_a, r.aligned_b) == (ref.aligned_a, ref.aligned_b)

@@ -465,3 +465,155 @@ def test_deep_register_blocking_matches_oracle(T, R, CB):
     assert int(out.max_score) == ref.max_score
     assert (int(out.max_i), int(out.max_j)) == ref.max_ij
     assert int(out.last_cell) == int(ref.H[-1, -1])
+
+
+Scoring = swtpu.Scoring
+
+
+def _rand_protein(m, n, seed):
+    rng = np.random.default_rng(seed)
+    return (rng.integers(0, 20, m).astype(np.int8),
+            rng.integers(0, 20, n).astype(np.int8))
+
+
+def _embedded(sub):
+    from swtpu.core.substitution import embed_sentinels
+    import jax.numpy as jnp
+    return jnp.asarray(embed_sentinels(np.asarray(sub)))
+
+
+def test_boundary_injected_substitution_block():
+    """Profile modes compose with boundary injection (the reference's
+    scoring hook runs inside every strategy, serial_smithW.c:251-256):
+    packed int8 BLOSUM62 profile, linear gaps, injected boundaries."""
+    import jax.numpy as jnp
+    from swtpu.core.substitution import BLOSUM62
+    from swtpu.kernels.pallas_fill import stripe_block_fn
+    from swtpu.kernels.scan_fill import scan_fill
+
+    rng = np.random.default_rng(31)
+    m, n = 70, 256
+    a, b = _rand_protein(m, n, 32)
+    top = rng.integers(0, 9, m + 1).astype(np.int32)
+    left = rng.integers(0, 9, n + 1).astype(np.int32)
+    left[0] = top[0]
+    sc = Scoring(gap=-4)
+    ref = scan_fill(jnp.asarray(a), jnp.asarray(b), scoring=sc,
+                    top_row=jnp.asarray(top), left_col=jnp.asarray(left),
+                    sub_table=_embedded(BLOSUM62))
+    for R in (1, 2):
+        fn = stripe_block_fn(m, n, sc, T=256, R=R, C=128,
+                             substitution=BLOSUM62)
+        s, i, j, last, bottom, right = fn(
+            jnp.asarray(a), jnp.asarray(b), jnp.asarray(top),
+            jnp.asarray(left))
+        assert int(s) == int(ref.max_score), R
+        assert (int(i), int(j)) == (int(ref.max_i), int(ref.max_j)), R
+        assert int(last) == int(ref.last_cell), R
+        np.testing.assert_array_equal(np.asarray(bottom),
+                                      np.asarray(ref.bottom_row))
+        np.testing.assert_array_equal(np.asarray(right),
+                                      np.asarray(ref.right_col))
+
+
+def test_boundary_injected_substitution_affine():
+    """BLOSUM62 + Gotoh gaps + injected H/E/F boundaries (the multi-chip
+    pipeline's per-stage protein fill) vs the scan plan."""
+    import jax.numpy as jnp
+    from swtpu.core.substitution import BLOSUM62
+    from swtpu.kernels.pallas_fill import stripe_block_fn
+    from swtpu.kernels.scan_fill import scan_fill
+
+    rng = np.random.default_rng(41)
+    m, n = 60, 256
+    a, b = _rand_protein(m, n, 42)
+    sc = Scoring(mode="affine", gap_open=-11, gap_extend=-1)
+    NEG = -(1 << 24)
+    top = rng.integers(0, 9, m + 1).astype(np.int32)
+    left = rng.integers(0, 9, n + 1).astype(np.int32)
+    left[0] = top[0]
+    top_f = np.full((m + 1,), NEG, np.int32)
+    left_e = np.full((n + 1,), NEG, np.int32)
+    top_f[m // 2] = int(top[m // 2]) - 3      # a live F entering the block
+    left_e[n // 3] = int(left[n // 3]) - 2
+    ref = scan_fill(jnp.asarray(a), jnp.asarray(b), scoring=sc,
+                    top_row=jnp.asarray(top), left_col=jnp.asarray(left),
+                    top_f=jnp.asarray(top_f), left_e=jnp.asarray(left_e),
+                    sub_table=_embedded(BLOSUM62))
+    fn = stripe_block_fn(m, n, sc, T=256, R=2, C=128,
+                         substitution=BLOSUM62)
+    s, i, j, last, bottom, right, bottom_f, right_e = fn(
+        jnp.asarray(a), jnp.asarray(b), jnp.asarray(top),
+        jnp.asarray(left), jnp.asarray(top_f), jnp.asarray(left_e))
+    assert int(s) == int(ref.max_score)
+    assert (int(i), int(j)) == (int(ref.max_i), int(ref.max_j))
+    assert int(last) == int(ref.last_cell)
+    np.testing.assert_array_equal(np.asarray(bottom),
+                                  np.asarray(ref.bottom_row))
+    np.testing.assert_array_equal(np.asarray(right),
+                                  np.asarray(ref.right_col))
+    np.testing.assert_array_equal(np.asarray(bottom_f)[1:],
+                                  np.asarray(ref.bottom_f)[1:])
+    np.testing.assert_array_equal(np.asarray(right_e)[1:],
+                                  np.asarray(ref.right_e)[1:])
+
+
+def test_boundary_injected_substitution_unpacked_tree():
+    """Scores beyond int8 force the unpacked select tree; it must compose
+    with boundary injection identically."""
+    import jax.numpy as jnp
+    from swtpu.kernels.pallas_fill import stripe_block_fn
+    from swtpu.kernels.scan_fill import scan_fill
+
+    rng = np.random.default_rng(51)
+    A = 6
+    S = rng.integers(-9, 10, (A, A)).astype(np.int32) * 40   # |S| > 127
+    m, n = 40, 128
+    a = rng.integers(0, A, m).astype(np.int8)
+    b = rng.integers(0, A, n).astype(np.int8)
+    top = rng.integers(0, 30, m + 1).astype(np.int32)
+    left = rng.integers(0, 30, n + 1).astype(np.int32)
+    left[0] = top[0]
+    sc = Scoring(gap=-30)
+    ref = scan_fill(jnp.asarray(a), jnp.asarray(b), scoring=sc,
+                    top_row=jnp.asarray(top), left_col=jnp.asarray(left),
+                    sub_table=_embedded(S))
+    fn = stripe_block_fn(m, n, sc, T=128, R=1, C=128, substitution=S)
+    s, i, j, last, bottom, right = fn(
+        jnp.asarray(a), jnp.asarray(b), jnp.asarray(top),
+        jnp.asarray(left))
+    assert int(s) == int(ref.max_score)
+    assert (int(i), int(j)) == (int(ref.max_i), int(ref.max_j))
+    np.testing.assert_array_equal(np.asarray(bottom),
+                                  np.asarray(ref.bottom_row))
+    np.testing.assert_array_equal(np.asarray(right),
+                                  np.asarray(ref.right_col))
+
+
+def test_nw_substitution_block_matches_scan():
+    """Global (NW) mode + substitution profile: the anchored-reverse pass
+    for protein lean traceback."""
+    import jax.numpy as jnp
+    from swtpu.core.substitution import BLOSUM62
+    from swtpu.kernels.pallas_fill import stripe_block_fn
+    from swtpu.kernels.scan_fill import scan_fill
+
+    m, n = 50, 128
+    a, b = _rand_protein(m, n, 61)
+    sc = Scoring(mode="affine", gap_open=-11, gap_extend=-1)
+    NEG = -(1 << 24)
+    top = np.full((m + 1,), NEG, np.int32)
+    left = np.full((n + 1,), NEG, np.int32)
+    top[0] = left[0] = 0
+    negf = jnp.full((m + 1,), NEG, jnp.int32)
+    nege = jnp.full((n + 1,), NEG, jnp.int32)
+    ref = scan_fill(jnp.asarray(a), jnp.asarray(b), scoring=sc,
+                    local=False, top_row=jnp.asarray(top),
+                    left_col=jnp.asarray(left),
+                    sub_table=_embedded(BLOSUM62))
+    fn = stripe_block_fn(m, n, sc, T=128, R=1, C=128, local=False,
+                         want_bottom=False, substitution=BLOSUM62)
+    s, i, j, *_ = fn(jnp.asarray(a), jnp.asarray(b), jnp.asarray(top),
+                     jnp.asarray(left), negf, nege)
+    assert int(s) == int(ref.max_score)
+    assert (int(i), int(j)) == (int(ref.max_i), int(ref.max_j))

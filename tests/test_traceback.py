@@ -340,3 +340,53 @@ def test_windowed_budget_covers_whole_matrix_25k(monkeypatch):
     a = np.zeros(25632, np.int8)
     tb.windowed(a, a)
     assert "windowed" in calls and "hirschberg" not in calls
+
+
+def test_anchored_reverse_mismatch_typed_error(monkeypatch):
+    """A broken reverse pass must raise the typed contract error (not a
+    bare assert that vanishes under python -O), carrying both scores."""
+    a, b = random_pair(64, 64, seed=21)
+    ref = oracle.fill(a, b)
+
+    def bad_nw_argmax(ar, br, scoring, top, left, sub=None):
+        return ref.max_score - 1, 1, 1     # wrong reverse score
+
+    monkeypatch.setattr(tb, "_nw_argmax", bad_nw_argmax)
+    with pytest.raises(tb.AnchoredReverseMismatch) as ei:
+        tb.locate(a, b)
+    assert ei.value.forward_score == ref.max_score
+    assert ei.value.reverse_score == ref.max_score - 1
+    assert (ei.value.end_i, ei.value.end_j) == ref.max_ij
+
+
+def test_anchored_reverse_mismatch_windowed_fallback(monkeypatch):
+    """windowed() recovers through the full-P end-anchored walk when the
+    reverse pass breaks and the end prefix fits the budget."""
+    a, b = random_pair(96, 80, seed=22)
+    ref = oracle.fill(a, b)
+
+    def bad_nw_argmax(ar, br, scoring, top, left, sub=None):
+        return -1, 1, 1
+
+    monkeypatch.setattr(tb, "_nw_argmax", bad_nw_argmax)
+    got = tb.windowed(a, b)
+    assert got is not None
+    score, loc, ra, rb = got
+    assert score == ref.max_score
+    assert (loc.end_i, loc.end_j) == ref.max_ij
+    assert alignment_score(ra, rb) == ref.max_score
+    # a budget too small for the fallback re-raises the typed error
+    with pytest.raises(tb.AnchoredReverseMismatch):
+        tb.windowed(a, b, max_window_cells=4)
+
+
+def test_walk_from_end_locates_start():
+    """The end-anchored walk's derived start must match locate()'s."""
+    a, b = random_pair(70, 90, seed=23)
+    loc = tb.locate(a, b)
+    got = tb.walk_from_end(a, b, Scoring(), loc.score, loc.end_i,
+                           loc.end_j, loc.last_cell)
+    score, loc2, ra, rb = got
+    assert score == loc.score
+    assert alignment_score(ra, rb) == loc.score
+    assert (loc2.end_i, loc2.end_j) == (loc.end_i, loc.end_j)
