@@ -28,17 +28,53 @@ from ..core.config import EngineConfig, Scoring
 from ..instrument.metrics import gcups
 
 
+def scoring_sig(scoring: Optional[Scoring] = None,
+                substitution=None) -> str:
+    """Scoring signature keying tuned-table entries: the measured winners
+    differ by gap mode and profile kind (round2_tpu.json shows protein
+    CB inverting vs linear DNA), so a table match is only valid within
+    one signature — the Apollo per-region analog
+    (omp_smithW-v8-apollo.cpp:305-318: one model per code region)."""
+    base = "affine" if (scoring is not None and scoring.is_affine) \
+        else "linear"
+    if substitution is None:
+        return base
+    from ..kernels.pallas_fill import _pack_fits
+    sub = np.asarray(substitution)
+    kind = "p" if _pack_fits(sub) else "u"
+    return f"{base}+sub{sub.shape[0]}{kind}"
+
+
+def _rand_inputs(m: int, n: int, substitution):
+    from ..core.encode import random_pair
+    if substitution is None:
+        return random_pair(m, n, seed=0)
+    A = np.asarray(substitution).shape[0]
+    rng = np.random.default_rng(0)
+    return (rng.integers(0, A, m).astype(np.int8),
+            rng.integers(0, A, n).astype(np.int8))
+
+
 def _time_stripe(m: int, n: int, T: int, C: int, R: int = 1,
                  CB: int = 1, unroll: int = 1, repeats: int = 2,
-                 k: int = 5) -> float:
-    from ..core.encode import random_pair
+                 k: int = 5, scoring: Scoring = Scoring(),
+                 substitution=None) -> float:
     from ..kernels import pallas_fill as pf
 
-    a, b = random_pair(m, n, seed=0)
+    a, b = _rand_inputs(m, n, substitution)
     ap, bt, _ = pf._build_inputs(a, b, T, C, R, CB)
+    nsym = npack = 0
+    if substitution is not None:
+        sub32 = np.asarray(substitution, np.int32)
+        if pf._pack_fits(sub32):
+            npack = -(-sub32.shape[0] // 4)
+            bt = pf._build_profile_packed(bt, sub32)
+        else:
+            nsym = sub32.shape[0]
+            bt = pf._build_profile(bt, sub32)
     apj, btj = jnp.asarray(ap), jnp.asarray(bt)
-    kw = dict(scoring=Scoring(), T=T, R=R, C=C, CB=CB, m=m, n=n,
-              unroll=unroll, return_p=False,
+    kw = dict(scoring=scoring, T=T, R=R, C=C, CB=CB, m=m, n=n,
+              unroll=unroll, return_p=False, nsym=nsym, npack=npack,
               interpret=pf._interpret_default())
     np.asarray(pf._stripe_call(apj, btj, **kw)[0])    # compile
     best = float("inf")
@@ -51,19 +87,24 @@ def _time_stripe(m: int, n: int, T: int, C: int, R: int = 1,
     return best
 
 
-def _time_scan(m: int, n: int, repeats: int = 2, k: int = 3) -> float:
-    from ..core.encode import random_pair
+def _time_scan(m: int, n: int, repeats: int = 2, k: int = 3,
+               scoring: Scoring = Scoring(), substitution=None) -> float:
     from ..kernels.scan_fill import scan_fill
 
-    a, b = random_pair(m, n, seed=0)
+    a, b = _rand_inputs(m, n, substitution)
+    sub_table = None
+    if substitution is not None:
+        from ..core.substitution import embed_sentinels
+        sub_table = jnp.asarray(embed_sentinels(np.asarray(substitution)))
     aj, bj = jnp.asarray(a), jnp.asarray(b)
-    int(scan_fill(aj, bj).max_score)                  # compile
+    kw = dict(scoring=scoring, sub_table=sub_table)
+    int(scan_fill(aj, bj, **kw).max_score)            # compile
     best = float("inf")
     for _ in range(repeats):
         t0 = time.perf_counter()
         for _ in range(k - 1):
-            scan_fill(aj, bj)
-        int(scan_fill(aj, bj).max_score)
+            scan_fill(aj, bj, **kw)
+        int(scan_fill(aj, bj, **kw).max_score)
         best = min(best, (time.perf_counter() - t0) / k)
     return best
 
@@ -74,14 +115,19 @@ def sweep(sizes=(512, 2048, 8192, 25632),
           c_candidates=(128,),
           unrolls=(8, 32),
           verbose: bool = True,
-          allow_non_tpu: bool = False) -> dict:
+          allow_non_tpu: bool = False,
+          scoring: Scoring = Scoring(),
+          substitution=None) -> dict:
     """Measure all plans over the size grid; returns the tuned table.
 
     ``sizes`` entries are square side lengths (int) or rectangular
     ``(m, n)`` tuples — the reference sweeps both grids
     ({32..26000..512} square, 2000 x {2..150000..5000} rect; run-v0.sh).
-    Refuses to run off-TPU by default: timing interpreter-mode kernels
-    would persist a garbage table that dispatch then trusts."""
+    ``scoring``/``substitution`` select the scoring mode to tune —
+    entries are tagged with its signature and dispatch only matches
+    within one signature (affine and BLOSUM champions differ from linear
+    DNA ones). Refuses to run off-TPU by default: timing interpreter-mode
+    kernels would persist a garbage table that dispatch then trusts."""
     from ..kernels.pallas_fill import LANES, choose_params
     from .plan import current_platform
 
@@ -91,17 +137,19 @@ def sweep(sizes=(512, 2048, 8192, 25632),
             f"platform {current_platform()!r} (pass allow_non_tpu=True to "
             f"override, e.g. for CI smoke tests)")
 
+    sig = scoring_sig(scoring, substitution)
     table = {"entries": []}
     for s in sizes:
         m, n = (s, s) if isinstance(s, int) else (int(s[0]), int(s[1]))
         rows = []
-        dt = _time_scan(m, n)
+        dt = _time_scan(m, n, scoring=scoring, substitution=substitution)
         rows.append({"plan": "scan", "T": None, "R": None, "CB": None,
                      "C": None, "unroll": None, "s": dt,
                      "gcups": gcups(m * n, dt)})
         tried = set()
         for R in r_candidates:
-            Tc, _, _ = choose_params(m, n, r_max=R, cb_max=1)
+            Tc, _, _ = choose_params(m, n, r_max=R, cb_max=1,
+                                     affine=scoring.is_affine)
             Tc = -(-Tc // (LANES * R)) * LANES * R
             Tc = min(Tc, -(-n // (LANES * R)) * LANES * R)
             for CB in cb_candidates:
@@ -112,16 +160,18 @@ def sweep(sizes=(512, 2048, 8192, 25632),
                         tried.add((Tc, R, CB, C, U))
                         try:
                             dt = _time_stripe(m, n, Tc, C, R=R, CB=CB,
-                                              unroll=U)
+                                              unroll=U, scoring=scoring,
+                                              substitution=substitution)
                         except Exception:
                             continue
                         rows.append({"plan": "stripe", "T": Tc, "R": R,
                                      "CB": CB, "C": C, "unroll": U, "s": dt,
                                      "gcups": gcups(m * n, dt)})
         best = max(rows, key=lambda r: r["gcups"])
-        table["entries"].append({"m": m, "n": n, "best": best, "all": rows})
+        table["entries"].append({"m": m, "n": n, "sig": sig, "best": best,
+                                 "all": rows})
         if verbose:
-            print(f"size {s}: best {best['plan']} T={best['T']} "
+            print(f"size {s} [{sig}]: best {best['plan']} T={best['T']} "
                   f"R={best['R']} CB={best['CB']} C={best['C']} "
                   f"U={best['unroll']} {best['gcups']:.1f} GCUPS")
     return table
@@ -145,14 +195,22 @@ class Policy:
     table: Optional[dict] = None
 
     def choose_near(self, m: int, n: int, max_cells_ratio: float = 6.0,
-                    max_aspect_ratio: float = 4.0) -> Optional[dict]:
-        """Best measured config of the nearest entry in (cells, aspect)
-        log-space, or None when nothing is near enough — shape matters
-        (the engine's transpose trick is worth ~2x on thin problems), so a
-        2000 x 145002 rectangle must not silently resolve to a square
-        entry, and a tiny problem must not inherit a 25632^2 config."""
+                    max_aspect_ratio: float = 4.0,
+                    sig: str = "linear") -> Optional[dict]:
+        """Best measured config of the nearest same-signature entry in
+        (cells, aspect) log-space, or None when nothing is near enough —
+        shape matters (the engine's transpose trick is worth ~2x on thin
+        problems), so a 2000 x 145002 rectangle must not silently resolve
+        to a square entry, and a tiny problem must not inherit a 25632^2
+        config. The signature gate keeps a linear-DNA champion from
+        landing on BLOSUM+affine calls, whose measured winners differ
+        (entries without a sig are legacy linear)."""
         import math
         if not self.table or not self.table.get("entries"):
+            return None
+        cands = [e for e in self.table["entries"]
+                 if e.get("sig", "linear") == sig]
+        if not cands:
             return None
         cells, aspect = m * n, m / n
 
@@ -161,7 +219,7 @@ class Policy:
             da = abs(math.log((e["m"] / e["n"]) / aspect))
             return dc, da
 
-        entry = min(self.table["entries"], key=lambda e: sum(dist(e)))
+        entry = min(cands, key=lambda e: sum(dist(e)))
         dc, da = dist(entry)
         # tuned T is size-specific (a 25632^2-tuned stripe height applied
         # to 65536^2 would force 3 stripes where one is optimal), so the
@@ -171,8 +229,8 @@ class Policy:
             return None
         return dict(entry["best"])
 
-    def choose(self, m: int, n: int) -> dict:
-        got = self.choose_near(m, n)
+    def choose(self, m: int, n: int, sig: str = "linear") -> dict:
+        got = self.choose_near(m, n, sig=sig)
         if got is not None:
             return got
         from .plan import choose_plan
@@ -180,19 +238,48 @@ class Policy:
                 "CB": None, "C": None, "unroll": None}
 
     def observe(self, m: int, n: int, plan: str, T, C, seconds: float,
-                R=None, CB=None, unroll=None):
+                R=None, CB=None, unroll=None, sig: str = "linear",
+                kind: str = "observed"):
+        """``kind`` records the timing methodology ('observed' = one live
+        dispatch incl. the result fetch, 'sweep' = dispatch-amortized) so
+        merges can compare like with like."""
         if self.table is None:
             self.table = {"entries": []}
         row = {"plan": plan, "T": T, "R": R, "CB": CB, "C": C,
                "unroll": unroll, "s": seconds,
-               "gcups": gcups(m * n, seconds)}
+               "gcups": gcups(m * n, seconds), "kind": kind}
         for e in self.table["entries"]:
-            if e["m"] == m and e["n"] == n:
+            if e["m"] == m and e["n"] == n \
+                    and e.get("sig", "linear") == sig:
                 e["all"].append(row)
                 if len(e["all"]) > 64:       # bounded history: every warm
                     del e["all"][:-64]       # align() call observes
                 if row["gcups"] > e["best"]["gcups"]:
                     e["best"] = row
                 return
-        self.table["entries"].append({"m": m, "n": n, "best": row,
-                                      "all": [row]})
+        self.table["entries"].append({"m": m, "n": n, "sig": sig,
+                                      "best": row, "all": [row]})
+
+    def merge(self, other: Optional[dict]) -> None:
+        """Fold another table's entries in (cross-execution accumulation,
+        the APOLLO_CROSS_EXECUTION analog, run-v8.sh:15): per (m, n, sig),
+        the better-GCUPS best wins and histories concatenate (bounded)."""
+        if not other or not other.get("entries"):
+            return
+        if self.table is None:
+            self.table = {"entries": []}
+        mine = {(e["m"], e["n"], e.get("sig", "linear")): e
+                for e in self.table["entries"]}
+        for oe in other["entries"]:
+            key = (oe["m"], oe["n"], oe.get("sig", "linear"))
+            if key not in mine:
+                self.table["entries"].append(dict(oe))
+                continue
+            e = mine[key]
+            have = e.get("all", [])
+            # exact-duplicate rows appear when a session was seeded from
+            # the very table it later merges back into; drop them
+            fresh = [r for r in oe.get("all", []) if r not in have]
+            e["all"] = (have + fresh)[-64:]
+            if oe["best"]["gcups"] > e["best"]["gcups"]:
+                e["best"] = dict(oe["best"])

@@ -109,15 +109,18 @@ def _sanitize(e: dict, m: int, n: int) -> Optional[ExecPlan]:
 
 
 def choose_exec(m: int, n: int, config: EngineConfig = EngineConfig(),
-                scoring: Optional[Scoring] = None) -> ExecPlan:
+                scoring: Optional[Scoring] = None,
+                substitution=None) -> ExecPlan:
     """Resolve the execution plan AND kernel configuration for a single-pair
     problem of m cols, n rows.
 
     Tier order: beyond the single-kernel width cap -> 'pipeline'
     (m > MAX_WIDTH: the Q stream + boundary ring no longer fit VMEM; the
     multi-chip column-stripe pipeline splits m across devices). Otherwise,
-    measured-cost dispatch when a tuned table has a near-enough entry
-    (the v8/Apollo analog); static size thresholds else (the v7 analog)."""
+    measured-cost dispatch when a tuned table has a near-enough entry OF
+    THE SAME SCORING SIGNATURE (the v8/Apollo analog — Apollo's model is
+    per-region; a linear-DNA champion must not land on BLOSUM+affine);
+    static size thresholds else (the v7 analog)."""
     from ..kernels.pallas_fill import MAX_WIDTH
     cells = m * n
     if m > MAX_WIDTH:
@@ -125,12 +128,16 @@ def choose_exec(m: int, n: int, config: EngineConfig = EngineConfig(),
     if current_platform() != "tpu":
         return ExecPlan("scan")
     if scoring is not None:
-        from ..kernels.pallas_fill import _penalties_negative
-        if not _penalties_negative(scoring):
+        from ..kernels.pallas_fill import (_penalties_negative,
+                                           _sub_gaps_ok)
+        ok = (_sub_gaps_ok(scoring) if substitution is not None
+              else _penalties_negative(scoring))
+        if not ok:
             return ExecPlan("scan")
     pol = _tuned_policy()
     if pol is not None:
-        e = pol.choose_near(m, n)
+        from .autotune import scoring_sig
+        e = pol.choose_near(m, n, sig=scoring_sig(scoring, substitution))
         if e is not None:
             got = _sanitize(e, m, n)
             if got is not None:
@@ -146,15 +153,52 @@ def choose_plan(m: int, n: int, config: EngineConfig = EngineConfig()) -> str:
 
 
 def observe(m: int, n: int, plan: str, seconds: float, T=None, R=None,
-            CB=None, C=None, unroll=None) -> None:
+            CB=None, C=None, unroll=None, sig: str = "linear") -> None:
     """Feed a live measured timing back into the session policy — the
     Apollo region->end() analog (omp_smithW-v8-apollo.cpp:420). Called by
-    the engine's warm timed paths; accumulates in memory (persist with
-    dispatch.autotune.save(session_policy().table))."""
+    the engine's warm timed paths; accumulates in memory and, when
+    SWTPU_AUTOTUNE_PERSIST names a file, auto-saves at process exit with
+    a disk-table merge (the APOLLO_CROSS_EXECUTION analog,
+    run-v8.sh:15)."""
     pol = _tuned_policy(create=True)
-    pol.observe(m, n, plan, T, C, seconds, R=R, CB=CB, unroll=unroll)
+    pol.observe(m, n, plan, T, C, seconds, R=R, CB=CB, unroll=unroll,
+                sig=sig)
+    _register_autopersist()
 
 
 def session_policy():
     """The live Policy (loaded table + online observations), or None."""
     return _tuned_policy()
+
+
+_persist_state = {"registered": False}
+
+
+def persist_session_policy(path: Optional[str] = None) -> Optional[str]:
+    """Merge the session policy's table into the one at ``path`` (env
+    SWTPU_AUTOTUNE_PERSIST when omitted) and save. Returns the path
+    written, or None when there is nothing to persist. Merge semantics:
+    per (m, n, sig) the better-GCUPS best wins, so two processes
+    alternating cannot lose each other's measurements."""
+    import os
+    path = path or os.environ.get("SWTPU_AUTOTUNE_PERSIST")
+    pol = _policy_cache["policy"]
+    if not path or pol is None or not pol.table \
+            or not pol.table.get("entries"):
+        return None
+    from .autotune import Policy, load, save
+    merged = Policy({"entries": []})
+    merged.merge(load(path))
+    merged.merge(pol.table)
+    save(merged.table, path)
+    return path
+
+
+def _register_autopersist() -> None:
+    import atexit
+    import os
+    if _persist_state["registered"] \
+            or not os.environ.get("SWTPU_AUTOTUNE_PERSIST"):
+        return
+    _persist_state["registered"] = True
+    atexit.register(persist_session_policy)

@@ -45,22 +45,35 @@ def _mesh_platform(mesh: Mesh) -> str:
 
 
 def _block_fill_plan(mesh: Mesh, mc: int, block_rows: int, scoring: Scoring,
-                     block_fill: str) -> str:
-    """'stripe' iff the Pallas block kernel applies (TPU mesh, linear gap,
-    block_rows a multiple of 128); 'scan' otherwise."""
+                     block_fill: str, substitution=None) -> str:
+    """'stripe' iff the Pallas block kernel applies (TPU mesh, negative
+    penalties — only the gaps for substitution mode — and block_rows a
+    multiple of 128); 'scan' otherwise."""
     if block_fill != "auto":
         return block_fill
-    from ..kernels.pallas_fill import _penalties_negative
+    from ..kernels.pallas_fill import _penalties_negative, _sub_gaps_ok
+    ok = (_sub_gaps_ok(scoring) if substitution is not None
+          else _penalties_negative(scoring))
     if (_mesh_platform(mesh) == "tpu"
-            and _penalties_negative(scoring) and block_rows % LANES == 0
+            and ok and block_rows % LANES == 0
             and mc >= 2):
         return "stripe"
     return "scan"
 
 
+def _sub_table_embedded(substitution):
+    """Raw (A, A) table -> embedded device table for the scan block fills
+    (sentinel codes -1/-2/-3 score strongly negative)."""
+    if substitution is None:
+        return None
+    from ..core.substitution import embed_sentinels
+    return jnp.asarray(embed_sentinels(np.asarray(substitution)))
+
+
 def make_pipeline(mesh: Mesh, m: int, n: int, block_rows: int,
                   scoring: Scoring = Scoring(), axis: str = "seq",
-                  block_fill: str = "auto", mode: str = "local"):
+                  block_fill: str = "auto", mode: str = "local",
+                  substitution=None):
     """Build a jitted (a, b) -> PipelineResult for an (n x m) single pair.
 
     `a` is sharded over `axis` (m must divide by D); `b` is replicated.
@@ -73,6 +86,11 @@ def make_pipeline(mesh: Mesh, m: int, n: int, block_rows: int,
     This is the multi-chip form of the anchored-reverse locate pass
     (engine/traceback.py locate()); its (max, position) outputs are valid
     when the true max is positive, which the anchored contract guarantees.
+
+    ``substitution``: optional (A, A) score table — protein/BLOSUM
+    workloads ride the mesh too (the reference's scoring hook runs inside
+    every strategy, serial_smithW.c:251-256; the profile stripe kernel and
+    the scan fills both honor it per stage).
     """
     D = mesh.shape[axis]
     if m % D:
@@ -86,14 +104,17 @@ def make_pipeline(mesh: Mesh, m: int, n: int, block_rows: int,
     perm = [(i, i + 1) for i in range(D - 1)]
     is_local = mode == "local"
 
-    plan = _block_fill_plan(mesh, mc, block_rows, scoring, block_fill)
+    plan = _block_fill_plan(mesh, mc, block_rows, scoring, block_fill,
+                            substitution)
     if plan == "stripe":
         from ..kernels.pallas_fill import stripe_block_fn
         rk = next(r for r in (32, 16, 8, 4, 2, 1)
                   if block_rows % (LANES * r) == 0)
         sfn = stripe_block_fn(mc, block_rows, scoring=scoring,
                               T=block_rows, R=rk, local=is_local,
-                              interpret=_mesh_platform(mesh) != "tpu")
+                              interpret=_mesh_platform(mesh) != "tpu",
+                              substitution=substitution)
+    subt = _sub_table_embedded(substitution)
 
     affine = scoring.is_affine
     NEGB = jnp.int32(-(1 << 30))
@@ -107,7 +128,8 @@ def make_pipeline(mesh: Mesh, m: int, n: int, block_rows: int,
         out = scan_fill(a_shard, b_block, scoring=scoring, local=is_local,
                         top_row=top_row, left_col=left_col,
                         top_f=top_f if affine else None,
-                        left_e=left_e if affine else None)
+                        left_e=left_e if affine else None,
+                        sub_table=subt)
         return (out.max_score, out.max_i, out.max_j, out.last_cell,
                 out.bottom_row, out.right_col, out.bottom_f, out.right_e)
 
@@ -218,7 +240,7 @@ def _pad_shapes(m: int, n: int, D: int, block_rows: int):
 
 def pipeline_align(a_codes: np.ndarray, b_codes: np.ndarray, mesh: Mesh,
                    block_rows: int = 512, scoring: Scoring = Scoring(),
-                   axis: str = "seq") -> PipelineResult:
+                   axis: str = "seq", substitution=None) -> PipelineResult:
     """Convenience wrapper: pad to divisibility and run the pipeline.
 
     Padding goes on the LEFT/TOP: under the local zero floor a sentinel
@@ -234,7 +256,8 @@ def pipeline_align(a_codes: np.ndarray, b_codes: np.ndarray, mesh: Mesh,
     a_pad[mp - m:] = a_codes
     b_pad = np.full((np_,), -2, np.int8)
     b_pad[np_ - n:] = b_codes
-    fn = make_pipeline(mesh, mp, np_, block_rows, scoring, axis)
+    fn = make_pipeline(mesh, mp, np_, block_rows, scoring, axis,
+                       substitution=substitution)
     res = fn(jnp.asarray(a_pad), jnp.asarray(b_pad))
     di, dj = np_ - n, mp - m
     if di or dj:
@@ -249,7 +272,7 @@ def pipeline_align(a_codes: np.ndarray, b_codes: np.ndarray, mesh: Mesh,
 
 def _pipeline_nw_argmax(a_codes: np.ndarray, b_codes: np.ndarray,
                         mesh: Mesh, block_rows: int, scoring: Scoring,
-                        axis: str):
+                        axis: str, substitution=None):
     """Anchored NW argmax over the mesh: (score, i, j) of the first
     row-major maximum of the global-mode DP with -inf boundaries. Sentinel
     padding decays strictly (every padded-region inflow adds a negative
@@ -265,14 +288,14 @@ def _pipeline_nw_argmax(a_codes: np.ndarray, b_codes: np.ndarray,
     b_pad = np.full((np_,), -2, np.int8)
     b_pad[:n] = b_codes
     fn = make_pipeline(mesh, mp, np_, block_rows, scoring, axis,
-                       mode="global")
+                       mode="global", substitution=substitution)
     res = fn(jnp.asarray(a_pad), jnp.asarray(b_pad))
     return int(res.max_score), int(res.max_i), int(res.max_j)
 
 
 def pipeline_locate(a_codes: np.ndarray, b_codes: np.ndarray, mesh: Mesh,
                     block_rows: int = 512, scoring: Scoring = Scoring(),
-                    axis: str = "seq"):
+                    axis: str = "seq", substitution=None):
     """Multi-chip locate: forward pipeline finds (score, end), an anchored
     NW reverse pipeline finds the start — the mesh-scale form of
     engine/traceback.py locate(). Returns a Located or None.
@@ -283,15 +306,18 @@ def pipeline_locate(a_codes: np.ndarray, b_codes: np.ndarray, mesh: Mesh,
     at all (SURVEY.md §2.6)."""
     from ..engine.traceback import Located
     fwd = pipeline_align(a_codes, b_codes, mesh, block_rows=block_rows,
-                         scoring=scoring, axis=axis)
+                         scoring=scoring, axis=axis,
+                         substitution=substitution)
     score = int(fwd.max_score)
     if score <= 0:
         return None
     ei, ej = int(fwd.max_i), int(fwd.max_j)
     ar = a_codes[:ej][::-1].copy()
     br = b_codes[:ei][::-1].copy()
+    # reversed operands keep the same table orientation (S[a', b'] with
+    # both reversed — no transpose)
     rs, ri, rj = _pipeline_nw_argmax(ar, br, mesh, block_rows, scoring,
-                                     axis)
+                                     axis, substitution=substitution)
     if rs != score:
         from ..engine.traceback import AnchoredReverseMismatch
         raise AnchoredReverseMismatch(score, rs, ei, ej,
@@ -304,7 +330,7 @@ def pipeline_traceback(a_codes: np.ndarray, b_codes: np.ndarray, mesh: Mesh,
                        block_rows: int = 512, scoring: Scoring = Scoring(),
                        axis: str = "seq",
                        max_window_cells: Optional[int] = None,
-                       alphabet: str = "ACGT"):
+                       alphabet: str = "ACGT", substitution=None):
     """Alignment strings for a mega-matrix that needed the mesh: pipeline
     locate (forward + anchored reverse across chips), then a single-chip
     windowed refill of just the located alignment window (falling back to
@@ -317,7 +343,7 @@ def pipeline_traceback(a_codes: np.ndarray, b_codes: np.ndarray, mesh: Mesh,
     try:
         loc = pipeline_locate(a_codes, b_codes, mesh,
                               block_rows=block_rows, scoring=scoring,
-                              axis=axis)
+                              axis=axis, substitution=substitution)
     except tb.AnchoredReverseMismatch as e:
         # recover single-chip when the end-anchored prefix fits the window
         # budget; otherwise the typed error (with scores) propagates
@@ -326,13 +352,14 @@ def pipeline_traceback(a_codes: np.ndarray, b_codes: np.ndarray, mesh: Mesh,
         if e.end_i * e.end_j <= budget:
             return tb.walk_from_end(a_codes, b_codes, scoring,
                                     e.forward_score, e.end_i, e.end_j,
-                                    e.last_cell, alphabet=alphabet)
+                                    e.last_cell, alphabet=alphabet,
+                                    sub=substitution)
         raise
     if loc is None:
         return None
     return tb.windowed(a_codes, b_codes, scoring,
                        max_window_cells=max_window_cells, loc=loc,
-                       alphabet=alphabet)
+                       alphabet=alphabet, sub=substitution)
 
 
 def dryrun(mesh: Mesh) -> None:
@@ -385,10 +412,26 @@ def dryrun(mesh: Mesh) -> None:
     assert (int(resa.max_i), int(resa.max_j)) == refa.max_ij
     assert int(resa.last_cell) == int(refa.H[-1, -1])
 
+    # substitution (BLOSUM62) pipeline: protein mega-matrices ride the
+    # mesh too (round-3; the per-stage scoring hook is plan-universal)
+    import numpy as _np
+    from ..core.substitution import BLOSUM62
+    rngp = _np.random.default_rng(7)
+    pa = rngp.integers(0, 20, m).astype(_np.int8)
+    pb = rngp.integers(0, 20, 32).astype(_np.int8)
+    pb[4:20] = pa[8:24]
+    scp = _S(gap=-4)
+    refp = oracle.fill(pa, pb, scp, sub=BLOSUM62)
+    resp = pipeline_align(pa, pb, mesh, block_rows=16, scoring=scp,
+                          axis=axis, substitution=BLOSUM62)
+    assert int(resp.max_score) == refp.max_score
+    assert (int(resp.max_i), int(resp.max_j)) == refp.max_ij
+
 
 def make_pipeline_batch(mesh: Mesh, P_pairs: int, m: int, n: int,
                         block_rows: int, scoring: Scoring = Scoring(),
-                        axis: str = "seq", block_fill: str = "auto"):
+                        axis: str = "seq", block_fill: str = "auto",
+                        substitution=None):
     """Bubble-filled pipeline: P same-shape pairs stream back-to-back
     through the block wavefront, so the D-1-stage ramp bubble amortizes
     over P*nblocks stages instead of nblocks (SURVEY §7 hard part (d):
@@ -417,14 +460,17 @@ def make_pipeline_batch(mesh: Mesh, P_pairs: int, m: int, n: int,
     affine = scoring.is_affine
     NEGB = jnp.int32(-(1 << 30))
 
-    plan = _block_fill_plan(mesh, mc, block_rows, scoring, block_fill)
+    plan = _block_fill_plan(mesh, mc, block_rows, scoring, block_fill,
+                            substitution)
     if plan == "stripe":
         from ..kernels.pallas_fill import stripe_block_fn
         rk = next(r for r in (32, 16, 8, 4, 2, 1)
                   if block_rows % (LANES * r) == 0)
         sfn = stripe_block_fn(mc, block_rows, scoring=scoring,
                               T=block_rows, R=rk,
-                              interpret=_mesh_platform(mesh) != "tpu")
+                              interpret=_mesh_platform(mesh) != "tpu",
+                              substitution=substitution)
+    subt = _sub_table_embedded(substitution)
 
     def block(a_shard, b_block, top_row, left_col, top_f, left_e):
         if plan == "stripe":
@@ -435,7 +481,8 @@ def make_pipeline_batch(mesh: Mesh, P_pairs: int, m: int, n: int,
         out = scan_fill(a_shard, b_block, scoring=scoring,
                         top_row=top_row, left_col=left_col,
                         top_f=top_f if affine else None,
-                        left_e=left_e if affine else None)
+                        left_e=left_e if affine else None,
+                        sub_table=subt)
         return (out.max_score, out.max_i, out.max_j, out.last_cell,
                 out.bottom_row, out.right_col, out.bottom_f, out.right_e)
 

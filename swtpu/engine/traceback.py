@@ -45,26 +45,38 @@ _NEG = -(1 << 30)
 
 def _use_stripe(m: int, n: int, scoring: Scoring, nw: bool = False,
                 sub=None) -> bool:
-    """Stripe-kernel gate: all score and NW (global) passes, linear AND
-    affine, run the stripe kernel on TPU; substitution profiles stay on
-    the scan plan here (the lean path's fills are boundary-injected,
-    which the profile modes do not support). m is the WIDTH of the fill
-    being launched — beyond MAX_WIDTH the Q stream + boundary ring no
-    longer fit VMEM (mega-matrix windows reached via the pipeline tier
-    fall back to the scan fills here). NW affine additionally requires
-    the kernel's gentler -2^24 E/F sentinel to dominate every reachable
-    score by 2x (extreme penalty scales keep the scan's -2^30)."""
+    """Stripe-kernel gate: all score and NW (global) passes — linear,
+    affine, AND substitution-profile (BLOSUM/PAM) — run the stripe kernel
+    on TPU, so protein lean traceback runs at stripe speed (the profile
+    modes compose with boundary injection since round 3). m is the WIDTH
+    of the fill being launched — beyond MAX_WIDTH the Q stream + boundary
+    ring no longer fit VMEM (mega-matrix windows reached via the pipeline
+    tier fall back to the scan fills here). NW affine additionally
+    requires the kernel's gentler -2^24 E/F sentinel to dominate every
+    reachable score by 2x (extreme penalty scales keep the scan's -2^30).
+    Substitution mode also bounds the packed-argmax range conservatively
+    (worst table entry x min-side x the deepest R the cost model picks)."""
     from ..dispatch.plan import current_platform
-    from ..kernels.pallas_fill import MAX_WIDTH, _penalties_negative
+    from ..kernels.pallas_fill import (MAX_WIDTH, _penalties_negative,
+                                       _sub_gaps_ok)
     if sub is not None:
-        return False
+        sub_arr = np.asarray(sub)
+        if not _sub_gaps_ok(scoring):
+            return False
+        if int(np.abs(sub_arr).max()) * min(m, n) * 32 >= (1 << 30):
+            return False
     if nw and scoring.is_affine:
         worst = max(abs(scoring.gap_open), abs(scoring.gap_extend),
                     abs(scoring.mismatch), abs(scoring.match))
+        if sub is not None:
+            worst = max(abs(scoring.gap_open), abs(scoring.gap_extend),
+                        int(np.abs(np.asarray(sub)).max()))
         if worst * (m + n) >= (1 << 23):
             return False
+    penalties_ok = (_sub_gaps_ok(scoring) if sub is not None
+                    else _penalties_negative(scoring))
     return (current_platform() == "tpu"
-            and _penalties_negative(scoring) and m >= 2 and n >= 1
+            and penalties_ok and m >= 2 and n >= 1
             and m <= MAX_WIDTH and m * n >= _STRIPE_MIN_CELLS)
 
 
@@ -80,12 +92,15 @@ def _sub_table(sub):
 _fn_cache = {}
 
 
-def _cached(kind, m, n, scoring, **kw):
-    key = (kind, m, n, scoring, tuple(sorted(kw.items())))
+def _cached(kind, m, n, scoring, sub=None, **kw):
+    """``sub``: optional raw substitution table, keyed by content (arrays
+    aren't hashable) and forwarded as the maker's ``substitution=``."""
+    sub_key = None if sub is None else np.asarray(sub).tobytes()
+    key = (kind, m, n, scoring, sub_key, tuple(sorted(kw.items())))
     if key not in _fn_cache:
         from ..kernels import pallas_fill as pf
         maker = {"score": pf.stripe_score_fn, "block": pf.stripe_block_fn}
-        _fn_cache[key] = maker[kind](m, n, scoring, **kw)
+        _fn_cache[key] = maker[kind](m, n, scoring, substitution=sub, **kw)
         if len(_fn_cache) > 64:
             _fn_cache.pop(next(iter(_fn_cache)))
     return _fn_cache[key]
@@ -95,7 +110,7 @@ def _local_score(a: np.ndarray, b: np.ndarray, scoring: Scoring, sub=None):
     """Score-only forward pass: (max_score, max_i, max_j, last_cell)."""
     m, n = len(a), len(b)
     if _use_stripe(m, n, scoring, sub=sub):
-        fn = _cached("score", m, n, scoring, want_last=True)
+        fn = _cached("score", m, n, scoring, sub=sub, want_last=True)
         s, i, j, last = fn(jnp.asarray(a), jnp.asarray(b))
         return int(s), int(i), int(j), int(last)
     out = scan_fill(jnp.asarray(a), jnp.asarray(b), scoring=scoring,
@@ -111,7 +126,8 @@ def _nw_argmax(a: np.ndarray, b: np.ndarray, scoring: Scoring,
     max is guaranteed positive."""
     m, n = len(a), len(b)
     if _use_stripe(m, n, scoring, nw=True, sub=sub):
-        fn = _cached("block", m, n, scoring, local=False, want_bottom=False)
+        fn = _cached("block", m, n, scoring, sub=sub, local=False,
+                     want_bottom=False)
         if scoring.is_affine:
             # anchored boundaries: E/F cannot flow in from outside
             top_f = jnp.full((m + 1,), _NEG, jnp.int32)
@@ -352,8 +368,10 @@ def _nw_last_row(a: np.ndarray, b: np.ndarray, scoring: Scoring,
     if _use_stripe(n, mp, scoring, nw=True, sub=sub):
         # transposed stripe fill: the bottom row of (a, b) is the right
         # column of (b, a), which the kernel exports for any length
-        # (padded a-rows sit below the real rows and cannot affect them)
-        fn = _cached("block", n, mp, scoring, local=False,
+        # (padded a-rows sit below the real rows and cannot affect them);
+        # the substitution table transposes with the operand roles
+        subt = None if sub is None else np.asarray(sub).T
+        fn = _cached("block", n, mp, scoring, sub=subt, local=False,
                      want_bottom=False)
         _, _, _, _, _, right = fn(jnp.asarray(b), jnp.asarray(a_pad),
                                   jnp.asarray(left), jnp.asarray(top))
@@ -391,8 +409,10 @@ def _nw_last_rows_affine(a: np.ndarray, b: np.ndarray, scoring: Scoring,
         # column of (b, a), and transposition swaps the Gotoh states —
         # transposed E (horizontal, consumes b chars) IS the original F,
         # so right_e of the transposed fill is the original bottom_f.
-        # Boundaries swap accordingly (top<->left, top_f<->left_e).
-        fn = _cached("block", n, mp, scoring, local=False,
+        # Boundaries swap accordingly (top<->left, top_f<->left_e);
+        # the substitution table transposes with the operand roles.
+        subt = None if sub is None else np.asarray(sub).T
+        fn = _cached("block", n, mp, scoring, sub=subt, local=False,
                      want_bottom=False)
         negf = jnp.full((n + 1,), _NEG, jnp.int32)
         nege = jnp.full((mp + 1,), _NEG, jnp.int32)
@@ -504,25 +524,37 @@ def hirschberg(a: np.ndarray, b: np.ndarray, scoring: Scoring = Scoring(),
     return loc.score, loc, ra, rb
 
 
-def _stripe_window_walk(sub_a, sub_b, wn, wm, scoring):
+def _stripe_window_walk(sub_a, sub_b, wn, wm, scoring, sub=None):
     """LOCAL P-capture refill on the stripe kernel + an ON-DEVICE walk of
     the predecessor chain (full Gotoh state machine for affine P). The P
     tensor (O(window) int32) never leaves the chip — only the O(path) move
     sequence does. The window's bottom-right corner is the located end
     cell, so walking from there reproduces an optimal path; the zero-floor
-    NONE stop is the located start."""
+    NONE stop is the located start. ``sub``: optional substitution table
+    (protein windows refill on the same profile kernel)."""
     import jax
     from jax import lax
     from ..kernels import pallas_fill as pf
 
     T, R, _ = pf._resolve_params(wm, wn, None, None, scoring,
                                  return_p=True, CB=1)
-    pf._check_packing(wm, wn, R, scoring)
+    nsym = npack = 0
+    if sub is None:
+        pf._check_packing(wm, wn, R, scoring)
     ap, bt, S = pf._build_inputs(sub_a, sub_b, T, pf.DEFAULT_CHUNK, R)
+    if sub is not None:
+        sub32 = np.asarray(sub, np.int32)
+        if pf._pack_fits(sub32):
+            npack = -(-sub32.shape[0] // 4)
+            bt = pf._build_profile_packed(bt, sub32)
+        else:
+            nsym = sub32.shape[0]
+            bt = pf._build_profile(bt, sub32)
     interp = pf._interpret_default()
     outs = pf._stripe_call(
         jnp.asarray(ap), jnp.asarray(bt), scoring=scoring, T=T, R=R,
         C=pf.DEFAULT_CHUNK, m=wm, n=wn, return_p=True, interpret=interp,
+        nsym=nsym, npack=npack,
         unroll=pf._auto_unroll(pf.DEFAULT_CHUNK, interp))
     pdev = outs[2]                 # (S, steps_pad, CB, R, sub, 128) device
 
@@ -625,8 +657,9 @@ def walk_from_end(a: np.ndarray, b: np.ndarray, scoring: Scoring,
     O(end_i * end_j) memory — the caller gates on the window budget."""
     sub_a = np.asarray(a[:end_j])
     sub_b = np.asarray(b[:end_i])
-    if sub is None and _use_stripe(end_j, end_i, scoring):
-        ca, cb = _stripe_window_walk(sub_a, sub_b, end_i, end_j, scoring)
+    if _use_stripe(end_j, end_i, scoring, sub=sub):
+        ca, cb = _stripe_window_walk(sub_a, sub_b, end_i, end_j, scoring,
+                                     sub=sub)
     else:
         ca, cb = _scan_window_walk(sub_a, sub_b, end_i, end_j, scoring,
                                    sub=sub)
@@ -681,7 +714,8 @@ def windowed(a: np.ndarray, b: np.ndarray, scoring: Scoring = Scoring(),
     sub_a = np.asarray(a[loc.start_j - 1: loc.end_j])
     sub_b = np.asarray(b[loc.start_i - 1: loc.end_i])
     if use_stripe:
-        ca, cb = _stripe_window_walk(sub_a, sub_b, wn, wm, scoring)
+        ca, cb = _stripe_window_walk(sub_a, sub_b, wn, wm, scoring,
+                                     sub=sub)
     else:
         ca, cb = _scan_window_walk(sub_a, sub_b, wn, wm, scoring, sub=sub)
     ra, rb = _render(ca, cb, alphabet)
