@@ -148,6 +148,18 @@ def bench_protein():
     sc = Scoring(mode="affine", gap_open=-11, gap_extend=-1)
     T, R, CB = pf.choose_params(M, N, affine=True)
     C = pf.DEFAULT_CHUNK
+    # scoring-aware tuned entry (the affine+BLOSUM champion differs from
+    # the linear one; scripts/tpu_round3.py sweeps and persists it)
+    from swtpu.dispatch.autotune import scoring_sig
+    from swtpu.dispatch.plan import _tuned_policy
+    pol = _tuned_policy()
+    if pol is not None:
+        e = pol.choose_near(M, N, sig=scoring_sig(sc, BLOSUM62))
+        if e and e.get("plan") == "stripe" and e.get("T"):
+            T, R = e["T"], e.get("R") or R
+            CB = e.get("CB") or CB
+            T = min(-(-T // (128 * R)) * 128 * R,
+                    -(-N // (128 * R)) * 128 * R)
     ap, bt, _ = pf._build_inputs(a, b, T, C, R, CB)
     btp = pf._build_profile_packed(bt, np.asarray(BLOSUM62, np.int32))
     apj, btj = jnp.asarray(ap), jnp.asarray(btp)
@@ -157,6 +169,27 @@ def bench_protein():
     np.asarray(pf._stripe_call(apj, btj, **kw)[0])
     best = _time_min(lambda: pf._stripe_call(apj, btj, **kw)[0])
     return round(M * N / best / 1e9, 1)
+
+
+def bench_pairs_small():
+    """Capability extra: many-small-pairs effective GCUPS (the <~4k^2
+    regime where the ~6 ms per-call dispatch floor buries any single-pair
+    rate — sweep_square_r2.jsonl measured 0.18 GCUPS @1056^2). The
+    pair-grid kernel scores a whole batch in ONE dispatch, so the floor
+    amortizes across B pairs — the framework's documented answer for
+    small problems (dispatch routes batches here; see
+    dist/batch.batch_score)."""
+    from swtpu import Scoring
+    from swtpu.core.encode import random_batch
+    from swtpu.kernels.pallas_fill import pairs_score_fn
+
+    B, mp = 64, 1056
+    a, b = random_batch(B, mp, mp, seed=0)
+    aj, bj = jnp.asarray(a), jnp.asarray(b)
+    fn = pairs_score_fn(B, mp, mp)
+    np.asarray(fn(aj, bj)[0])
+    best = _time_min(lambda: fn(aj, bj)[0])
+    return round(B * mp * mp / best / 1e9, 1)
 
 
 def _time_min(call, k=K, reps=3):
@@ -197,6 +230,11 @@ def main():
             details["gcups_protein_blosum62_affine"] = bench_protein()
         except Exception as e:
             details["gcups_protein_blosum62_affine"] = \
+                f"failed: {type(e).__name__}"
+        try:
+            details["gcups_pairs64_1056sq_effective"] = bench_pairs_small()
+        except Exception as e:
+            details["gcups_pairs64_1056sq_effective"] = \
                 f"failed: {type(e).__name__}"
     print(json.dumps({
         "metric": "single_chip_fill_GCUPS",

@@ -58,6 +58,58 @@ class ExecPlan:
 
 _policy_cache = {"loaded": False, "policy": None}
 
+# Pipeline-tier profit projection constants. The per-stage overhead charges
+# the halo ppermute + stage-loop bookkeeping in the cost model's cycle
+# units (~ICI round-trip, small vs any real block fill); the margin
+# requires a clearly-better projection before leaving the measured
+# single-chip path, because multi-chip rates cannot be measured in a
+# single-chip environment (documented projection, not measurement —
+# correctness of the pipeline itself is CPU-mesh-tested).
+PIPE_STAGE_OVERHEAD = 50_000.0
+PIPE_MIN_SPEEDUP = 1.5
+
+
+def local_tpu_devices() -> int:
+    """Number of attached TPU chips this process could mesh over."""
+    try:
+        return len([d for d in jax.devices() if d.platform == "tpu"])
+    except Exception:
+        return 1
+
+
+def pipeline_projection(m: int, n: int, D: int,
+                        scoring: Optional[Scoring] = None,
+                        block_rows: Optional[int] = None) -> tuple:
+    """(projected speedup, best block_rows) of the D-chip
+    sequence-parallel pipeline over the single-chip stripe kernel, from
+    the measured per-step cost model
+    (kernels.pallas_fill.choose_params_cost): stages x per-stage block
+    cost (+ overhead) vs one whole-matrix fill, maximized over the
+    block-row grid. The v7 analog gated the GPU tier by measured benefit
+    (omp_smithW-v7-adaptive.cpp:106-107,328-397); here the benefit is
+    projected because only one chip is attachable at tuning time. The
+    model says what the measured numbers say: below ~10^5-wide problems
+    a single max-T stripe already amortizes the whole wavefront (the
+    serial chain is per-step, lane-count-free), so the mesh only wins
+    once the vector-throughput term binds — mega-matrices."""
+    from ..kernels.pallas_fill import choose_params_cost
+    if D < 2:
+        return 0.0, 0
+    affine = scoring.is_affine if scoring is not None else False
+    single = choose_params_cost(m, n, affine=affine)[3]
+    mc = max(m // D, 1)
+    cands = (block_rows,) if block_rows else (4096, 16384, 65536, 131072)
+    best, best_br = 0.0, 0
+    for br in cands:
+        br = min(br, n)
+        nblocks = -(-n // br)
+        stage_cost = choose_params_cost(mc, br, affine=affine)[3] \
+            + PIPE_STAGE_OVERHEAD
+        speedup = single / ((nblocks + D - 1) * stage_cost)
+        if speedup > best:
+            best, best_br = speedup, br
+    return best, best_br
+
 
 def _tuned_policy(create: bool = False):
     """Lazily load the persisted autotune table (the Apollo analog): the
@@ -134,6 +186,13 @@ def choose_exec(m: int, n: int, config: EngineConfig = EngineConfig(),
               else _penalties_negative(scoring))
         if not ok:
             return ExecPlan("scan")
+    # profit-gated pipeline tier BELOW the width cap (the v7 benefit
+    # gate): with D >= 2 attached chips and a projected >= PIPE_MIN_SPEEDUP
+    # from the cost model, the mesh wins even though one kernel would fit
+    D = local_tpu_devices()
+    if D >= 2 \
+            and pipeline_projection(m, n, D, scoring)[0] >= PIPE_MIN_SPEEDUP:
+        return ExecPlan("pipeline", source="projected")
     pol = _tuned_policy()
     if pol is not None:
         from .autotune import scoring_sig

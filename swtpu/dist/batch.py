@@ -67,16 +67,36 @@ def _use_pairs_kernel(scoring: Scoring, band, m: int, n: int,
 
 def batch_score(a_batch, b_batch, scoring: Scoring = Scoring(),
                 band: Optional[int] = None, plan: str = "auto",
-                interpret: Optional[bool] = None) -> BatchHits:
-    """Single-device batched scoring.
+                interpret: Optional[bool] = None,
+                mesh: Optional[Mesh] = None) -> BatchHits:
+    """Single-device batched scoring (or, with ``mesh``, the bubble-filled
+    multi-chip pipeline for pairs too wide for one chip).
 
     On TPU (linear or affine, no band) every shard runs ONE Pallas program
     with a pair grid dimension (kernels.pallas_fill.pairs_score_fn);
-    elsewhere, the vmapped XLA scan."""
-    a_batch = jnp.asarray(a_batch)
-    b_batch = jnp.asarray(b_batch)
+    elsewhere, the vmapped XLA scan. Pairs wider than the single-kernel
+    cap (or an explicit plan='pipeline' with a mesh) stream through
+    dist.pipeline.pipeline_align_batch — the wavefront ramp bubble
+    amortizes over the whole batch."""
+    from ..kernels.pallas_fill import MAX_WIDTH
     B, m = a_batch.shape
     n = b_batch.shape[1]
+    if mesh is not None and band is None \
+            and (m > MAX_WIDTH or plan == "pipeline"):
+        # host-level routing (never under a trace: mesh dispatch happens
+        # before any shard_map)
+        import numpy as np
+        from ..dispatch.plan import pipeline_projection
+        from .pipeline import pipeline_align_batch
+        axis = list(mesh.shape.keys())[0]
+        _, br = pipeline_projection(m, n, mesh.shape[axis], scoring)
+        res = pipeline_align_batch(np.asarray(a_batch),
+                                   np.asarray(b_batch), mesh,
+                                   block_rows=br or 512, scoring=scoring,
+                                   axis=axis)
+        return BatchHits(res.scores, res.max_i, res.max_j)
+    a_batch = jnp.asarray(a_batch)
+    b_batch = jnp.asarray(b_batch)
     if _use_pairs_kernel(scoring, band, m, n, plan, interpret):
         from ..kernels.pallas_fill import pairs_score_fn
         key = (B, m, n, scoring, interpret)

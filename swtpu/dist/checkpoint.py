@@ -2,11 +2,16 @@
 
 The reference has no checkpointing (SURVEY.md §5 — its longest run is
 ~260 s). A 10^6 x 10^6 pipeline run is hours; its live state is tiny and
-boundary-shaped, which the rolling-wavefront design makes natural: per
-device, one bottom row (m/D + 1 ints), one incoming halo column (R + 1
-ints), and the running best — O((m + n)/D) total. This module runs the
-pipeline in host-stepped segments, snapshotting that carry to an .npz
-between segments and resuming from any snapshot bit-exactly.
+boundary-shaped, which the rolling-wavefront design makes natural
+(rotated-cuda/sw-rotated-cuda-unified.cu:225-241): per device, one bottom
+row (m/D + 1 ints), one incoming halo column (R + 1 ints), the affine
+F/E companions, and the running best — O((m + n)/D) total. This module
+runs THE live pipeline stage (dist/pipeline._make_stage — one stage
+implementation, not a re-implementation that drifts) in host-stepped
+segments, snapshotting that carry to an .npz between segments and
+resuming from any snapshot bit-exactly. Block fills are the same
+`_make_block` the live pipeline uses: the Pallas stripe (profile) kernel
+on TPU meshes, linear/affine/substitution alike.
 """
 
 from __future__ import annotations
@@ -22,8 +27,9 @@ from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..core.config import Scoring
-from ..kernels.scan_fill import scan_fill
-from .pipeline import PipelineResult
+from .pipeline import PipelineResult, _make_block, _make_stage
+
+_KEYS = ["bottom", "bottom_f", "left", "left_e", "bs", "bi", "bj", "last"]
 
 
 @dataclasses.dataclass
@@ -41,6 +47,10 @@ class ResumablePipeline:
         carry, seg = rp.load("ckpt.npz")
         ...
         result = rp.finish(carry)
+
+    Results bit-match `pipeline_align` on the same mesh for linear AND
+    affine (and substitution) scoring — the carry IS the live pipeline's
+    stage carry.
     """
 
     mesh: Mesh
@@ -50,6 +60,8 @@ class ResumablePipeline:
     scoring: Scoring = Scoring()
     axis: str = "seq"
     stages_per_segment: int = 8
+    block_fill: str = "auto"
+    substitution: Optional[np.ndarray] = None
 
     def __post_init__(self):
         D = self.mesh.shape[self.axis]
@@ -68,78 +80,66 @@ class ResumablePipeline:
         return NamedSharding(self.mesh, P(self.axis))
 
     def init(self) -> dict:
+        """Fresh carry: one stage-loop init per device (the same
+        _carry0 the live pipeline starts from)."""
         D, mc, R = self.D, self.mc, self.R
         sh = self._sharding()
-        z = lambda shape: jax.device_put(np.zeros(shape, np.int32), sh)
+        NEGB = -(1 << 30)
+        z = lambda shape, fill=0: jax.device_put(
+            np.full(shape, fill, np.int32), sh)
         return {
             "bottom": z((D, mc + 1)),
+            "bottom_f": z((D, mc + 1), NEGB),
             "left": z((D, R + 1)),
+            "left_e": z((D, R + 1), NEGB),
             "bs": z((D,)), "bi": z((D,)), "bj": z((D,)), "last": z((D,)),
         }
 
     def _build_segment(self):
         mc, R, D = self.mc, self.R, self.D
         nblocks = self.nblocks
-        scoring = self.scoring
         axis = self.axis
         perm = [(i, i + 1) for i in range(D - 1)]
         K = self.stages_per_segment
+        affine = self.scoring.is_affine
+        block = _make_block(self.mesh, mc, R, self.scoring,
+                            self.block_fill, is_local=True,
+                            substitution=self.substitution)
+        stage = _make_stage(D=D, mc=mc, R=R, nblocks=nblocks, npb=nblocks,
+                            axis=axis, perm=perm, block=block,
+                            affine=affine, is_local=True)
 
-        def local(a_shard, b_full, bottom, left, bs, bi, bj, last, t0):
+        def local(a_shard, b_full, bottom, bottom_f, left, left_e,
+                  bs, bi, bj, last, t0):
             d = lax.axis_index(axis)
             a_shard = a_shard[0]
-            bottom, left = bottom[0], left[0]
-            bs, bi, bj, last = bs[0], bi[0], bj[0], last[0]
+            carry = (bottom[0], bottom_f[0], left[0], left_e[0],
+                     bs, bi, bj, last)      # best regs stay (1,) = per-pair
 
-            def stage(k, carry):
-                bottom, left, bs, bi, bj, last = carry
-                t = t0 + k
-                r = t - d
-                active = (r >= 0) & (r < nblocks)
-                rc_i = jnp.clip(r, 0, nblocks - 1)
-                b_block = lax.dynamic_slice(b_full, (rc_i * R,), (R,))
-                out = scan_fill(a_shard, b_block, scoring=scoring,
-                                top_row=bottom, left_col=left)
-                gi = rc_i * R + out.max_i
-                gj = d * mc + out.max_j
-                has = active & (out.max_score > 0)
-                upd = ((out.max_score > bs) & has) | (
-                    (out.max_score == bs) & has &
-                    ((gi < bi) | ((gi == bi) & (gj < bj))))
-                bs = jnp.where(upd, out.max_score, bs)
-                bi = jnp.where(upd, gi, bi)
-                bj = jnp.where(upd, gj, bj)
-                last = jnp.where(active & (rc_i == nblocks - 1) & (d == D - 1),
-                                 out.bottom_row[mc], last)
-                bottom = jnp.where(active, out.bottom_row, bottom)
-                halo = jnp.where(active, out.right_col,
-                                 jnp.zeros_like(out.right_col))
-                left = lax.ppermute(halo, axis, perm) if perm else \
-                    jnp.zeros_like(halo)
-                return bottom, left, bs, bi, bj, last
-
-            bottom, left, bs, bi, bj, last = lax.fori_loop(
-                0, K, stage, (bottom, left, bs, bi, bj, last))
+            carry = lax.fori_loop(
+                0, K,
+                lambda k, c: stage(t0 + k, c, d, b_full,
+                                   lambda pid: a_shard),
+                carry)
+            bottom, bottom_f, left, left_e, bs, bi, bj, last = carry
             exp = lambda x: x[None]
-            return (exp(bottom), exp(left), exp(bs), exp(bi), exp(bj),
-                    exp(last))
+            return (exp(bottom), exp(bottom_f), exp(left), exp(left_e),
+                    bs, bi, bj, last)
 
         pa = P(self.axis)
         fn = jax.shard_map(
             local, mesh=self.mesh,
-            in_specs=(pa, P(), pa, pa, pa, pa, pa, pa, P()),
-            out_specs=(pa, pa, pa, pa, pa, pa),
+            in_specs=(pa, P(), pa, pa, pa, pa, pa, pa, pa, pa, P()),
+            out_specs=(pa, pa, pa, pa, pa, pa, pa, pa),
             check_vma=False,
         )
         return jax.jit(fn)
 
     def segment(self, a_sharded, b_full, carry: dict, seg_idx: int) -> dict:
         t0 = jnp.int32(seg_idx * self.stages_per_segment)
-        out = self._seg_fn(a_sharded, b_full, carry["bottom"], carry["left"],
-                           carry["bs"], carry["bi"], carry["bj"],
-                           carry["last"], t0)
-        keys = ["bottom", "left", "bs", "bi", "bj", "last"]
-        return dict(zip(keys, out))
+        out = self._seg_fn(a_sharded, b_full, *(carry[k] for k in _KEYS),
+                           t0)
+        return dict(zip(_KEYS, out))
 
     def save(self, carry: dict, seg_idx: int, path: str) -> None:
         np.savez(path, seg=seg_idx,
@@ -148,8 +148,7 @@ class ResumablePipeline:
     def load(self, path: str) -> tuple[dict, int]:
         z = np.load(path)
         sh = self._sharding()
-        carry = {k: jax.device_put(z[k], sh)
-                 for k in ["bottom", "left", "bs", "bi", "bj", "last"]}
+        carry = {k: jax.device_put(z[k], sh) for k in _KEYS}
         return carry, int(z["seg"])
 
     def finish(self, carry: dict) -> PipelineResult:

@@ -39,11 +39,32 @@ def grid_mesh(data: int, seq: int, platform: Optional[str] = None) -> Mesh:
     return Mesh(np.array(devs[:need]).reshape(data, seq), ("data", "seq"))
 
 
-def initialize_multihost(**kwargs) -> None:
+def initialize_multihost(coordinator_address: Optional[str] = None,
+                         num_processes: Optional[int] = None,
+                         process_id: Optional[int] = None,
+                         **kwargs) -> None:
     """Multi-host entry point (jax.distributed.initialize passthrough).
 
-    On a pod slice each host calls this before building meshes; single-host
-    (and this dev environment) skips it. The reference has no analog —
-    it never runs distributed.
+    On a pod slice each host calls this before building meshes (after it,
+    ``jax.devices()`` spans every host and the mesh helpers above build
+    global meshes; collectives between co-located chips ride ICI, between
+    hosts DCN). Single-host (and this dev environment) skips it. On Cloud
+    TPU pods the three arguments are auto-detected from the environment
+    and may be omitted entirely::
+
+        # every host, before any jax computation:
+        from swtpu.dist.mesh import initialize_multihost, pipeline_mesh
+        initialize_multihost()                  # TPU pod: auto-detected
+        # or, explicitly (e.g. CPU/GPU clusters):
+        initialize_multihost(coordinator_address="host0:8476",
+                             num_processes=4, process_id=RANK)
+        mesh = pipeline_mesh()                  # now spans all hosts
+
+    The reference has no analog — it never runs distributed.
     """
-    jax.distributed.initialize(**kwargs)
+    explicit = {k: v for k, v in (("coordinator_address",
+                                   coordinator_address),
+                                  ("num_processes", num_processes),
+                                  ("process_id", process_id))
+                if v is not None}
+    jax.distributed.initialize(**explicit, **kwargs)

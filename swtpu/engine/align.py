@@ -316,10 +316,15 @@ def _pipeline_path(a_codes, b_codes, scoring, config, mesh, want_tb,
     from ..dist import pipeline as pl
     m, n = len(a_codes), len(b_codes)
     axis = list(mesh.shape.keys())[0]
+    # block rows from the same cost-model projection that gates the tier
+    # (the fixed 512 default wastes the mesh on mega-matrices)
+    from ..dispatch.plan import pipeline_projection
+    _, br = pipeline_projection(m, n, mesh.shape[axis], scoring)
+    bkw = {"block_rows": br} if br else {}
     try:
         if not want_tb:
             out = pl.pipeline_align(a_codes, b_codes, mesh, scoring=scoring,
-                                    axis=axis, substitution=sub_np)
+                                    axis=axis, substitution=sub_np, **bkw)
             res = Alignment(max_score=int(out.max_score),
                             max_i=int(out.max_i), max_j=int(out.max_j),
                             last_cell=int(out.last_cell))
@@ -327,7 +332,7 @@ def _pipeline_path(a_codes, b_codes, scoring, config, mesh, want_tb,
             got = pl.pipeline_traceback(a_codes, b_codes, mesh,
                                         scoring=scoring, axis=axis,
                                         alphabet=alphabet,
-                                        substitution=sub_np)
+                                        substitution=sub_np, **bkw)
             if got is None:
                 res = Alignment(max_score=0, max_i=0, max_j=0, last_cell=0)
             else:

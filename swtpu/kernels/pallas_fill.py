@@ -103,13 +103,15 @@ DEFAULT_CHUNK = 128
 DEFAULT_UNROLL = 32
 
 
-def choose_params(m: int, n: int, affine: bool = False,
-                  r_max: int = 32, sub_max: int = 128,
-                  t_cap: Optional[int] = None,
-                  cb_max: int = 4) -> tuple:
-    """Pick (T, R, CB) minimizing the modeled fill time. T = 128*SUB*R.
-    t_cap bounds the stripe height (the P-capture path needs CB*C*T*4
-    bytes of double-buffered VMEM for its output block)."""
+def choose_params_cost(m: int, n: int, affine: bool = False,
+                       r_max: int = 32, sub_max: int = 128,
+                       t_cap: Optional[int] = None,
+                       cb_max: int = 4) -> tuple:
+    """(T, R, CB, modeled_cost_cycles) minimizing the modeled fill time.
+    T = 128*SUB*R. t_cap bounds the stripe height (the P-capture path
+    needs CB*C*T*4 bytes of double-buffered VMEM for its output block).
+    The cost is in model cycles — meaningful only as a RATIO between
+    shapes (the dispatch projections divide two of them)."""
     per_row, per_step = _COST_AFF if affine else _COST_LIN
     best = (LANES, 1, 1)
     best_cost = None
@@ -133,7 +135,18 @@ def choose_params(m: int, n: int, affine: bool = False,
                 cost = steps * max(_CHAIN0 + _CHAINC * (CB - 1), _BETA * V)
                 if best_cost is None or cost < best_cost:
                     best_cost, best = cost, (T, R, CB)
-    return best
+    return best + (best_cost if best_cost is not None else float("inf"),)
+
+
+def choose_params(m: int, n: int, affine: bool = False,
+                  r_max: int = 32, sub_max: int = 128,
+                  t_cap: Optional[int] = None,
+                  cb_max: int = 4) -> tuple:
+    """Pick (T, R, CB) minimizing the modeled fill time (see
+    choose_params_cost)."""
+    return choose_params_cost(m, n, affine=affine, r_max=r_max,
+                              sub_max=sub_max, t_cap=t_cap,
+                              cb_max=cb_max)[:3]
 
 
 def _auto_unroll(C: int, interpret: bool) -> int:

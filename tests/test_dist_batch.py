@@ -101,3 +101,18 @@ def test_initialize_multihost_plumbing(monkeypatch):
                          num_processes=4, process_id=2)
     assert seen == {"coordinator_address": "10.0.0.1:1234",
                     "num_processes": 4, "process_id": 2}
+
+
+def test_initialize_multihost_autodetect(monkeypatch):
+    """Omitted arguments are NOT forwarded (TPU pods auto-detect them);
+    extra kwargs pass through."""
+    import jax
+    from swtpu.dist.mesh import initialize_multihost
+
+    calls = []
+    monkeypatch.setattr(jax.distributed, "initialize",
+                        lambda **kw: calls.append(kw))
+    initialize_multihost()
+    assert calls[-1] == {}
+    initialize_multihost(process_id=0, local_device_ids=[0])
+    assert calls[-1] == {"process_id": 0, "local_device_ids": [0]}
