@@ -38,6 +38,10 @@ def main(argv=None) -> int:
     ap.add_argument("--band", type=int, default=None, help="band half-width")
     ap.add_argument("--affine", action="store_true",
                     help="affine gaps (Gotoh) instead of linear")
+    ap.add_argument("--blosum62", action="store_true",
+                    help="protein mode: random 20-letter sequences scored "
+                         "with BLOSUM62 (use with --affine --gap-open -11 "
+                         "--gap-extend -1 for standard protein params)")
     ap.add_argument("--match", type=int, default=3)
     ap.add_argument("--mismatch", type=int, default=-3)
     ap.add_argument("--gap", type=int, default=-2)
@@ -61,10 +65,24 @@ def main(argv=None) -> int:
     if (args.m is not None and args.m <= 0) or (args.n is not None and args.n <= 0):
         ap.error("matrix sizes must be positive")
     use_builtin = args.m is None or args.n is None
+    sub = None
+    alphabet_kw = {}
+    if args.blosum62:
+        from .core.encode import PROTEIN_ALPHABET
+        from .core.substitution import BLOSUM62
+        sub = BLOSUM62
+        alphabet_kw = {"alphabet": PROTEIN_ALPHABET}
+        if use_builtin:
+            ap.error("--blosum62 needs explicit sizes (protein inputs)")
     if use_builtin:
         a, b = BUILTIN_A, BUILTIN_B
         m, n = len(a), len(b)
         print("Using built-in data for testing ...")
+    elif args.blosum62:
+        m, n = args.m, args.n
+        rng = np.random.default_rng(args.seed)
+        a = rng.integers(0, 20, m).astype(np.int8)
+        b = rng.integers(0, 20, n).astype(np.int8)
     else:
         m, n = args.m, args.n
         a, b = random_pair(m, n, seed=args.seed)
@@ -83,14 +101,16 @@ def main(argv=None) -> int:
     # the builtin example warms too — its "Elapsed time" would otherwise
     # read as a 40 s result for a 9x8 problem
     t0 = time.perf_counter()
-    align(a, b, scoring=scoring, config=config, plan=args.plan)
+    align(a, b, scoring=scoring, config=config, plan=args.plan,
+          substitution=sub, **alphabet_kw)
     print(f"(jit warmup: {time.perf_counter() - t0:.2f}s)")
 
     best = None
     res = None
     for rep in range(max(1, args.repeat)):
         t0 = time.perf_counter()
-        res = align(a, b, scoring=scoring, config=config, plan=args.plan)
+        res = align(a, b, scoring=scoring, config=config, plan=args.plan,
+                    substitution=sub, **alphabet_kw)
         dt = time.perf_counter() - t0
         best = dt if best is None else min(best, dt)
         print(f"Elapsed time for scoring matrix computation: {dt:.6f}  "
@@ -104,7 +124,8 @@ def main(argv=None) -> int:
             a_codes, b_codes = encode(a), encode(b)
         else:
             b_codes = b
-        rep = sanitize_stripe(a_codes, b_codes, scoring=scoring)
+        rep = sanitize_stripe(a_codes, b_codes, scoring=scoring,
+                              substitution=sub)
         print(f"Sanitizer: OK — {rep.valid_cells} cells bit-checked, "
               f"{rep.prestart_cells} pre-start, {rep.garbage_cells} "
               f"garbage slots verified (config {rep.config})")
@@ -116,7 +137,7 @@ def main(argv=None) -> int:
 
     if args.debug:
         r = align(a, b, scoring=scoring, config=config, plan=args.plan,
-                  return_matrices=True)
+                  substitution=sub, return_matrices=True, **alphabet_kw)
         print("\nSimilarity Matrix:")
         sys.stdout.write(format_matrix(r.H))
         print("\nPredecessor Matrix:")

@@ -42,27 +42,45 @@ class SanitizeReport:
 
 def sanitize_stripe(a: np.ndarray, b: np.ndarray,
                     scoring: Scoring = Scoring(),
-                    T=None, R=None, CB=None, C: int = 128) -> SanitizeReport:
+                    T=None, R=None, CB=None, C: int = 128,
+                    substitution=None) -> SanitizeReport:
     """Run the stripe kernel in interpret mode with full H capture and
     check every invariant of the unmasked fill. Raises SanitizeError on
-    the first violation; returns a coverage report otherwise."""
+    the first violation; returns a coverage report otherwise.
+    ``substitution``: optional score table — the profile modes (packed
+    int8 words / unpacked select tree) obey the same three invariants
+    (their sentinel rows supply the decaying inflow) and are checked
+    identically."""
     from ..core import oracle
     from ..kernels import pallas_fill as pf
 
     a = np.asarray(a, np.int8)
     b = np.asarray(b, np.int8)
     m, n = len(a), len(b)
+    nsym = npack = 0
+    if substitution is not None and CB is None \
+            and not pf._pack_fits(np.asarray(substitution)):
+        CB = 1
     T, R, CB = pf._resolve_params(m, n, T, R, scoring, CB=CB)
-    pf._check_packing(m, n, R, scoring, CB)
+    if substitution is None:
+        pf._check_packing(m, n, R, scoring, CB)
     ap, bt, S = pf._build_inputs(a, b, T, C, R, CB)
+    if substitution is not None:
+        sub32 = np.asarray(substitution, np.int32)
+        if pf._pack_fits(sub32):
+            npack = -(-sub32.shape[0] // 4)
+            bt = pf._build_profile_packed(bt, sub32)
+        else:
+            nsym = sub32.shape[0]
+            bt = pf._build_profile(bt, sub32)
     outs = pf._stripe_call(
         jnp.asarray(ap), jnp.asarray(bt), scoring=scoring, T=T, R=R, C=C,
         CB=CB, m=m, n=n, return_p=False, interpret=True, unroll=1,
-        debug_h=True)
+        nsym=nsym, npack=npack, debug_h=True)
     best = np.asarray(outs[0])
     dbg = np.asarray(outs[2])     # (S, steps_pad, CB, R, sub, LANES)
 
-    ref = oracle.fill(a, b, scoring)
+    ref = oracle.fill(a, b, scoring, sub=substitution)
     Sn, steps_pad, CBn, Rn, sub, LN = dbg.shape
     L = sub * LN
 

@@ -62,3 +62,32 @@ def test_sanitizer_champion_config_class():
     rep = sanitize_stripe(a, b, T=4096, R=32, CB=4)
     assert rep.valid_cells == 90 * 8192
     assert rep.config[:3] == (4096, 32, 4)
+
+
+def test_sanitizer_substitution_profiles():
+    """The profile modes (packed int8 + unpacked tree) obey the same
+    three structural invariants; the sanitizer checks them with a
+    substitution oracle (round 3: scoring hook is plan-universal)."""
+    from swtpu.core.substitution import BLOSUM62
+
+    rng = np.random.default_rng(8)
+    a = rng.integers(0, 20, 70).astype(np.int8)
+    b = rng.integers(0, 20, 300).astype(np.int8)
+    b[40:90] = a[10:60]
+    rep = sanitize_stripe(a, b, scoring=Scoring(gap=-4),
+                          substitution=BLOSUM62, T=256, R=2)
+    assert rep.valid_cells == 70 * 300
+    # unpacked select tree (scores beyond int8)
+    S = (rng.integers(-5, 6, (6, 6)) * 50).astype(np.int32)
+    np.fill_diagonal(S, 200)
+    a2 = rng.integers(0, 6, 60).astype(np.int8)
+    b2 = rng.integers(0, 6, 256).astype(np.int8)
+    rep2 = sanitize_stripe(a2, b2, scoring=Scoring(gap=-60),
+                           substitution=S, T=256, R=2)
+    assert rep2.valid_cells == 60 * 256
+    # affine + profile
+    rep3 = sanitize_stripe(a, b,
+                           scoring=Scoring(mode="affine", gap_open=-11,
+                                           gap_extend=-1),
+                           substitution=BLOSUM62, T=256, R=2)
+    assert rep3.valid_cells == 70 * 300
