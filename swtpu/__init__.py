@@ -23,8 +23,9 @@ from .core.config import (
 )
 from .core.encode import decode, encode, random_batch, random_pair
 from .engine.align import Alignment, align, score
+from .engine.traceback import AnchoredReverseMismatch
 
-__version__ = "0.2.0"
+__version__ = "0.3.0"
 
 
 def sanitize(a, b, **kw):
@@ -36,6 +37,7 @@ def sanitize(a, b, **kw):
 
 __all__ = [
     "align", "score", "sanitize", "Alignment", "Scoring", "EngineConfig",
+    "AnchoredReverseMismatch",
     "encode", "decode", "random_pair", "random_batch",
     "NONE", "UP", "LEFT", "DIAGONAL", "PATH",
     "BUILTIN_A", "BUILTIN_B", "BUILTIN_MAX_SCORE", "BUILTIN_MAX_POS",

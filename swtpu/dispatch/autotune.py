@@ -145,7 +145,7 @@ def sweep(sizes=(512, 2048, 8192, 25632),
         dt = _time_scan(m, n, scoring=scoring, substitution=substitution)
         rows.append({"plan": "scan", "T": None, "R": None, "CB": None,
                      "C": None, "unroll": None, "s": dt,
-                     "gcups": gcups(m * n, dt)})
+                     "gcups": gcups(m * n, dt), "kind": "sweep"})
         tried = set()
         for R in r_candidates:
             Tc, _, _ = choose_params(m, n, r_max=R, cb_max=1,
@@ -166,7 +166,8 @@ def sweep(sizes=(512, 2048, 8192, 25632),
                             continue
                         rows.append({"plan": "stripe", "T": Tc, "R": R,
                                      "CB": CB, "C": C, "unroll": U, "s": dt,
-                                     "gcups": gcups(m * n, dt)})
+                                     "gcups": gcups(m * n, dt),
+                                     "kind": "sweep"})
         best = max(rows, key=lambda r: r["gcups"])
         table["entries"].append({"m": m, "n": n, "sig": sig, "best": best,
                                  "all": rows})
