@@ -125,6 +125,8 @@ def protein_lean_traceback(results):
     from swtpu.core.substitution import BLOSUM62
     from swtpu.engine import traceback as tb
 
+    from swtpu.core.encode import PROTEIN_ALPHABET
+
     sc = Scoring(mode="affine", gap_open=-11, gap_extend=-1)
     n = m = 12800
     rng = np.random.default_rng(0)
@@ -132,11 +134,11 @@ def protein_lean_traceback(results):
     b = rng.integers(0, 20, n).astype(np.int8)
     b[100:m - 100] = a[100:m - 100]     # long homology => mega window
     t0 = time.perf_counter()
-    got = tb.windowed(a, b, sc, sub=BLOSUM62)
+    got = tb.windowed(a, b, sc, sub=BLOSUM62, alphabet=PROTEIN_ALPHABET)
     cold = time.perf_counter() - t0
     assert got is not None
     t0 = time.perf_counter()
-    got = tb.windowed(a, b, sc, sub=BLOSUM62)
+    got = tb.windowed(a, b, sc, sub=BLOSUM62, alphabet=PROTEIN_ALPHABET)
     warm = time.perf_counter() - t0
     score = got[0]
     results["protein_lean_traceback"] = {
@@ -190,14 +192,18 @@ def main():
     if not probe():
         print("tunnel unhealthy; aborting (rerun later)", flush=True)
         sys.exit(2)
-    results = {"date": time.strftime("%Y-%m-%d %H:%M"),
-               "cache_dir": _CACHE}
+    only = set(sys.argv[1:])
+    results = {}
+    if only and os.path.exists(OUT):
+        with open(OUT) as f:
+            results = json.load(f)      # rerun mode: merge into prior results
+    results.update({"date": time.strftime("%Y-%m-%d %H:%M"),
+                    "cache_dir": _CACHE})
     steps = [("compile_study", compile_study),
              ("headline", headline),
              ("pairs_small", pairs_small),
              ("protein_lean_traceback", protein_lean_traceback),
              ("scoring_sweeps", scoring_sweeps)]
-    only = set(sys.argv[1:])
     for name, fn in steps:
         if only and name not in only:
             continue
