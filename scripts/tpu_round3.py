@@ -119,6 +119,72 @@ def scoring_sweeps(results):
     print("merged tuned table ->", path, flush=True)
 
 
+def sweep_refresh(results):
+    """Refresh stale / missing tuned rows with healthy measurements.
+
+    The committed linear 25632^2 row (73.2 GCUPS) was measured through a
+    degraded tunnel — the compile study reproduces 101.3 for the same
+    config healthy — and the big-matrix affine/protein signatures have
+    no entries at all, so large protein pipelines dispatch on linear
+    rows. Stripe-only: at 65536^2 the scan plan costs minutes/dispatch
+    and never wins.
+    """
+    from swtpu import Scoring
+    from swtpu.core.substitution import BLOSUM62
+    from swtpu.dispatch import autotune
+    from swtpu.kernels.pallas_fill import LANES
+
+    lin = Scoring()
+    aff = Scoring(mode="affine", gap_open=-11, gap_extend=-1)
+    jobs = [  # (m, n, scoring, substitution, (T,R,CB,U) candidates)
+        (25632, 25632, lin, None,
+         ((28672, 32, 4, 32), (26624, 16, 2, 32))),
+        (65536, 65536, aff, None,
+         ((65536, 32, 4, 32), (65536, 16, 2, 32))),
+        (65536, 65536, aff, BLOSUM62,
+         ((65536, 32, 4, 32), (65536, 16, 2, 32))),
+    ]
+    table = {"entries": []}
+    out = []
+    for m, n, sc, sub, cands in jobs:
+        sig = autotune.scoring_sig(sc, sub)
+        rows = []
+        for T, R, CB, U in cands:
+            T = min(-(-T // (LANES * R)) * LANES * R,
+                    -(-n // (LANES * R)) * LANES * R)
+            try:
+                dt = autotune._time_stripe(m, n, T, 128, R=R, CB=CB,
+                                           unroll=U, scoring=sc,
+                                           substitution=sub)
+            except Exception as e:
+                print("sweep_refresh skip", sig, (T, R, CB, U), e,
+                      flush=True)
+                continue
+            rows.append({"plan": "stripe", "T": T, "R": R, "CB": CB,
+                         "C": 128, "unroll": U, "s": dt,
+                         "gcups": autotune.gcups(m * n, dt),
+                         "kind": "sweep"})
+            print(f"sweep_refresh {m}x{n} [{sig}] T={T} R={R} CB={CB} "
+                  f"U={U}: {rows[-1]['gcups']:.1f} GCUPS", flush=True)
+        if not rows:
+            continue
+        best = max(rows, key=lambda r: r["gcups"])
+        table["entries"].append({"m": m, "n": n, "sig": sig,
+                                 "best": best, "all": rows})
+        out.append({"m": m, "n": n, "sig": sig,
+                    "best_gcups": round(best["gcups"], 1),
+                    "best_cfg": (best["T"], best["R"], best["CB"],
+                                 best["unroll"])})
+    results["sweep_refresh"] = out
+
+    path = os.path.join(os.path.dirname(__file__), "..",
+                        "swtpu_tuned_v5e.json")
+    pol = autotune.Policy(autotune.load(path) or {"entries": []})
+    pol.merge(table)
+    autotune.save(pol.table, path)
+    print("merged tuned table ->", path, flush=True)
+
+
 def protein_lean_traceback(results):
     """Stripe-speed BLOSUM62+affine windowed traceback (VERDICT #1b)."""
     from swtpu import Scoring
@@ -203,7 +269,8 @@ def main():
              ("headline", headline),
              ("pairs_small", pairs_small),
              ("protein_lean_traceback", protein_lean_traceback),
-             ("scoring_sweeps", scoring_sweeps)]
+             ("scoring_sweeps", scoring_sweeps),
+             ("sweep_refresh", sweep_refresh)]
     for name, fn in steps:
         if only and name not in only:
             continue

@@ -36,8 +36,17 @@ class BestHit(NamedTuple):
     max_j: jax.Array       # () int32
 
 
-def _pair_fill(a, b, scoring, band):
-    out = scan_fill(a, b, scoring=scoring, band=band)
+def _sub_to_table(substitution):
+    """Embedded (A+3, A+3) device table for the scan plan, or None."""
+    if substitution is None:
+        return None
+    import numpy as np
+    from ..core.substitution import embed_sentinels
+    return jnp.asarray(embed_sentinels(np.asarray(substitution)))
+
+
+def _pair_fill(a, b, scoring, band, sub_table=None):
+    out = scan_fill(a, b, scoring=scoring, band=band, sub_table=sub_table)
     return out.max_score, out.max_i, out.max_j
 
 
@@ -45,7 +54,8 @@ _pairs_cache = {}
 
 
 def _use_pairs_kernel(scoring: Scoring, band, m: int, n: int,
-                      plan: str, interpret: Optional[bool]) -> bool:
+                      plan: str, interpret: Optional[bool],
+                      substitution=None) -> bool:
     if plan == "stripe":
         if band is not None:
             # pairs_score_fn has no banded mode; returning full-matrix
@@ -57,18 +67,21 @@ def _use_pairs_kernel(scoring: Scoring, band, m: int, n: int,
     if plan != "auto" or band is not None:
         return False
     from ..dispatch.plan import current_platform
-    from ..kernels.pallas_fill import _penalties_negative
+    from ..kernels.pallas_fill import _penalties_negative, _sub_gaps_ok
+    scoring_ok = (_sub_gaps_ok(scoring) if substitution is not None
+                  else _penalties_negative(scoring))
     # measured on v5e: the pair-grid kernel wins once each pair has enough
     # rows to fill lanes and enough cells to amortize its launch; thin or
     # tiny pairs stay on the vmapped scan
-    return (current_platform() == "tpu" and _penalties_negative(scoring)
+    return (current_platform() == "tpu" and scoring_ok
             and m >= 2 and n >= 512 and m * n >= (1 << 20))
 
 
 def batch_score(a_batch, b_batch, scoring: Scoring = Scoring(),
                 band: Optional[int] = None, plan: str = "auto",
                 interpret: Optional[bool] = None,
-                mesh: Optional[Mesh] = None) -> BatchHits:
+                mesh: Optional[Mesh] = None,
+                substitution=None) -> BatchHits:
     """Single-device batched scoring (or, with ``mesh``, the bubble-filled
     multi-chip pipeline for pairs too wide for one chip).
 
@@ -93,31 +106,39 @@ def batch_score(a_batch, b_batch, scoring: Scoring = Scoring(),
         res = pipeline_align_batch(np.asarray(a_batch),
                                    np.asarray(b_batch), mesh,
                                    block_rows=br or 512, scoring=scoring,
-                                   axis=axis)
+                                   axis=axis, substitution=substitution)
         return BatchHits(res.scores, res.max_i, res.max_j)
     a_batch = jnp.asarray(a_batch)
     b_batch = jnp.asarray(b_batch)
-    if _use_pairs_kernel(scoring, band, m, n, plan, interpret):
+    if _use_pairs_kernel(scoring, band, m, n, plan, interpret,
+                         substitution):
+        import numpy as np
         from ..kernels.pallas_fill import pairs_score_fn
-        key = (B, m, n, scoring, interpret)
+        sub_key = (None if substitution is None
+                   else np.asarray(substitution, np.int32).tobytes())
+        key = (B, m, n, scoring, interpret, sub_key)
         if key not in _pairs_cache:
             _pairs_cache[key] = pairs_score_fn(B, m, n, scoring=scoring,
-                                               interpret=interpret)
+                                               interpret=interpret,
+                                               substitution=substitution)
         s, i, j = _pairs_cache[key](a_batch, b_batch)
         return BatchHits(s, i, j)
     s, i, j = jax.vmap(
-        functools.partial(_pair_fill, scoring=scoring, band=band)
+        functools.partial(_pair_fill, scoring=scoring, band=band,
+                          sub_table=_sub_to_table(substitution))
     )(a_batch, b_batch)
     return BatchHits(s, i, j)
 
 
 def make_sharded_batch_scorer(mesh: Mesh, scoring: Scoring = Scoring(),
-                              band: Optional[int] = None, axis: str = "data"):
+                              band: Optional[int] = None, axis: str = "data",
+                              substitution=None):
     """Build a jitted scorer: (B, m) x (B, n) -> BatchHits, batch sharded
     over `axis`. B must divide evenly by the axis size (pad the batch)."""
 
     def local(a_shard, b_shard):
-        return batch_score(a_shard, b_shard, scoring, band)
+        return batch_score(a_shard, b_shard, scoring, band,
+                           substitution=substitution)
 
     sharded = jax.shard_map(
         local, mesh=mesh,
@@ -129,14 +150,16 @@ def make_sharded_batch_scorer(mesh: Mesh, scoring: Scoring = Scoring(),
 
 
 def make_best_hit_reducer(mesh: Mesh, scoring: Scoring = Scoring(),
-                          band: Optional[int] = None, axis: str = "data"):
+                          band: Optional[int] = None, axis: str = "data",
+                          substitution=None):
     """Build a jitted database-search reducer: returns only the global best
     hit (score, pair index, position), merged across devices with a packed
     lexicographic pmax — deterministic first-occurrence semantics matching
     the oracle's row-major rule extended to batch order."""
 
     def local(a_shard, b_shard):
-        hits = batch_score(a_shard, b_shard, scoring, band)
+        hits = batch_score(a_shard, b_shard, scoring, band,
+                           substitution=substitution)
         local_b = hits.scores.shape[0]
         base = lax.axis_index(axis) * local_b
         pair_ids = base + jnp.arange(local_b, dtype=jnp.int32)

@@ -980,20 +980,26 @@ def _pack_fits(table: np.ndarray) -> bool:
     return int(np.abs(table).max()) <= 127
 
 
-def _build_profile_packed(bt: np.ndarray, table: np.ndarray) -> np.ndarray:
-    """(S, R, sub, L) target codes -> (S, ceil(nsym/4), R, sub, L) int32
-    packed profile: byte k of word g holds S[4g+k, b] (two's complement);
-    sentinel target codes and padding symbols hold -128 so padded rows
-    mismatch strongly and decay (the NEG_SUB analog at int8 scale)."""
+def _packed_embed(table: np.ndarray) -> np.ndarray:
+    """(nsym, nsym) score table -> (ceil(nsym/4), nsym+4) int32 packed
+    embedding indexed by target code+4: byte k of word g holds
+    S[4g+k, b] (two's complement); sentinel target codes and padding
+    symbols hold -128 so padded rows mismatch strongly and decay (the
+    NEG_SUB analog at int8 scale)."""
     nsym = table.shape[0]
     ngroups = -(-nsym // 4)
     emb = np.full((4 * ngroups, nsym + 4), -128, np.int64)
     emb[:nsym, 4:] = np.asarray(table, np.int64)
-    prof = emb[:, bt + 4]                     # (4*ngroups, S, R, sub, L)
-    by = prof & 0xFF
+    by = emb & 0xFF
     packed = (by[0::4] | (by[1::4] << 8) | (by[2::4] << 16)
-              | (by[3::4] << 24))             # (ngroups, S, R, sub, L)
-    packed = packed.astype(np.uint32).view(np.int32)
+              | (by[3::4] << 24))             # (ngroups, nsym+4)
+    return packed.astype(np.uint32).view(np.int32)
+
+
+def _build_profile_packed(bt: np.ndarray, table: np.ndarray) -> np.ndarray:
+    """(S, R, sub, L) target codes -> (S, ceil(nsym/4), R, sub, L) int32
+    packed profile (see _packed_embed for the byte layout)."""
+    packed = _packed_embed(table)[:, bt + 4]  # (ngroups, S, R, sub, L)
     return np.ascontiguousarray(packed.transpose(1, 0, 2, 3, 4))
 
 
@@ -1642,7 +1648,8 @@ def pairs_score_fn(B: int, m: int, n: int,
                    T: Optional[int] = None, R: Optional[int] = None,
                    C: int = DEFAULT_CHUNK, CB: Optional[int] = None,
                    unroll: Optional[int] = None,
-                   interpret: Optional[bool] = None):
+                   interpret: Optional[bool] = None,
+                   substitution=None):
     """Jittable batched-pairs scorer: fn(a_batch (B, m), b_batch (B, n)) ->
     (scores, max_i, max_j), each (B,) int32.
 
@@ -1651,13 +1658,33 @@ def pairs_score_fn(B: int, m: int, n: int,
     pairs, and the per-stripe scratch state simply re-initializes at each
     pair's first (stripe, chunk). This is BASELINE config 3's data-parallel
     layout executed as one Pallas program per device shard instead of a
-    vmapped XLA scan."""
+    vmapped XLA scan. ``substitution`` enables protein/BLOSUM scoring via
+    per-pair query profiles built in-trace from the static embedding
+    (the reference's scoring hook runs in every strategy,
+    serial_smithW.c:251-256)."""
     if interpret is None:
         interpret = _interpret_default()
     if CB is None:
         CB = 1   # per-pair grids are small; the longer CB chain loses
     T, R, CB = _resolve_params(m, n, T, R, scoring, CB=CB)
-    _check_packing(m, n, R, scoring, CB)
+    nsym = npack = 0
+    prof_emb = None
+    if substitution is not None:
+        sub32 = np.asarray(substitution, np.int32)
+        hi = max(int(sub32.max()), 1) * min(m, n)
+        if hi * R * CB >= (1 << 30):
+            raise ValueError("score range too large for packed argmax")
+        if not _sub_gaps_ok(scoring):
+            raise ValueError("substitution mode needs negative gaps")
+        if _pack_fits(sub32):
+            npack = -(-sub32.shape[0] // 4)
+            prof_emb = _packed_embed(sub32)           # (npack, nsym+4)
+        else:
+            nsym = sub32.shape[0]
+            prof_emb = np.full((nsym, nsym + 4), NEG_SUB, np.int32)
+            prof_emb[:, 4:] = sub32
+    else:
+        _check_packing(m, n, R, scoring, CB)
     L = T // R
     sub_rows = L // LANES
     num_stripes = -(-n // T)
@@ -1668,7 +1695,8 @@ def pairs_score_fn(B: int, m: int, n: int,
         raise ValueError(f"C={C} must be a multiple of unroll={u}")
 
     kernel = _kernel(scoring, T, R, C, m, n, steps, num_chunks,
-                     return_p=False, unroll=u, pairs=True, CB=CB)
+                     return_p=False, unroll=u, pairs=True, CB=CB,
+                     nsym=nsym, npack=npack)
 
     out_shape = (
         jax.ShapeDtypeStruct((B, num_stripes, 8), jnp.int32),
@@ -1693,6 +1721,10 @@ def pairs_score_fn(B: int, m: int, n: int,
         pl.BlockSpec((1, 1, CB, num_chunks * C),
                      lambda p, s, c: (p, 0, 0, 0),
                      memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, nsym or npack, R, sub_rows, LANES),
+                     lambda p, s, c: (p, s, 0, 0, 0, 0),
+                     memory_space=pltpu.VMEM)     # query profile
+        if (nsym or npack) else
         pl.BlockSpec((1, 1, R, sub_rows, LANES),
                      lambda p, s, c: (p, s, 0, 0, 0),
                      memory_space=pltpu.VMEM),
@@ -1724,6 +1756,10 @@ def pairs_score_fn(B: int, m: int, n: int,
         bp = bp.at[:, :n].set(b_batch.astype(jnp.int32))
         bt = (bp.reshape(B, num_stripes, L, R).transpose(0, 1, 3, 2)
               .reshape(B, num_stripes, R, sub_rows, LANES))
+        if prof_emb is not None:
+            # in-trace profile gather from the static embedding:
+            # (G, B, S, R, sub, L) -> (B, S, G, R, sub, L)
+            bt = jnp.asarray(prof_emb)[:, bt + 4].transpose(1, 2, 0, 3, 4, 5)
         best, _rc = call(ap, bt)
         sc = best[:, :, 0]                       # (B, S)
         s_star = jnp.max(sc, axis=1)

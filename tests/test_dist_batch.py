@@ -87,6 +87,121 @@ def test_batch_score_stripe_plan_matches_scan():
                                   np.asarray(stripe.max_j))
 
 
+def _protein_batch(B, m, n, seed, overlap=True):
+    rng = np.random.default_rng(seed)
+    aa = rng.integers(0, 20, (B, m)).astype(np.int8)
+    bb = rng.integers(0, 20, (B, n)).astype(np.int8)
+    if overlap:       # plant homology so scores are non-trivial
+        k = min(m, n) // 2
+        bb[:, 5:5 + k] = aa[:, 3:3 + k]
+    return aa, bb
+
+
+def test_pairs_kernel_substitution_matches_oracle():
+    """Protein scoring through the pair-grid kernel: packed BLOSUM62
+    profile + affine gaps, bit-equal score AND argmax vs the oracle —
+    the reference's scoring hook runs in every strategy
+    (serial_smithW.c:251-256)."""
+    import jax.numpy as jnp
+    from swtpu.core.config import Scoring
+    from swtpu.core.substitution import BLOSUM62
+    from swtpu.kernels.pallas_fill import pairs_score_fn
+
+    B, m, n = 4, 60, 280
+    aa, bb = _protein_batch(B, m, n, seed=21)
+    sc = Scoring(mode="affine", gap_open=-11, gap_extend=-1)
+    fn = pairs_score_fn(B, m, n, scoring=sc, T=256, R=2, C=128,
+                        interpret=True, substitution=BLOSUM62)
+    s, i, j = fn(jnp.asarray(aa), jnp.asarray(bb))
+    for g in range(B):
+        ref = oracle.fill(aa[g], bb[g], sc, sub=BLOSUM62)
+        assert int(s[g]) == ref.max_score, g
+        if ref.max_score > 0:
+            assert (int(i[g]), int(j[g])) == ref.max_ij, g
+
+
+def test_pairs_kernel_unpacked_profile_matches_oracle():
+    """Tables with |score| > 127 fall back to the unpacked select tree —
+    same parity contract through the pairs grid."""
+    import jax.numpy as jnp
+    from swtpu.core.config import Scoring
+    from swtpu.kernels.pallas_fill import pairs_score_fn
+
+    rng = np.random.default_rng(22)
+    A = 6
+    big = rng.integers(-200, 201, (A, A)).astype(np.int32)
+    big = ((big + big.T) // 2).astype(np.int32)
+    np.fill_diagonal(big, np.abs(np.diag(big)) + 150)
+    B, m, n = 3, 48, 260
+    aa = rng.integers(0, A, (B, m)).astype(np.int8)
+    bb = rng.integers(0, A, (B, n)).astype(np.int8)
+    sc = Scoring(mode="affine", gap_open=-60, gap_extend=-8)
+    fn = pairs_score_fn(B, m, n, scoring=sc, T=256, R=2, C=128,
+                        interpret=True, substitution=big)
+    s, i, j = fn(jnp.asarray(aa), jnp.asarray(bb))
+    for g in range(B):
+        ref = oracle.fill(aa[g], bb[g], sc, sub=big)
+        assert int(s[g]) == ref.max_score, g
+        if ref.max_score > 0:
+            assert (int(i[g]), int(j[g])) == ref.max_ij, g
+
+
+def test_batch_score_substitution_scan_and_stripe_agree():
+    from swtpu.core.config import Scoring
+    from swtpu.core.substitution import BLOSUM62
+
+    B, m, n = 4, 64, 140
+    aa, bb = _protein_batch(B, m, n, seed=23)
+    sc = Scoring(mode="affine", gap_open=-11, gap_extend=-1)
+    scan = batch_score(aa, bb, sc, plan="scan", substitution=BLOSUM62)
+    stripe = batch_score(aa, bb, sc, plan="stripe", interpret=True,
+                         substitution=BLOSUM62)
+    np.testing.assert_array_equal(np.asarray(scan.scores),
+                                  np.asarray(stripe.scores))
+    np.testing.assert_array_equal(np.asarray(scan.max_i),
+                                  np.asarray(stripe.max_i))
+    np.testing.assert_array_equal(np.asarray(scan.max_j),
+                                  np.asarray(stripe.max_j))
+    for k in range(B):
+        ref = oracle.fill(aa[k], bb[k], sc, sub=BLOSUM62)
+        assert int(scan.scores[k]) == ref.max_score, k
+
+
+def test_sharded_batch_substitution(mesh):
+    """Protein batch sharded over the 8-device mesh matches the oracle —
+    the data-parallel strategy is scoring-universal too."""
+    from swtpu.core.config import Scoring
+    from swtpu.core.substitution import BLOSUM62
+
+    B, m, n = 16, 40, 36
+    aa, bb = _protein_batch(B, m, n, seed=24)
+    sc = Scoring(mode="affine", gap_open=-11, gap_extend=-1)
+    scorer = make_sharded_batch_scorer(mesh, sc, substitution=BLOSUM62)
+    hits = scorer(jax.numpy.asarray(aa), jax.numpy.asarray(bb))
+    for k in range(B):
+        ref = oracle.fill(aa[k], bb[k], sc, sub=BLOSUM62)
+        assert int(hits.scores[k]) == ref.max_score, k
+        assert (int(hits.max_i[k]), int(hits.max_j[k])) == ref.max_ij
+
+
+def test_best_hit_reducer_substitution(mesh):
+    from swtpu.core.config import Scoring
+    from swtpu.core.substitution import BLOSUM62
+
+    B, m, n = 16, 36, 30
+    aa, bb = _protein_batch(B, m, n, seed=25)
+    sc = Scoring(mode="affine", gap_open=-11, gap_extend=-1)
+    reducer = make_best_hit_reducer(mesh, sc, substitution=BLOSUM62)
+    best = reducer(jax.numpy.asarray(aa), jax.numpy.asarray(bb))
+    refs = [oracle.fill(aa[k], bb[k], sc, sub=BLOSUM62) for k in range(B)]
+    scores = [r.max_score for r in refs]
+    top = max(scores)
+    first = scores.index(top)
+    assert int(best.score) == top
+    assert int(best.pair) == first
+    assert (int(best.max_i), int(best.max_j)) == refs[first].max_ij
+
+
 def test_initialize_multihost_plumbing(monkeypatch):
     """Argument plumbing of the multi-host entry point (no pod slice in
     this environment — verified by interception, documented unverifiable
