@@ -104,6 +104,94 @@ long sw_traceback(const int8_t* P, long n1, long m1, long max_pos,
   return len;
 }
 
+// Serial DP fill — the reference's v0 tier (serial_smithW.c:141-244) as a
+// native dispatch backend for tiny problems, where a device dispatch costs
+// more than the whole fill. Exact oracle semantics: tie order
+// DIAGONAL(3) > UP(1) > LEFT(2) > NONE(0) via strict '>' chains, zero
+// floor, maxpos = FIRST row-major occurrence of the max (strict '>').
+// affine != 0 adds Gotoh E/F lanes (gap_open/gap_extend; linear mode reads
+// the gap penalty from gap_open) and ORs the E_EXT(4)/F_EXT(8)
+// tie-prefers-extension state bits into P, matching the Python oracle's
+// affine traceback contract. sub: optional nsym x nsym row-major table
+// s(a_code, b_code) replacing the match/mismatch compare; caller
+// guarantees codes in [0, nsym). H: (n+1)*(m+1) int32, P same in int8,
+// both fully written here. Returns the max score; *out_maxpos gets the
+// padded row-major index.
+int32_t sw_fill(const int8_t* a, const int8_t* b, long m, long n,
+                int affine, int match, int mismatch,
+                int gap_open, int gap_extend,
+                const int32_t* sub, int nsym,
+                int32_t* H, int8_t* P, long* out_maxpos) {
+  const long m1 = m + 1;
+  const int32_t NEG = -(1 << 30);
+  std::memset(H, 0, sizeof(int32_t) * m1 * (n + 1));
+  std::memset(P, 0, sizeof(int8_t) * m1 * (n + 1));
+  long maxpos = 0;
+  int32_t maxscore = 0;
+  if (!affine) {
+    const int32_t gap = gap_open;
+    for (long i = 1; i <= n; ++i) {
+      const int32_t* Hup = H + (i - 1) * m1;
+      int32_t* Hrow = H + i * m1;
+      int8_t* Prow = P + i * m1;
+      const int8_t bi = b[i - 1];
+      for (long j = 1; j <= m; ++j) {
+        const int32_t s =
+            sub ? sub[static_cast<long>(a[j - 1]) * nsym + bi]
+                : (a[j - 1] == bi ? match : mismatch);
+        const int32_t diag = Hup[j - 1] + s;
+        const int32_t up = Hup[j] + gap;
+        const int32_t left = Hrow[j - 1] + gap;
+        int32_t best = 0;
+        int8_t pred = 0;
+        if (diag > best) { best = diag; pred = 3; }
+        if (up > best) { best = up; pred = 1; }
+        if (left > best) { best = left; pred = 2; }
+        Hrow[j] = best;
+        Prow[j] = pred;
+        if (best > maxscore) { maxscore = best; maxpos = i * m1 + j; }
+      }
+    }
+  } else {
+    // Rolling F row: Frow[j] holds F[i-1][j] entering row i. Boundary
+    // per the oracle: F[0][j>=1] = NEG, F[*][0] = 0 (never read),
+    // E[0][*] = 0 (never read), E[i>=1][0] = NEG.
+    std::vector<int32_t> Frow(m1, NEG);
+    for (long i = 1; i <= n; ++i) {
+      const int32_t* Hup = H + (i - 1) * m1;
+      int32_t* Hrow = H + i * m1;
+      int8_t* Prow = P + i * m1;
+      const int8_t bi = b[i - 1];
+      int32_t e_prev = NEG;                    // E[i][j-1], starts at E[i][0]
+      for (long j = 1; j <= m; ++j) {
+        const int32_t s =
+            sub ? sub[static_cast<long>(a[j - 1]) * nsym + bi]
+                : (a[j - 1] == bi ? match : mismatch);
+        const int32_t e_open = Hrow[j - 1] + gap_open;
+        const int32_t e_ext = e_prev + gap_extend;
+        const int32_t e = e_open > e_ext ? e_open : e_ext;
+        const int32_t f_open = Hup[j] + gap_open;
+        const int32_t f_ext = Frow[j] + gap_extend;
+        const int32_t f = f_open > f_ext ? f_open : f_ext;
+        const int32_t diag = Hup[j - 1] + s;
+        int32_t best = 0;
+        int8_t pred = 0;
+        if (diag > best) { best = diag; pred = 3; }
+        if (f > best) { best = f; pred = 1; }
+        if (e > best) { best = e; pred = 2; }
+        Hrow[j] = best;
+        Prow[j] = static_cast<int8_t>(
+            pred | (e == e_ext ? 4 : 0) | (f == f_ext ? 8 : 0));
+        e_prev = e;
+        Frow[j] = f;
+        if (best > maxscore) { maxscore = best; maxpos = i * m1 + j; }
+      }
+    }
+  }
+  *out_maxpos = maxpos;
+  return maxscore;
+}
+
 // Reconstruct the aligned code strings (kGap = -1 for gaps) from P.
 // Returns alignment length; out arrays are written END-FIRST (caller
 // reverses), sized at most n1 + m1.

@@ -80,6 +80,14 @@ class EngineConfig:
     runtime instead of sed-rebuild.
     """
 
+    # tiny problems run the native serial fill ON HOST (csrc sw_fill —
+    # the reference's v0/serial tier as a dispatch backend,
+    # omp_smithW-v7-adaptive.cpp:304-314's "serial if small" analog): a
+    # device dispatch costs more than the whole fill below this size
+    # (measured: 64^2 native ~80 us vs >=200 us dispatch+fetch on a local
+    # chip, multi-ms through a tunnel — raise this for remote/tunneled
+    # deployments where the floor is larger).
+    host_max_cells: int = 1 << 13
     # lax.scan full-matrix fill is fastest below this many cells (compile
     # overhead amortization; the CUTOFF=1024 analog at a coarser granularity).
     # Measured on v5e: the stripe kernel wins from ~128^2 up (both are

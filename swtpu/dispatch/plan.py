@@ -47,7 +47,7 @@ class ExecPlan:
     `source` records whether a measured table or the static thresholds
     decided — the v8-vs-v7 distinction."""
 
-    plan: str                      # 'scan' | 'stripe' | 'pipeline'
+    plan: str                      # 'host' | 'scan' | 'stripe' | 'pipeline'
     T: Optional[int] = None
     R: Optional[int] = None
     CB: Optional[int] = None
@@ -177,6 +177,13 @@ def choose_exec(m: int, n: int, config: EngineConfig = EngineConfig(),
     cells = m * n
     if m > MAX_WIDTH:
         return ExecPlan("pipeline")
+    # serial host tier (the v7 "serial if small" branch,
+    # omp_smithW-v7-adaptive.cpp:304-314): below this size the native C
+    # fill finishes before a device dispatch would even return
+    if cells <= config.host_max_cells and config.band is None:
+        from ..runtime_native import available
+        if available():
+            return ExecPlan("host")
     if current_platform() != "tpu":
         return ExecPlan("scan")
     if scoring is not None:

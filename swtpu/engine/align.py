@@ -140,6 +140,34 @@ def align(
                 and stripe_fill_supported(m, n, want_tb, scoring)
                 else "scan")
 
+    # serial host tier: run the native C fill (csrc sw_fill, the v0
+    # serial strategy as a dispatch backend) — full H/P on host for free,
+    # so traceback and return_matrices need no device round-trip
+    if plan == "host":
+        ok = config.band is None
+        if ok and sub_np is not None:
+            nsym = sub_np.shape[0]
+            ok = bool((a_codes >= 0).all() and (a_codes < nsym).all()
+                      and (b_codes >= 0).all() and (b_codes < nsym).all())
+        if ok:
+            from .. import runtime_native as rn
+            out = rn.fill(a_codes, b_codes, scoring, sub_np)
+            bi, bj = out.max_ij
+            res = Alignment(
+                max_score=out.max_score, max_i=bi, max_j=bj,
+                last_cell=int(out.H[n, m]),
+                H=out.H if return_matrices else None,
+                P=out.P if return_matrices else None,
+            )
+            res._m1 = m + 1
+            if want_tb and out.max_score > 0:
+                res.path = oracle.backtrack(out.P, out.max_pos)
+                res.aligned_a, res.aligned_b = oracle.alignment_strings(
+                    a_codes, b_codes, out.P, out.max_pos,
+                    alphabet=alphabet)
+            return res
+        plan = "scan"      # band / out-of-range codes: device plans
+
     # memory-lean traceback path: skip P capture entirely, use
     # locate + windowed refill / Hirschberg (engine/traceback.py).
     # Banded problems always use the full-P path: the lean fills would

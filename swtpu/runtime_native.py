@@ -53,6 +53,13 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.sw_seqfile_read.restype = ctypes.c_long
     lib.sw_seqfile_read.argtypes = [ctypes.c_char_p, i8p, ctypes.c_long,
                                     lp, ctypes.c_long]
+    i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+    lib.sw_fill.restype = ctypes.c_int32
+    lib.sw_fill.argtypes = [i8p, i8p, ctypes.c_long, ctypes.c_long,
+                            ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                            ctypes.c_int, ctypes.c_int,
+                            ctypes.c_void_p, ctypes.c_int,
+                            i32p, i8p, ctypes.POINTER(ctypes.c_long)]
     _lib = lib
     return _lib
 
@@ -123,6 +130,44 @@ def alignment_strings(a: np.ndarray, b: np.ndarray, P: np.ndarray,
         return "".join("-" if c == -1 else alphabet[c]
                        for c in codes[:ln][::-1])
     return render(oa), render(ob)
+
+
+def fill(a: np.ndarray, b: np.ndarray, scoring=None, sub=None):
+    """Native serial DP fill — the reference's v0 tier as a host dispatch
+    backend (serial_smithW.c:141-244 semantics; exact oracle parity incl.
+    the Gotoh E_EXT/F_EXT state bits in affine mode). Returns an
+    ``oracle.OracleResult``. Falls back to the NumPy oracle when the
+    shared library isn't built. With ``sub``, codes must lie in
+    [0, nsym) — the caller checks."""
+    from .core.config import Scoring
+    from .core.oracle import OracleResult, fill as py_fill
+
+    if scoring is None:
+        scoring = Scoring()
+    lib = _load()
+    if lib is None:
+        return py_fill(a, b, scoring, sub)
+    a = np.ascontiguousarray(a, np.int8)
+    b = np.ascontiguousarray(b, np.int8)
+    m, n = len(a), len(b)
+    H = np.empty((n + 1, m + 1), np.int32)
+    P = np.empty((n + 1, m + 1), np.int8)
+    sub_ptr, nsym = None, 0
+    sub32 = None
+    if sub is not None:
+        sub32 = np.ascontiguousarray(sub, np.int32)
+        nsym = sub32.shape[0]
+        sub_ptr = sub32.ctypes.data_as(ctypes.c_void_p)
+    maxpos = ctypes.c_long(0)
+    if scoring.is_affine:
+        args = (1, int(scoring.match), int(scoring.mismatch),
+                int(scoring.gap_open), int(scoring.gap_extend))
+    else:
+        args = (0, int(scoring.match), int(scoring.mismatch),
+                int(scoring.gap), 0)
+    score = lib.sw_fill(a, b, m, n, *args, sub_ptr, nsym, H, P,
+                        ctypes.byref(maxpos))
+    return OracleResult(H, P, int(maxpos.value), int(score))
 
 
 def read_seqfile(path: str) -> list[np.ndarray]:

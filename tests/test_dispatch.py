@@ -63,8 +63,12 @@ def test_policy_far_gating(tmp_path, monkeypatch):
     assert pol.choose_near(64, 64) is None               # far in cells
     assert pol.choose_near(2000, 145002) is None         # far in aspect
     assert pol.choose_near(25632, 25632) is not None
-    # dispatch falls back to the size-threshold rule
-    assert planmod.choose_exec(64, 64).plan == "scan"
+    # dispatch falls back to the size-threshold rule: tiny problems take
+    # the native host tier (the v7 serial branch) when the lib is built,
+    # the scan plan otherwise
+    from swtpu.runtime_native import available
+    expect = "host" if available() else "scan"
+    assert planmod.choose_exec(64, 64).plan == expect
     assert planmod.choose_exec(64, 64).source == "threshold"
 
 

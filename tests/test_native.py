@@ -60,3 +60,83 @@ def test_fastq(tmp_path):
 def test_missing_file():
     with pytest.raises(FileNotFoundError):
         rn.read_seqfile("/nonexistent/path.fa")
+
+
+def test_native_fill_fuzz_vs_oracle():
+    """sw_fill is bit-equal to the oracle (H, P incl. Gotoh state bits,
+    first-occurrence maxpos) across linear/affine/alt-scoring/substitution
+    — it is the dispatchable v0 serial tier (serial_smithW.c:141-244)."""
+    from swtpu.core.config import Scoring
+    from swtpu.core.substitution import BLOSUM62
+
+    if not rn.available():
+        pytest.skip("native lib not built")
+    rng = np.random.default_rng(0)
+    modes = [(Scoring(), None),
+             (Scoring(match=5, mismatch=-3, gap=-4), None),
+             (Scoring(mode="affine", gap_open=-11, gap_extend=-1), None),
+             (Scoring(mode="affine", gap_open=-11, gap_extend=-1), BLOSUM62),
+             (Scoring(gap=-4), BLOSUM62)]
+    for trial in range(20):
+        sc, sub = modes[trial % len(modes)]
+        m, n = int(rng.integers(1, 70)), int(rng.integers(1, 70))
+        A = 20 if sub is not None else 4
+        a = rng.integers(0, A, m).astype(np.int8)
+        b = rng.integers(0, A, n).astype(np.int8)
+        got = rn.fill(a, b, sc, sub)
+        ref = oracle.fill_loop(a, b, sc, sub)
+        assert np.array_equal(got.H, ref.H), trial
+        assert np.array_equal(got.P, ref.P), trial
+        assert (got.max_pos, got.max_score) == (ref.max_pos,
+                                                ref.max_score), trial
+
+
+def test_host_plan_golden_and_traceback():
+    """align(plan='host') reproduces the golden 13/69/7 with the exact
+    alignment string — and dispatches there for tiny problems when the
+    native lib is available."""
+    import swtpu
+    from swtpu.core.config import EngineConfig
+
+    r = swtpu.align(swtpu.BUILTIN_A, swtpu.BUILTIN_B, plan="host",
+                    traceback=True)
+    assert (r.max_score, r.max_pos, r.last_cell) == (13, 69, 7)
+    assert (r.aligned_a, r.aligned_b) == ("GTT-AC", "GTTGAC")
+    rm = swtpu.align(swtpu.BUILTIN_A, swtpu.BUILTIN_B, plan="host",
+                     return_matrices=True)
+    assert rm.H is not None and rm.P is not None
+    assert int(rm.H[-1, -1]) == 7
+
+
+def test_host_plan_banded_falls_back():
+    """band is not supported by the host fill: dispatch must never route
+    banded problems there, and an explicit plan='host' degrades safely."""
+    import swtpu
+    from swtpu.core.config import EngineConfig
+    from swtpu.dispatch import plan as planmod
+
+    cfg = EngineConfig(band=2)
+    ep = planmod.choose_exec(32, 32, cfg)
+    assert ep.plan != "host"
+    a, b = random_pair(32, 32, seed=3)
+    got = swtpu.align(a, b, config=cfg, plan="host")
+    want = swtpu.align(a, b, config=cfg, plan="scan")
+    assert got.max_score == want.max_score
+    assert (got.max_i, got.max_j) == (want.max_i, want.max_j)
+
+
+def test_host_plan_substitution_guard():
+    """Out-of-range codes with a substitution table fall back to the
+    device plan instead of indexing garbage."""
+    import swtpu
+    from swtpu.core.config import Scoring
+    from swtpu.core.substitution import BLOSUM62
+
+    sc = Scoring(mode="affine", gap_open=-11, gap_extend=-1)
+    a = np.array([0, 5, 19, 25], np.int8)     # 25 out of range
+    b = np.array([0, 5, 19, 7], np.int8)
+    got = swtpu.align(a, b, sc, plan="host", substitution=BLOSUM62,
+                      alphabet=None if False else "ACDEFGHIKLMNPQRSTVWY")
+    want = swtpu.align(a, b, sc, plan="scan", substitution=BLOSUM62,
+                       alphabet="ACDEFGHIKLMNPQRSTVWY")
+    assert got.max_score == want.max_score
