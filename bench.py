@@ -192,6 +192,30 @@ def bench_pairs_small():
     return round(B * mp * mp / best / 1e9, 1)
 
 
+def bench_host_tiny():
+    """Capability extra: single tiny-problem latency through the native
+    host tier (csrc sw_fill; dispatch routes <= host_max_cells there) —
+    microseconds end-to-end where any device dispatch costs
+    milliseconds. Returns the 64^2 align() wall time in microseconds."""
+    import time
+
+    from swtpu import align
+    from swtpu.core.encode import random_pair
+    from swtpu.runtime_native import available
+
+    if not available():
+        return "native lib unavailable"
+    a, b = random_pair(64, 64, seed=0)
+    align(a, b)                                   # warm (lib load, codecs)
+    best = float("inf")
+    for _ in range(5):
+        t0 = time.perf_counter()
+        for _ in range(10):
+            align(a, b)
+        best = min(best, (time.perf_counter() - t0) / 10)
+    return round(best * 1e6, 1)
+
+
 def _time_min(call, k=K, reps=3):
     """min-of-reps x k back-to-back dispatches (the CLAUDE.md noisy-chip
     methodology, shared by the headline and every extra)."""
@@ -235,6 +259,11 @@ def main():
             details["gcups_pairs64_1056sq_effective"] = bench_pairs_small()
         except Exception as e:
             details["gcups_pairs64_1056sq_effective"] = \
+                f"failed: {type(e).__name__}"
+        try:
+            details["host_tier_64sq_latency_us"] = bench_host_tiny()
+        except Exception as e:
+            details["host_tier_64sq_latency_us"] = \
                 f"failed: {type(e).__name__}"
     print(json.dumps({
         "metric": "single_chip_fill_GCUPS",

@@ -29,7 +29,7 @@ def main(argv=None) -> int:
     ap.add_argument("n", nargs="?", type=int, default=None,
                     help="rows (length of b)")
     ap.add_argument("--plan", default=None,
-                    choices=["scan", "stripe", "pipeline", "auto"],
+                    choices=["host", "scan", "stripe", "pipeline", "auto"],
                     help="execution plan (default: adaptive dispatch)")
     ap.add_argument("--sanitize", action="store_true",
                     help="run the stripe-kernel structural sanitizer on "
