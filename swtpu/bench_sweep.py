@@ -40,6 +40,21 @@ def _grid(name: str, quick: bool):
 def _time_plan(plan, m, n, repeats, k=5):
     from .core.encode import random_pair
     a, b = random_pair(m, n, seed=0)
+    if plan == "host":
+        # native serial tier: time the actual dispatched backend, not a
+        # device plan wearing its label
+        from . import runtime_native as rn
+        t0 = time.perf_counter()
+        out = rn.fill(a, b)                  # first call loads the lib
+        compile_s = time.perf_counter() - t0
+        score = int(out.max_score)
+        best = float("inf")
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            for _ in range(k):
+                rn.fill(a, b)
+            best = min(best, (time.perf_counter() - t0) / k)
+        return best, compile_s, score
     if plan == "stripe":
         from .kernels import pallas_fill as pf
         T, R, CB = pf.choose_params(m, n)

@@ -179,7 +179,9 @@ def choose_exec(m: int, n: int, config: EngineConfig = EngineConfig(),
         return ExecPlan("pipeline")
     # serial host tier (the v7 "serial if small" branch,
     # omp_smithW-v7-adaptive.cpp:304-314): below this size the native C
-    # fill finishes before a device dispatch would even return
+    # fill finishes before a device dispatch would even return. The very
+    # first available() of a process may build the library (~2 s,
+    # once per checkout); every later call is a cached-bool read.
     if cells <= config.host_max_cells and config.band is None:
         from ..runtime_native import available
         if available():

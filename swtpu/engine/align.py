@@ -161,10 +161,18 @@ def align(
             )
             res._m1 = m + 1
             if want_tb and out.max_score > 0:
-                res.path = oracle.backtrack(out.P, out.max_pos)
-                res.aligned_a, res.aligned_b = oracle.alignment_strings(
-                    a_codes, b_codes, out.P, out.max_pos,
-                    alphabet=alphabet)
+                if scoring.is_affine:
+                    # affine P carries Gotoh state bits only the Python
+                    # walker's state machine understands
+                    res.path = oracle.backtrack(out.P, out.max_pos)
+                    res.aligned_a, res.aligned_b = \
+                        oracle.alignment_strings(
+                            a_codes, b_codes, out.P, out.max_pos,
+                            alphabet=alphabet)
+                else:
+                    res.path = rn.traceback(out.P, out.max_pos)
+                    res.aligned_a, res.aligned_b = rn.alignment_strings(
+                        a_codes, b_codes, out.P, out.max_pos, alphabet)
             return res
         plan = "scan"      # band / out-of-range codes: device plans
 

@@ -198,8 +198,12 @@ def _kernel(scoring: Scoring, T: int, R: int, C: int, m: int, n: int,
             specialize_chunks: bool = False, npack: int = 0):
     L = T // R                       # lanes per stripe
     sub_rows = L // LANES
-    logR = R.bit_length() - 1        # R is a power of two
-    logCB = CB.bit_length() - 1      # CB too
+    if R & (R - 1):
+        # the packed argmax bit layout [score | R-1-r | CB-1-c] masks with
+        # R-1; a non-power-of-two would silently corrupt positions
+        raise ValueError(f"R must be a power of two, got {R}")
+    logR = R.bit_length() - 1
+    logCB = CB.bit_length() - 1      # CB checked by every caller
     match = int(scoring.match)
     mismatch = int(scoring.mismatch)
     affine = scoring.is_affine
@@ -1376,14 +1380,23 @@ def _sub_embed(substitution):
 
 
 def _profile_on_device(bt, emb, nsym: int, npack: int):
-    """(S, R, sub, L) device target codes -> per-stripe query profile in
-    the layout _kernel expects (the device twin of _build_profile[_packed])."""
+    """(..., R, sub, L) device target codes -> per-stripe query profile in
+    the layout _kernel expects — the group axis lands just before R, so
+    this serves both the single-pair (S, R, sub, L) and the pairs-grid
+    (B, S, R, sub, L) layouts (the device twin of
+    _build_profile[_packed]). Codes outside [-3, A) clamp to the -4
+    sentinel column (value NEG_SUB / -128): out-of-alphabet residues
+    behave as padding — a strong mismatch — instead of silently aliasing
+    a real symbol through jnp's clamped gather."""
+    A = emb.shape[1] - 4
+    bt = jnp.where((bt >= -3) & (bt < A), bt, -4)
+    pos = bt.ndim - 3                      # group axis goes before R
     if nsym:
-        return jnp.moveaxis(emb[:, bt + 4], 0, 1)
+        return jnp.moveaxis(emb[:, bt + 4], 0, pos)
     prof = emb[:, bt + 4]
     by = prof & 0xFF
     return jnp.moveaxis(by[0::4] | (by[1::4] << 8) | (by[2::4] << 16)
-                        | (by[3::4] << 24), 0, 1)
+                        | (by[3::4] << 24), 0, pos)
 
 
 def _sub_gaps_ok(scoring: Scoring) -> bool:
@@ -1668,7 +1681,7 @@ def pairs_score_fn(B: int, m: int, n: int,
         CB = 1   # per-pair grids are small; the longer CB chain loses
     T, R, CB = _resolve_params(m, n, T, R, scoring, CB=CB)
     nsym = npack = 0
-    prof_emb = None
+    sub_emb = None
     if substitution is not None:
         sub32 = np.asarray(substitution, np.int32)
         hi = max(int(sub32.max()), 1) * min(m, n)
@@ -1676,13 +1689,7 @@ def pairs_score_fn(B: int, m: int, n: int,
             raise ValueError("score range too large for packed argmax")
         if not _sub_gaps_ok(scoring):
             raise ValueError("substitution mode needs negative gaps")
-        if _pack_fits(sub32):
-            npack = -(-sub32.shape[0] // 4)
-            prof_emb = _packed_embed(sub32)           # (npack, nsym+4)
-        else:
-            nsym = sub32.shape[0]
-            prof_emb = np.full((nsym, nsym + 4), NEG_SUB, np.int32)
-            prof_emb[:, 4:] = sub32
+        nsym, npack, sub_emb = _sub_embed(sub32)
     else:
         _check_packing(m, n, R, scoring, CB)
     L = T // R
@@ -1756,10 +1763,10 @@ def pairs_score_fn(B: int, m: int, n: int,
         bp = bp.at[:, :n].set(b_batch.astype(jnp.int32))
         bt = (bp.reshape(B, num_stripes, L, R).transpose(0, 1, 3, 2)
               .reshape(B, num_stripes, R, sub_rows, LANES))
-        if prof_emb is not None:
-            # in-trace profile gather from the static embedding:
-            # (G, B, S, R, sub, L) -> (B, S, G, R, sub, L)
-            bt = jnp.asarray(prof_emb)[:, bt + 4].transpose(1, 2, 0, 3, 4, 5)
+        if sub_emb is not None:
+            # in-trace per-pair profile build: (B, S, R, sub, L) codes ->
+            # (B, S, G, R, sub, L) profile
+            bt = _profile_on_device(bt, sub_emb, nsym, npack)
         best, _rc = call(ap, bt)
         sc = best[:, :, 0]                       # (B, S)
         s_star = jnp.max(sc, axis=1)

@@ -35,6 +35,16 @@ def _load() -> Optional[ctypes.CDLL]:
         lib = ctypes.CDLL(str(_LIB_PATH))
     except OSError:
         return None
+    if not hasattr(lib, "sw_fill"):
+        # stale prebuilt library from before sw_fill existed: rebuild for
+        # the NEXT process (the already-mapped handle can't be safely
+        # swapped in-place) and fall back to NumPy in this one
+        try:
+            subprocess.run(["make", "-B", "-C", str(_CSRC)], check=True,
+                           capture_output=True, timeout=120)
+        except Exception:
+            pass
+        return None
     i8p = np.ctypeslib.ndpointer(np.int8, flags="C_CONTIGUOUS")
     lp = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
     lib.sw_encode.restype = ctypes.c_long

@@ -146,6 +146,29 @@ def test_pairs_kernel_unpacked_profile_matches_oracle():
             assert (int(i[g]), int(j[g])) == ref.max_ij, g
 
 
+def test_pairs_kernel_out_of_range_codes_are_sentinels():
+    """Residue codes outside the table alphabet score as padding (strong
+    mismatch) in the in-trace profile build — never silently alias a real
+    symbol through jnp's clamped gather."""
+    import jax.numpy as jnp
+    from swtpu.core.config import Scoring
+    from swtpu.core.substitution import BLOSUM62
+    from swtpu.kernels.pallas_fill import pairs_score_fn
+
+    B, m, n = 2, 40, 150
+    aa, bb = _protein_batch(B, m, n, seed=26)
+    bad = bb.copy()
+    bad[:, ::7] = 25                      # out of the 20-symbol alphabet
+    masked = bad.copy()
+    masked[:, ::7] = -2                   # explicit padding sentinel
+    sc = Scoring(mode="affine", gap_open=-11, gap_extend=-1)
+    fn = pairs_score_fn(B, m, n, scoring=sc, T=256, R=2, C=128,
+                        interpret=True, substitution=BLOSUM62)
+    s_bad = np.asarray(fn(jnp.asarray(aa), jnp.asarray(bad))[0])
+    s_masked = np.asarray(fn(jnp.asarray(aa), jnp.asarray(masked))[0])
+    np.testing.assert_array_equal(s_bad, s_masked)
+
+
 def test_batch_score_substitution_scan_and_stripe_agree():
     from swtpu.core.config import Scoring
     from swtpu.core.substitution import BLOSUM62

@@ -136,7 +136,7 @@ def test_host_plan_substitution_guard():
     a = np.array([0, 5, 19, 25], np.int8)     # 25 out of range
     b = np.array([0, 5, 19, 7], np.int8)
     got = swtpu.align(a, b, sc, plan="host", substitution=BLOSUM62,
-                      alphabet=None if False else "ACDEFGHIKLMNPQRSTVWY")
+                      alphabet="ACDEFGHIKLMNPQRSTVWY")
     want = swtpu.align(a, b, sc, plan="scan", substitution=BLOSUM62,
                        alphabet="ACDEFGHIKLMNPQRSTVWY")
     assert got.max_score == want.max_score
