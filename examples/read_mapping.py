@@ -36,9 +36,13 @@ def main():
     rng = np.random.default_rng(0)
 
     # --- make a demo reference + reads (with mutations), via FASTA files
-    ref_codes = rng.integers(0, 4, 200_000).astype(np.int8)
+    # (sizes overridable for a quick smoke run on CPU:
+    #  SWTPU_DEMO_REF=20000 SWTPU_DEMO_READS=50 python examples/read_mapping.py)
+    ref_len = int(os.environ.get("SWTPU_DEMO_REF", 200_000))
+    n_reads = int(os.environ.get("SWTPU_DEMO_READS", 2000))
+    ref_codes = rng.integers(0, 4, ref_len).astype(np.int8)
     reads = []
-    for k in range(2000):
+    for k in range(n_reads):
         pos = int(rng.integers(0, len(ref_codes) - 150))
         r = ref_codes[pos:pos + 150].copy()
         muts = rng.integers(0, 150, 5)
@@ -71,23 +75,19 @@ def main():
         t0 = time.perf_counter()
         hits = searcher(q, sh)
         scores = np.asarray(hits.scores)
-        pos = np.asarray(hits.ref_pos)
         dt = time.perf_counter() - t0
         cells = queries.shape[0] * 152 * len(ref)
         print(f"searched {queries.shape[0]} reads x {len(ref)/1e3:.0f} kb "
               f"in {dt:.2f}s ({cells/dt/1e9:.1f} GCUPS effective)")
 
-        # --- exact traceback for the best hit
-        best = int(np.argmax(scores))
-        end = int(pos[best])
-        lo = max(0, end - 200)
-        window = ref[lo:end + 1]
-        aln = swtpu.align(window, qlist[best])
-        print(f"best hit: read{best} score {int(scores[best])} "
-              f"ending at reference position {end}")
-        print(f"  read: {aln.aligned_b}")
-        print(f"  ref : {aln.aligned_a}")
-        assert int(scores[best]) == aln.max_score
+        # --- exact alignments (coords + CIGAR) for the top hits
+        recs = swtpu.align_hits(hits, queries, ref, top=3)
+        for r in recs:
+            print(f"read{r.read}: score {r.score} at "
+                  f"ref[{r.ref_start}:{r.ref_end + 1}]  {r.cigar}")
+            print(f"  read: {r.aligned_read}")
+            print(f"  ref : {r.aligned_ref}")
+        assert recs[0].score == int(scores.max())
 
 
 if __name__ == "__main__":

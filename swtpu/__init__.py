@@ -35,8 +35,23 @@ def sanitize(a, b, **kw):
     return sanitize_stripe(a, b, **kw)
 
 
+def search(queries, reference, **kw):
+    """Database search: a batch of reads vs a (sharded) reference —
+    see `swtpu.dist.database.search`."""
+    from .dist.database import search as _search
+    return _search(queries, reference, **kw)
+
+
+def align_hits(hits, queries, reference, **kw):
+    """Alignment records (coords + CIGAR + strings) for search hits —
+    see `swtpu.dist.database.align_hits`."""
+    from .dist.database import align_hits as _align_hits
+    return _align_hits(hits, queries, reference, **kw)
+
+
 __all__ = [
-    "align", "score", "sanitize", "Alignment", "Scoring", "EngineConfig",
+    "align", "score", "sanitize", "search", "align_hits",
+    "Alignment", "Scoring", "EngineConfig",
     "AnchoredReverseMismatch",
     "encode", "decode", "random_pair", "random_batch",
     "NONE", "UP", "LEFT", "DIAGONAL", "PATH",

@@ -94,6 +94,7 @@ def make_searcher(mesh: Optional[Mesh], qlen: int, shard_len: int,
     window for the whole batch); elsewhere the vmapped XLA scan.
     """
     ext = shard_len + qlen                 # shard + boundary halo
+    window = min(window, ext)              # a window never exceeds a shard
     step = window - qlen                   # window stride (qlen overlap)
     nwin = max(1, -(-max(1, ext - qlen) // step))
     plan = _searcher_plan(mesh, qlen, window, scoring, plan, substitution)
@@ -199,6 +200,103 @@ def pad_queries(queries: list[np.ndarray], qlen: int) -> np.ndarray:
     for i, q in enumerate(queries):
         ln = min(len(q), qlen)
         out[i, :ln] = q[:ln]
+    return out
+
+
+class HitAlignment(NamedTuple):
+    """Full alignment record for one search hit (the reference stops at
+    printing the score/position, omp_smithW.c:230-234; producing the
+    aligned strings for ranked hits is the end of the database-search
+    pipeline its design points at)."""
+
+    read: int            # batch index into queries
+    score: int
+    ref_start: int       # global 0-based reference col of the first pair
+    ref_end: int         # global 0-based reference col of the last pair
+    read_start: int      # 0-based offset within the (unpadded) read
+    read_end: int
+    aligned_read: str    # with '-' gaps
+    aligned_ref: str
+    cigar: str           # SAM-style M/I/D runs (read as the query)
+
+
+def _cigar(aligned_read: str, aligned_ref: str) -> str:
+    runs: list[list] = []
+    for cr, cf in zip(aligned_read, aligned_ref):
+        op = "D" if cr == "-" else ("I" if cf == "-" else "M")
+        if runs and runs[-1][0] == op:
+            runs[-1][1] += 1
+        else:
+            runs.append([op, 1])
+    return "".join(f"{n}{op}" for op, n in runs)
+
+
+def align_hits(hits: SearchHits, queries, reference,
+               scoring: Scoring = Scoring(), *, top: Optional[int] = None,
+               reads=None, substitution=None, alphabet: Optional[str] = None
+               ) -> list[HitAlignment]:
+    """Alignment strings for selected hits of a `search`.
+
+    Re-aligns each selected read against a reference window ending at the
+    hit's reported end column, growing the window until the full hit score
+    is reproduced (the alignment's reference span is unknown a priori, but
+    the window that ends at the hit's end and reaches score parity provably
+    contains it). Small windows ride the host tier; larger ones the device
+    plans — the same dispatch as any `align()` call.
+
+    queries: the (B, qlen) padded int8 array given to `search` (``-3`` pad
+    stripped), or a list of unpadded reads. Select hits with ``reads``
+    (explicit batch indices) or ``top`` (best-K by score, ties by lower
+    reference position); default: every read with a positive score.
+    """
+    from ..engine.align import align as _align
+    from ..core.encode import DNA_ALPHABET, PROTEIN_ALPHABET
+
+    if alphabet is None:
+        alphabet = DNA_ALPHABET if substitution is None else PROTEIN_ALPHABET
+    reference = np.asarray(reference, np.int8)
+    scores = np.asarray(hits.scores)
+    pos = np.asarray(hits.ref_pos)
+    if isinstance(queries, np.ndarray):
+        qlist = [q[q != -3] for q in np.asarray(queries, np.int8)]
+    else:
+        qlist = [np.asarray(q, np.int8) for q in queries]
+    if reads is None:
+        reads = sorted((i for i in range(len(qlist)) if scores[i] > 0),
+                       key=lambda i: (-scores[i], pos[i], i))
+        if top is not None:
+            reads = reads[:top]
+    out: list[HitAlignment] = []
+    for i in reads:
+        s = int(scores[i])
+        if s <= 0:
+            continue
+        q = qlist[i]
+        end = int(pos[i])                  # global 0-based end col
+        W = len(q) + 32
+        while True:
+            start = max(0, end + 1 - W)
+            res = _align(reference[start:end + 1], q, scoring,
+                         traceback=True, substitution=substitution,
+                         alphabet=alphabet)
+            if res.max_score == s or start == 0:
+                break
+            W *= 2
+        if res.max_score != s:             # pragma: no cover - defensive
+            raise ValueError(
+                f"read {i}: window [0, {end}] reproduces score "
+                f"{res.max_score}, search reported {s}")
+        # start coords from the consumed-char counts (works on the full-P
+        # AND the memory-lean traceback paths, which return no .path)
+        ref_used = sum(c != "-" for c in res.aligned_a)
+        read_used = sum(c != "-" for c in res.aligned_b)
+        out.append(HitAlignment(
+            read=i, score=s,
+            ref_start=start + res.max_j - ref_used,
+            ref_end=start + res.max_j - 1,
+            read_start=res.max_i - read_used, read_end=res.max_i - 1,
+            aligned_read=res.aligned_b, aligned_ref=res.aligned_a,
+            cigar=_cigar(res.aligned_b, res.aligned_a)))
     return out
 
 

@@ -141,3 +141,89 @@ def test_protein_search_stripe_matches_scan():
     np.testing.assert_array_equal(np.asarray(a.ref_pos),
                                   np.asarray(b.ref_pos))
     assert int(b.scores[0]) > 0
+
+
+def test_align_hits_exact_planted_read(mesh):
+    """End-to-end: search -> ranked hits -> full alignment records with
+    global coordinates and CIGAR (exact 24-mer: all-M, identity strings)."""
+    from swtpu.core.encode import decode
+    from swtpu.dist.database import align_hits
+
+    rng = np.random.default_rng(41)
+    ref = rng.integers(0, 4, 2048).astype(np.int8)
+    p = 700
+    read = ref[p: p + 24].copy()
+    q = pad_queries([read, rng.integers(0, 4, 24).astype(np.int8)], 24)
+    hits = search(q, ref, mesh=mesh, window=512)
+    recs = align_hits(hits, q, ref, top=1)
+    assert len(recs) == 1
+    r = recs[0]
+    assert r.read == 0 and r.score == 72
+    assert (r.ref_start, r.ref_end) == (p, p + 23)
+    assert (r.read_start, r.read_end) == (0, 23)
+    assert r.cigar == "24M"
+    assert r.aligned_read == r.aligned_ref == decode(read)
+
+
+def test_align_hits_gapped_read_cigar():
+    """A read with an internal deletion (ref base missing from the read)
+    aligns with a 'D' run and still spans the planted region."""
+    from swtpu.dist.database import align_hits
+
+    rng = np.random.default_rng(43)
+    ref = rng.integers(0, 4, 1024).astype(np.int8)
+    p = 400
+    frag = ref[p: p + 30].copy()
+    read = np.concatenate([frag[:12], frag[13:]])        # drop one base
+    hits = search(pad_queries([read], 32), ref, window=256)
+    recs = align_hits(hits, [read], ref)
+    r = recs[0]
+    assert int(hits.scores[0]) == r.score
+    assert r.cigar == "12M1D17M"
+    assert (r.ref_start, r.ref_end) == (p, p + 29)
+    assert (r.read_start, r.read_end) == (0, 28)
+    assert r.aligned_read[12] == "-" and r.aligned_ref[12] != "-"
+    # the re-aligned window reproduces the search score exactly
+    assert r.score == 3 * 29 + (-2)
+
+
+def test_align_hits_protein_blosum():
+    import swtpu
+    from swtpu.core.encode import PROTEIN_ALPHABET, decode
+    from swtpu.core.substitution import BLOSUM62
+    from swtpu.dist.database import align_hits
+
+    rng = np.random.default_rng(47)
+    ref = rng.integers(0, 20, 800).astype(np.int8)
+    p = 150
+    read = ref[p: p + 20].copy()
+    sc = swtpu.Scoring(mode="affine", gap_open=-11, gap_extend=-1)
+    q = pad_queries([read], 24)
+    hits = search(q, ref, scoring=sc, substitution=BLOSUM62, window=256)
+    recs = align_hits(hits, q, ref, scoring=sc, substitution=BLOSUM62)
+    r = recs[0]
+    assert r.score == int(hits.scores[0]) > 0
+    assert (r.ref_start, r.ref_end) == (p, p + 19)
+    assert r.aligned_ref == decode(read, PROTEIN_ALPHABET)
+
+
+def test_align_hits_selection_order():
+    """top= ranks by score desc then position asc; zero-score reads are
+    never aligned; reads= overrides ranking."""
+    from swtpu.dist.database import align_hits
+
+    rng = np.random.default_rng(53)
+    ref = rng.integers(0, 4, 1024).astype(np.int8)
+    strong = ref[100:124].copy()                 # 24-mer, score 72
+    weak = ref[500:516].copy()                   # 16-mer, score 48
+    miss = np.zeros(16, np.int8)
+    ref2 = ref.copy()
+    ref2[ref2 == 0] = 1                          # kill all-A read's hits
+    q = pad_queries([weak, miss, strong], 24)
+    hits = search(q, ref2, window=256)
+    if int(hits.scores[1]) > 0:                  # 'miss' may still scrape
+        assert int(hits.scores[1]) < int(hits.scores[0])
+    recs = align_hits(hits, q, ref2, top=2)
+    assert [r.read for r in recs] == [2, 0]
+    only = align_hits(hits, q, ref2, reads=[0])
+    assert [r.read for r in only] == [0]
