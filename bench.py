@@ -229,7 +229,54 @@ def _time_min(call, k=K, reps=3):
     return best
 
 
+def _await_backend() -> bool:
+    """The device tunnel occasionally degrades; a backend init issued while
+    it is down blocks the whole process for minutes with no output. Probe
+    init in short-lived subprocesses (each bounded) and wait for recovery
+    up to SWTPU_BENCH_PROBE_BUDGET_S (default 40 min; 0 skips probing), so
+    the bench either runs on a healthy chip or fails fast with evidence."""
+    import subprocess
+    import sys
+
+    budget = float(os.environ.get("SWTPU_BENCH_PROBE_BUDGET_S", 2400))
+    if budget <= 0:
+        return True
+    deadline = time.time() + budget
+    attempt = 0
+    while True:
+        attempt += 1
+        probe_t = max(30.0, min(240.0, deadline - time.time()))
+        try:
+            subprocess.run(
+                [sys.executable, "-c", "import jax; assert jax.devices()"],
+                timeout=probe_t, check=True, capture_output=True)
+            if attempt > 1:
+                print(f"bench: backend reachable again after {attempt} "
+                      "probes", file=sys.stderr)
+            return True
+        except Exception as e:
+            print(f"bench: backend probe {attempt} failed "
+                  f"({type(e).__name__}); tunnel degraded?",
+                  file=sys.stderr)
+        if time.time() >= deadline:
+            return False
+        time.sleep(30)
+
+
 def main():
+    if not _await_backend():
+        # Honest infra-failure record: the chip never became reachable
+        # within the probe budget. value 0 + the error detail beats a
+        # process hung in backend init (which records nothing at all).
+        print(json.dumps({
+            "metric": "single_chip_fill_GCUPS", "value": 0.0,
+            "unit": "GCUPS", "vs_baseline": 0.0,
+            "details": {"error": "TPU unreachable: every backend-init "
+                        "probe timed out within the probe budget; see "
+                        "stderr. Not a performance regression — the "
+                        "device tunnel was down."},
+        }))
+        return
     on_tpu = jax.default_backend() == "tpu"
     fill_s, score, compile_s, plan, phases = (bench_stripe() if on_tpu
                                               else bench_scan())
