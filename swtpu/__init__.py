@@ -21,7 +21,7 @@ from .core.config import (
     EngineConfig,
     Scoring,
 )
-from .core.encode import decode, encode, random_batch, random_pair
+from .core.encode import decode, encode, random_batch, random_pair, revcomp
 from .engine.align import Alignment, align, score
 from .engine.traceback import AnchoredReverseMismatch
 
@@ -53,7 +53,7 @@ __all__ = [
     "align", "score", "sanitize", "search", "align_hits",
     "Alignment", "Scoring", "EngineConfig",
     "AnchoredReverseMismatch",
-    "encode", "decode", "random_pair", "random_batch",
+    "encode", "decode", "random_pair", "random_batch", "revcomp",
     "NONE", "UP", "LEFT", "DIAGONAL", "PATH",
     "BUILTIN_A", "BUILTIN_B", "BUILTIN_MAX_SCORE", "BUILTIN_MAX_POS",
     "BUILTIN_LAST_CELL",

@@ -34,6 +34,16 @@ def decode(codes: np.ndarray, alphabet: str = DNA_ALPHABET) -> str:
     return "".join(alphabet[int(c)] for c in codes)
 
 
+def revcomp(codes: np.ndarray) -> np.ndarray:
+    """Reverse complement of DNA codes (A<->T is 0<->3, C<->G is 1<->2,
+    i.e. ``3 - code``); negative sentinel codes pass through unchanged so
+    padded reads stay padded. DNA-only by construction — do not use with
+    protein codes."""
+    codes = np.asarray(codes, np.int8)
+    out = np.where(codes >= 0, 3 - codes, codes).astype(np.int8)
+    return out[..., ::-1]
+
+
 def random_pair(m: int, n: int, seed: int = 0) -> tuple[np.ndarray, np.ndarray]:
     """Random ACGT pair: a has length m (columns), b length n (rows).
 

@@ -26,7 +26,7 @@ process-local shard of the reference via `jax.make_array_from_process_...`.
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple, Optional
+from typing import NamedTuple, Optional, Union
 
 import jax
 import jax.numpy as jnp
@@ -203,6 +203,32 @@ def pad_queries(queries: list[np.ndarray], qlen: int) -> np.ndarray:
     return out
 
 
+class StrandedHits(NamedTuple):
+    """Per-read best hit over both DNA strands (see `search(strand=)`).
+    ``read_end`` refers to the read in its reported orientation (the
+    reverse complement for ``strand == -1``), matching the convention of
+    storing minus-strand reads reverse-complemented."""
+
+    scores: jax.Array
+    ref_pos: jax.Array
+    read_end: jax.Array
+    strand: jax.Array     # (B,) int8: +1 forward, -1 reverse, 0 no hit
+
+
+def revcomp_padded(queries: np.ndarray) -> np.ndarray:
+    """Reverse-complement each row of a `pad_queries` batch, keeping the
+    ``-3`` padding at the END of every row (a plain reversal would move it
+    to the front and shift read coordinates)."""
+    q = np.asarray(queries, np.int8)
+    B, qlen = q.shape
+    lens = (q != -3).sum(axis=1)
+    idx = lens[:, None] - 1 - np.arange(qlen)[None, :]
+    valid = idx >= 0
+    gathered = q[np.arange(B)[:, None], np.clip(idx, 0, qlen - 1)]
+    comp = np.where(gathered >= 0, 3 - gathered, gathered)
+    return np.where(valid, comp, -3).astype(np.int8)
+
+
 class HitAlignment(NamedTuple):
     """Full alignment record for one search hit (the reference stops at
     printing the score/position, omp_smithW.c:230-234; producing the
@@ -218,6 +244,8 @@ class HitAlignment(NamedTuple):
     aligned_read: str    # with '-' gaps
     aligned_ref: str
     cigar: str           # SAM-style M/I/D runs (read as the query)
+    strand: str = "+"    # '-' = the read aligned reverse-complemented;
+    #                      read coords/strings are in that orientation
 
 
 def _cigar(aligned_read: str, aligned_ref: str) -> str:
@@ -231,7 +259,7 @@ def _cigar(aligned_read: str, aligned_ref: str) -> str:
     return "".join(f"{n}{op}" for op, n in runs)
 
 
-def align_hits(hits: SearchHits, queries, reference,
+def align_hits(hits: Union[SearchHits, StrandedHits], queries, reference,
                scoring: Scoring = Scoring(), *, top: Optional[int] = None,
                reads=None, substitution=None, alphabet: Optional[str] = None
                ) -> list[HitAlignment]:
@@ -248,6 +276,10 @@ def align_hits(hits: SearchHits, queries, reference,
     stripped), or a list of unpadded reads. Select hits with ``reads``
     (explicit batch indices) or ``top`` (best-K by score, ties by lower
     reference position); default: every read with a positive score.
+
+    `StrandedHits` (from ``search(strand="both")``) orient each read by
+    its winning strand; the record's read coords and strings then refer
+    to the reverse complement for ``strand == '-'``.
     """
     from ..engine.align import align as _align
     from ..core.encode import DNA_ALPHABET, PROTEIN_ALPHABET
@@ -257,10 +289,16 @@ def align_hits(hits: SearchHits, queries, reference,
     reference = np.asarray(reference, np.int8)
     scores = np.asarray(hits.scores)
     pos = np.asarray(hits.ref_pos)
+    strands = (np.asarray(hits.strand)
+               if isinstance(hits, StrandedHits) else None)
     if isinstance(queries, np.ndarray):
         qlist = [q[q != -3] for q in np.asarray(queries, np.int8)]
     else:
         qlist = [np.asarray(q, np.int8) for q in queries]
+    if strands is not None:
+        from ..core.encode import revcomp
+        qlist = [revcomp(q) if strands[i] < 0 else q
+                 for i, q in enumerate(qlist)]
     if reads is None:
         reads = sorted((i for i in range(len(qlist)) if scores[i] > 0),
                        key=lambda i: (-scores[i], pos[i], i))
@@ -296,20 +334,34 @@ def align_hits(hits: SearchHits, queries, reference,
             ref_end=start + res.max_j - 1,
             read_start=res.max_i - read_used, read_end=res.max_i - 1,
             aligned_read=res.aligned_b, aligned_ref=res.aligned_a,
-            cigar=_cigar(res.aligned_b, res.aligned_a)))
+            cigar=_cigar(res.aligned_b, res.aligned_a),
+            strand="-" if strands is not None and strands[i] < 0 else "+"))
     return out
 
 
 def search(queries, reference, mesh: Optional[Mesh] = None,
            window: int = 32768, scoring: Scoring = Scoring(),
-           axis: str = "data", substitution=None) -> SearchHits:
+           axis: str = "data", substitution=None,
+           strand: str = "forward") -> Union[SearchHits, StrandedHits]:
     """Convenience one-shot search (builds shards + searcher).
+
+    ``strand="both"`` (DNA only) also searches every read's reverse
+    complement in the same device sweep — the doubled batch rides the
+    same batched kernel — and returns `StrandedHits` with the winning
+    strand per read (higher score wins; ties prefer forward).
 
     NOTE: builds a fresh jitted searcher every call — for repeated
     searches build one with `make_searcher` and reuse it (the jit cache
     then makes subsequent calls pure device time; see
     examples/read_mapping.py)."""
     queries = np.asarray(queries, np.int8)
+    if strand not in ("forward", "both"):
+        raise ValueError(f"strand must be 'forward' or 'both', got {strand!r}")
+    if strand == "both":
+        if substitution is not None:
+            raise ValueError("strand='both' is DNA-only (reverse "
+                             "complement is undefined for protein codes)")
+        queries = np.concatenate([queries, revcomp_padded(queries)])
     B, qlen = queries.shape
     D = mesh.shape[axis] if mesh is not None else 1
     shards, shard_len = shard_reference(np.asarray(reference, np.int8),
@@ -317,4 +369,19 @@ def search(queries, reference, mesh: Optional[Mesh] = None,
     window = min(window, shards.shape[1])
     fn = make_searcher(mesh, qlen, shard_len, window, scoring, axis,
                        substitution=substitution)
-    return fn(jnp.asarray(queries), jnp.asarray(shards))
+    hits = fn(jnp.asarray(queries), jnp.asarray(shards))
+    if strand == "forward":
+        return hits
+    Bh = B // 2
+    fs, rs = (np.asarray(hits.scores[:Bh], np.int32),
+              np.asarray(hits.scores[Bh:], np.int32))
+    fp, rp = np.asarray(hits.ref_pos[:Bh]), np.asarray(hits.ref_pos[Bh:])
+    fe, re_ = np.asarray(hits.read_end[:Bh]), np.asarray(hits.read_end[Bh:])
+    rev = rs > fs                                 # ties prefer forward
+    sc = np.where(rev, rs, fs)
+    sgn = np.where(sc > 0, np.where(rev, -1, 1), 0).astype(np.int8)
+    return StrandedHits(
+        scores=jnp.asarray(sc),
+        ref_pos=jnp.asarray(np.where(rev, rp, fp)),
+        read_end=jnp.asarray(np.where(rev, re_, fe)),
+        strand=jnp.asarray(sgn))

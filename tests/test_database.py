@@ -227,3 +227,70 @@ def test_align_hits_selection_order():
     assert [r.read for r in recs] == [2, 0]
     only = align_hits(hits, q, ref2, reads=[0])
     assert [r.read for r in only] == [0]
+
+
+def test_revcomp_and_padded_revcomp():
+    from swtpu.core.encode import decode, encode, revcomp
+    from swtpu.dist.database import revcomp_padded
+
+    codes = encode("ACGTTG")
+    assert decode(revcomp(codes)) == "CAACGT"
+    # involution on real codes
+    np.testing.assert_array_equal(revcomp(revcomp(codes)), codes)
+    # padded batch: pad stays at the END, valid prefix is the revcomp
+    q = pad_queries([encode("ACGT"), encode("AA")], 6)
+    rc = revcomp_padded(q)
+    np.testing.assert_array_equal(rc[0, :4], encode("ACGT"))  # palindrome
+    np.testing.assert_array_equal(rc[0, 4:], [-3, -3])
+    np.testing.assert_array_equal(rc[1, :2], encode("TT"))
+    np.testing.assert_array_equal(rc[1, 2:], [-3, -3, -3, -3])
+
+
+def test_search_both_strands(mesh):
+    """A read planted reverse-complemented is found on the minus strand at
+    the same reference location and score as its forward twin."""
+    from swtpu.core.encode import revcomp
+    from swtpu.dist.database import align_hits
+
+    rng = np.random.default_rng(61)
+    ref = rng.integers(0, 4, 2048).astype(np.int8)
+    p_f, p_r = 300, 1200
+    fwd_read = ref[p_f: p_f + 24].copy()
+    rc_read = revcomp(ref[p_r: p_r + 24])        # maps only via revcomp
+    q = pad_queries([fwd_read, rc_read], 24)
+    hits = search(q, ref, mesh=mesh, window=512, strand="both")
+    assert int(hits.scores[0]) == int(hits.scores[1]) == 72
+    assert int(hits.strand[0]) == 1
+    assert int(hits.strand[1]) == -1
+    assert int(hits.ref_pos[0]) == p_f + 23
+    assert int(hits.ref_pos[1]) == p_r + 23
+    # align_hits orients the minus-strand read automatically
+    recs = align_hits(hits, q, ref)
+    by_read = {r.read: r for r in recs}
+    assert by_read[1].strand == "-"
+    assert (by_read[1].ref_start, by_read[1].ref_end) == (p_r, p_r + 23)
+    assert by_read[1].cigar == "24M"
+    assert by_read[0].strand == "+"
+    assert (by_read[0].ref_start, by_read[0].ref_end) == (p_f, p_f + 23)
+
+
+def test_search_both_strands_tie_prefers_forward():
+    from swtpu.core.encode import encode
+
+    # palindromic read: forward and reverse complement are identical, so
+    # both strands tie and the forward strand must win
+    ref = np.concatenate([np.full(100, 0, np.int8),
+                          encode("ACGCGT"), np.full(100, 0, np.int8)])
+    q = pad_queries([encode("ACGCGT")], 8)
+    hits = search(q, ref, window=128, strand="both")
+    assert int(hits.scores[0]) == 18
+    assert int(hits.strand[0]) == 1
+
+
+def test_search_both_strands_protein_rejected():
+    from swtpu.core.substitution import BLOSUM62
+
+    q = pad_queries([np.zeros(8, np.int8)], 8)
+    ref = np.zeros(64, np.int8)
+    with pytest.raises(ValueError, match="DNA-only"):
+        search(q, ref, substitution=BLOSUM62, strand="both")
