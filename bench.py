@@ -192,6 +192,24 @@ def bench_pairs_small():
     return round(B * mp * mp / best / 1e9, 1)
 
 
+def bench_db_search(B=2048, qlen=152, L=1_000_000):
+    """Capability extra: database-search effective GCUPS — 2048 reads x a
+    1 Mb reference through the batched window searcher (the production
+    workload shape; round-2 manual measurement: 160-214 effective on the
+    10k x 1Mb config). Sizes overridable for CPU smoke runs."""
+    from swtpu.dist.database import make_searcher, shard_reference
+
+    rng = np.random.default_rng(0)
+    ref = rng.integers(0, 4, L).astype(np.int8)
+    queries = rng.integers(0, 4, (B, qlen)).astype(np.int8)
+    shards, shard_len = shard_reference(ref, 1, qlen)
+    fn = make_searcher(None, qlen=qlen, shard_len=shard_len)
+    q, sh = jnp.asarray(queries), jnp.asarray(shards)
+    np.asarray(fn(q, sh).scores)                  # compile
+    best = _time_min(lambda: fn(q, sh).scores, k=2, reps=2)
+    return round(B * qlen * L / best / 1e9, 1)
+
+
 def bench_host_tiny():
     """Capability extra: single tiny-problem latency through the native
     host tier (csrc sw_fill; dispatch routes <= host_max_cells there) —
@@ -306,6 +324,11 @@ def main():
             details["gcups_pairs64_1056sq_effective"] = bench_pairs_small()
         except Exception as e:
             details["gcups_pairs64_1056sq_effective"] = \
+                f"failed: {type(e).__name__}"
+        try:
+            details["gcups_db_search_2048x1Mb_effective"] = bench_db_search()
+        except Exception as e:
+            details["gcups_db_search_2048x1Mb_effective"] = \
                 f"failed: {type(e).__name__}"
         try:
             details["host_tier_64sq_latency_us"] = bench_host_tiny()
