@@ -89,6 +89,10 @@ def main():
             print(f"  ref : {r.aligned_ref}")
         assert recs[0].score == int(scores.max())
 
+        # --- and as SAM
+        print(swtpu.to_sam(recs, queries, ref_name="chr_demo",
+                           ref_len=len(ref)), end="")
+
 
 if __name__ == "__main__":
     main()

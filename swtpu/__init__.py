@@ -49,8 +49,15 @@ def align_hits(hits, queries, reference, **kw):
     return _align_hits(hits, queries, reference, **kw)
 
 
+def to_sam(records, queries, **kw):
+    """Render `align_hits` records as minimal SAM —
+    see `swtpu.dist.database.to_sam`."""
+    from .dist.database import to_sam as _to_sam
+    return _to_sam(records, queries, **kw)
+
+
 __all__ = [
-    "align", "score", "sanitize", "search", "align_hits",
+    "align", "score", "sanitize", "search", "align_hits", "to_sam",
     "Alignment", "Scoring", "EngineConfig",
     "AnchoredReverseMismatch",
     "encode", "decode", "random_pair", "random_batch", "revcomp",

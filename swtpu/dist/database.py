@@ -339,6 +339,44 @@ def align_hits(hits: Union[SearchHits, StrandedHits], queries, reference,
     return out
 
 
+def to_sam(records: list[HitAlignment], queries, *, ref_name: str = "ref",
+           ref_len: Optional[int] = None, read_names=None,
+           alphabet: Optional[str] = None) -> str:
+    """Render `align_hits` records as minimal SAM (header + one line per
+    record): local alignments get soft-clip runs for the unaligned read
+    ends, minus-strand records the 0x10 flag with the stored (already
+    reverse-complemented) sequence, MAPQ 255 (unavailable), and the score
+    as the AS:i tag. `queries` as given to `align_hits` (pass
+    ``alphabet=PROTEIN_ALPHABET`` for protein records)."""
+    from ..core.encode import DNA_ALPHABET, decode
+
+    if alphabet is None:
+        alphabet = DNA_ALPHABET
+    if isinstance(queries, np.ndarray):
+        qlist = [q[q != -3] for q in np.asarray(queries, np.int8)]
+    else:
+        qlist = [np.asarray(q, np.int8) for q in queries]
+    lines = ["@HD\tVN:1.6\tSO:unknown"]
+    if ref_len is not None:
+        lines.append(f"@SQ\tSN:{ref_name}\tLN:{ref_len}")
+    for r in records:
+        q = qlist[r.read]
+        if r.strand == "-":
+            from ..core.encode import revcomp
+            q = revcomp(q)
+        name = (read_names[r.read] if read_names is not None
+                else f"read{r.read}")
+        flag = 16 if r.strand == "-" else 0
+        head = f"{r.read_start}S" if r.read_start else ""
+        tail_n = len(q) - 1 - r.read_end
+        tail = f"{tail_n}S" if tail_n else ""
+        lines.append("\t".join([
+            name, str(flag), ref_name, str(r.ref_start + 1), "255",
+            head + r.cigar + tail, "*", "0", "0",
+            decode(q, alphabet), "*", f"AS:i:{r.score}"]))
+    return "\n".join(lines) + "\n"
+
+
 def search(queries, reference, mesh: Optional[Mesh] = None,
            window: int = 32768, scoring: Scoring = Scoring(),
            axis: str = "data", substitution=None,

@@ -294,3 +294,43 @@ def test_search_both_strands_protein_rejected():
     ref = np.zeros(64, np.int8)
     with pytest.raises(ValueError, match="DNA-only"):
         search(q, ref, substitution=BLOSUM62, strand="both")
+
+
+def test_to_sam_plus_minus_and_softclips():
+    """SAM rendering: 1-based POS, soft-clip runs for unaligned read ends,
+    flag 16 + reverse-complemented SEQ on the minus strand, AS score tag."""
+    from swtpu.core.encode import decode, encode, revcomp
+    from swtpu.dist.database import align_hits, to_sam
+
+    rng = np.random.default_rng(71)
+    ref = rng.integers(0, 4, 1024).astype(np.int8)
+    p = 256
+    ref[p + 30: p + 80] = 0          # all-A downstream: extension of the
+    core = ref[p: p + 30].copy()     # T-junk can never gain (T vs A = -3,
+    junk = np.full(4, 3, np.int8)    # and every gap-skip lands on A again)
+    # read 0: planted fragment + 4 junk bases appended -> tail soft clip
+    r0 = np.concatenate([core, junk])
+    # read 1: maps only reverse-complemented
+    r1 = revcomp(ref[600:630])
+    q = pad_queries([r0, r1], 40)
+    hits = search(q, ref, window=256, strand="both")
+    recs = align_hits(hits, q, ref)
+    sam = to_sam(recs, q, ref_name="chr1", ref_len=len(ref),
+                 read_names=["frag", "rcread"])
+    lines = sam.strip().split("\n")
+    assert lines[0].startswith("@HD")
+    assert lines[1] == f"@SQ\tSN:chr1\tLN:{len(ref)}"
+    by_name = {ln.split("\t")[0]: ln.split("\t") for ln in lines[2:]}
+    f0 = by_name["frag"]
+    assert f0[1] == "0" and f0[2] == "chr1"
+    assert f0[3] == str(p + 1)                   # 1-based POS
+    assert f0[5] == "30M4S"                      # tail soft clip
+    assert f0[9] == decode(r0)
+    assert f0[11] == "AS:i:90"
+    f1 = by_name["rcread"]
+    assert f1[1] == "16"
+    assert f1[3] == "601"
+    assert f1[5] == "30M"
+    # SEQ is stored in reference-forward orientation (the rc of the read)
+    assert f1[9] == decode(revcomp(r1))
+    assert f1[9] == decode(ref[600:630])
