@@ -252,15 +252,16 @@ def _await_backend() -> bool:
     it is down blocks the whole process for minutes with no output. Probe
     init in short-lived subprocesses (each bounded) and wait for recovery
     up to SWTPU_BENCH_PROBE_BUDGET_S (default 40 min; 0 skips probing), so
-    the bench either runs on a healthy chip or fails fast with evidence."""
+    the bench either runs on a healthy chip or fails fast with evidence.
+    Returns (ok, last_failure_description)."""
     import subprocess
     import sys
 
     budget = float(os.environ.get("SWTPU_BENCH_PROBE_BUDGET_S", 2400))
     if budget <= 0:
-        return True
+        return True, ""
     deadline = time.time() + budget
-    attempt = 0
+    attempt, last = 0, ""
     while True:
         attempt += 1
         probe_t = max(30.0, min(240.0, deadline - time.time()))
@@ -271,28 +272,39 @@ def _await_backend() -> bool:
             if attempt > 1:
                 print(f"bench: backend reachable again after {attempt} "
                       "probes", file=sys.stderr)
-            return True
-        except Exception as e:
-            print(f"bench: backend probe {attempt} failed "
-                  f"({type(e).__name__}); tunnel degraded?",
-                  file=sys.stderr)
+            return True, ""
+        except subprocess.TimeoutExpired:
+            # the degraded-tunnel signature: init blocks past the bound
+            last = f"probe {attempt}: init blocked > {probe_t:.0f}s"
+        except subprocess.CalledProcessError as e:
+            # fast failure: either a code/env problem, or the tunnel mode
+            # where plugin registration fails and jax raises an unknown-
+            # backend error — keep the child's words, keep retrying
+            tail = (e.stderr or b"").decode(errors="replace").strip()
+            last = (f"probe {attempt} exited {e.returncode}: "
+                    f"{tail.splitlines()[-1] if tail else 'no stderr'}")
+        print(f"bench: backend {last}; tunnel degraded?", file=sys.stderr)
         if time.time() >= deadline:
-            return False
+            return False, last
         time.sleep(30)
 
 
+_UNREACHABLE_DETAIL = (
+    "TPU unreachable: backend-init probes kept failing for the whole "
+    "probe budget (last: {last}). Not a performance regression — the "
+    "device was unreachable.")
+
+
 def main():
-    if not _await_backend():
+    ok, last = _await_backend()
+    if not ok:
         # Honest infra-failure record: the chip never became reachable
         # within the probe budget. value 0 + the error detail beats a
         # process hung in backend init (which records nothing at all).
         print(json.dumps({
             "metric": "single_chip_fill_GCUPS", "value": 0.0,
             "unit": "GCUPS", "vs_baseline": 0.0,
-            "details": {"error": "TPU unreachable: every backend-init "
-                        "probe timed out within the probe budget; see "
-                        "stderr. Not a performance regression — the "
-                        "device tunnel was down."},
+            "details": {"error": _UNREACHABLE_DETAIL.format(last=last)},
         }))
         return
     on_tpu = jax.default_backend() == "tpu"

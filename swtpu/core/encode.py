@@ -35,10 +35,12 @@ def decode(codes: np.ndarray, alphabet: str = DNA_ALPHABET) -> str:
 
 
 def revcomp(codes: np.ndarray) -> np.ndarray:
-    """Reverse complement of DNA codes (A<->T is 0<->3, C<->G is 1<->2,
-    i.e. ``3 - code``); negative sentinel codes pass through unchanged so
-    padded reads stay padded. DNA-only by construction — do not use with
-    protein codes."""
+    """Reverse complement of UNPADDED DNA codes (A<->T is 0<->3, C<->G is
+    1<->2, i.e. ``3 - code``); negative sentinel codes keep their value but
+    move with the reversal, so on a `pad_queries` row the trailing pad
+    would land at the FRONT and shift read coordinates — reverse padded
+    batches with `dist.database.revcomp_padded` instead. DNA-only by
+    construction — do not use with protein codes."""
     codes = np.asarray(codes, np.int8)
     out = np.where(codes >= 0, 3 - codes, codes).astype(np.int8)
     return out[..., ::-1]

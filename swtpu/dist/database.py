@@ -248,6 +248,14 @@ class HitAlignment(NamedTuple):
     #                      read coords/strings are in that orientation
 
 
+def _strip_queries(queries) -> list[np.ndarray]:
+    """(B, qlen) `pad_queries` array (``-3`` pad stripped) or a list of
+    unpadded reads -> list of unpadded int8 code arrays."""
+    if isinstance(queries, np.ndarray):
+        return [q[q != -3] for q in np.asarray(queries, np.int8)]
+    return [np.asarray(q, np.int8) for q in queries]
+
+
 def _cigar(aligned_read: str, aligned_ref: str) -> str:
     runs: list[list] = []
     for cr, cf in zip(aligned_read, aligned_ref):
@@ -267,10 +275,16 @@ def align_hits(hits: Union[SearchHits, StrandedHits], queries, reference,
 
     Re-aligns each selected read against a reference window ending at the
     hit's reported end column, growing the window until the full hit score
-    is reproduced (the alignment's reference span is unknown a priori, but
+    is reached (the alignment's reference span is unknown a priori, but
     the window that ends at the hit's end and reaches score parity provably
     contains it). Small windows ride the host tier; larger ones the device
     plans — the same dispatch as any `align()` call.
+
+    The record's score is the RE-ALIGNED score, which can exceed the
+    search's: the searcher scores each window fragment independently
+    (halo = qlen), so a gapped alignment whose reference span exceeds
+    qlen and straddles a window boundary is under-reported there, and the
+    un-truncated re-alignment recovers the full-score alignment.
 
     queries: the (B, qlen) padded int8 array given to `search` (``-3`` pad
     stripped), or a list of unpadded reads. Select hits with ``reads``
@@ -291,10 +305,7 @@ def align_hits(hits: Union[SearchHits, StrandedHits], queries, reference,
     pos = np.asarray(hits.ref_pos)
     strands = (np.asarray(hits.strand)
                if isinstance(hits, StrandedHits) else None)
-    if isinstance(queries, np.ndarray):
-        qlist = [q[q != -3] for q in np.asarray(queries, np.int8)]
-    else:
-        qlist = [np.asarray(q, np.int8) for q in queries]
+    qlist = _strip_queries(queries)
     if strands is not None:
         from ..core.encode import revcomp
         qlist = [revcomp(q) if strands[i] < 0 else q
@@ -317,19 +328,20 @@ def align_hits(hits: Union[SearchHits, StrandedHits], queries, reference,
             res = _align(reference[start:end + 1], q, scoring,
                          traceback=True, substitution=substitution,
                          alphabet=alphabet)
-            if res.max_score == s or start == 0:
+            if res.max_score >= s or start == 0:
                 break
             W *= 2
-        if res.max_score != s:             # pragma: no cover - defensive
+        if res.max_score < s:              # pragma: no cover - defensive
             raise ValueError(
                 f"read {i}: window [0, {end}] reproduces score "
-                f"{res.max_score}, search reported {s}")
+                f"{res.max_score}, search reported {s} — scoring/"
+                "substitution mismatch between search() and align_hits()?")
         # start coords from the consumed-char counts (works on the full-P
         # AND the memory-lean traceback paths, which return no .path)
         ref_used = sum(c != "-" for c in res.aligned_a)
         read_used = sum(c != "-" for c in res.aligned_b)
         out.append(HitAlignment(
-            read=i, score=s,
+            read=i, score=int(res.max_score),
             ref_start=start + res.max_j - ref_used,
             ref_end=start + res.max_j - 1,
             read_start=res.max_i - read_used, read_end=res.max_i - 1,
@@ -352,10 +364,7 @@ def to_sam(records: list[HitAlignment], queries, *, ref_name: str = "ref",
 
     if alphabet is None:
         alphabet = DNA_ALPHABET
-    if isinstance(queries, np.ndarray):
-        qlist = [q[q != -3] for q in np.asarray(queries, np.int8)]
-    else:
-        qlist = [np.asarray(q, np.int8) for q in queries]
+    qlist = _strip_queries(queries)
     lines = ["@HD\tVN:1.6\tSO:unknown"]
     if ref_len is not None:
         lines.append(f"@SQ\tSN:{ref_name}\tLN:{ref_len}")
@@ -410,16 +419,15 @@ def search(queries, reference, mesh: Optional[Mesh] = None,
     hits = fn(jnp.asarray(queries), jnp.asarray(shards))
     if strand == "forward":
         return hits
+    # strand merge stays on device (jnp.where) — a host round-trip here
+    # would cost six tunnel fetches plus four re-uploads per search
     Bh = B // 2
-    fs, rs = (np.asarray(hits.scores[:Bh], np.int32),
-              np.asarray(hits.scores[Bh:], np.int32))
-    fp, rp = np.asarray(hits.ref_pos[:Bh]), np.asarray(hits.ref_pos[Bh:])
-    fe, re_ = np.asarray(hits.read_end[:Bh]), np.asarray(hits.read_end[Bh:])
+    fs, rs = hits.scores[:Bh], hits.scores[Bh:]
     rev = rs > fs                                 # ties prefer forward
-    sc = np.where(rev, rs, fs)
-    sgn = np.where(sc > 0, np.where(rev, -1, 1), 0).astype(np.int8)
+    sc = jnp.where(rev, rs, fs)
     return StrandedHits(
-        scores=jnp.asarray(sc),
-        ref_pos=jnp.asarray(np.where(rev, rp, fp)),
-        read_end=jnp.asarray(np.where(rev, re_, fe)),
-        strand=jnp.asarray(sgn))
+        scores=sc,
+        ref_pos=jnp.where(rev, hits.ref_pos[Bh:], hits.ref_pos[:Bh]),
+        read_end=jnp.where(rev, hits.read_end[Bh:], hits.read_end[:Bh]),
+        strand=jnp.where(sc > 0, jnp.where(rev, -1, 1), 0
+                         ).astype(jnp.int8))

@@ -334,3 +334,46 @@ def test_to_sam_plus_minus_and_softclips():
     # SEQ is stored in reference-forward orientation (the rc of the read)
     assert f1[9] == decode(revcomp(r1))
     assert f1[9] == decode(ref[600:630])
+
+
+def test_align_hits_tolerates_underreported_search_score():
+    """The searcher scores window fragments independently (halo = qlen),
+    so a gapped alignment straddling a window boundary with reference
+    span > qlen can be under-reported. align_hits must then return the
+    better re-aligned record (not crash failing to reproduce the lower
+    score) — simulated here by handing it hits whose score is below the
+    true optimum at the reported end column."""
+    from swtpu.dist.database import SearchHits, align_hits
+
+    rng = np.random.default_rng(79)
+    ref = rng.integers(0, 4, 1024).astype(np.int8)
+    p = 300
+    read = ref[p: p + 40].copy()
+    hits = SearchHits(scores=np.array([100], np.int32),      # true: 120
+                      ref_pos=np.array([p + 39], np.int32),
+                      read_end=np.array([40], np.int32))
+    recs = align_hits(hits, [read], ref)
+    r = recs[0]
+    assert r.score == 3 * 40
+    assert (r.ref_start, r.ref_end) == (p, p + 39)
+    assert r.cigar == "40M"
+
+
+def test_align_hits_truncated_read_stays_end_anchored():
+    """A read longer than the search qlen was truncated by pad_queries;
+    the hit refers to the truncated read, and align_hits (even given the
+    full read) reports an alignment ending at the hit's end column — the
+    extra bases simply stay unaligned."""
+    from swtpu.dist.database import align_hits
+
+    rng = np.random.default_rng(83)
+    ref = rng.integers(0, 4, 1024).astype(np.int8)
+    p = 300
+    full = ref[p: p + 40].copy()
+    q = pad_queries([full], 32)                  # truncates to 32
+    hits = search(q, ref, window=256)
+    assert int(hits.scores[0]) == 3 * 32
+    recs = align_hits(hits, [full], ref)
+    r = recs[0]
+    assert r.score >= 3 * 32
+    assert r.ref_end == p + 31
