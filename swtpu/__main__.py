@@ -21,7 +21,80 @@ import time
 import numpy as np
 
 
+def map_main(argv) -> int:
+    """``python -m swtpu map ref.fa reads.fa`` — FASTA/FASTQ in, SAM out:
+    the whole database pipeline (native reader -> batched device search,
+    optionally both strands -> ranked hit alignments) from the shell."""
+    ap = argparse.ArgumentParser(
+        prog="swtpu map",
+        description="Map reads against a reference; print SAM")
+    ap.add_argument("ref_fasta", help="reference FASTA (first record used)")
+    ap.add_argument("reads_fasta", help="reads FASTA/FASTQ")
+    ap.add_argument("-o", "--output", default="-", help="SAM path or '-'")
+    ap.add_argument("--strand", default="both",
+                    choices=["both", "forward"])
+    ap.add_argument("--window", type=int, default=32768)
+    ap.add_argument("--top", type=int, default=None,
+                    help="only report the best K hits (default: all >0)")
+    ap.add_argument("--min-score", type=int, default=1)
+    ap.add_argument("--match", type=int, default=3)
+    ap.add_argument("--mismatch", type=int, default=-3)
+    ap.add_argument("--gap", type=int, default=-2)
+    ap.add_argument("--affine", action="store_true")
+    ap.add_argument("--gap-open", type=int, default=-4)
+    ap.add_argument("--gap-extend", type=int, default=-1)
+    args = ap.parse_args(argv)
+
+    from . import Scoring
+    from .dist.database import align_hits, pad_queries, search, to_sam
+    from .runtime_native import read_seqfile, seq_names
+
+    ref = read_seqfile(args.ref_fasta)[0]
+    ref_name = (seq_names(args.ref_fasta) or ["ref"])[0]
+    reads = read_seqfile(args.reads_fasta)
+    names = seq_names(args.reads_fasta)
+    if len(names) != len(reads):
+        names = [f"read{i}" for i in range(len(reads))]
+    scoring = Scoring(match=args.match, mismatch=args.mismatch,
+                      gap=args.gap, gap_open=args.gap_open,
+                      gap_extend=args.gap_extend,
+                      mode="affine" if args.affine else "linear")
+    qlen = max((len(r) for r in reads), default=0)
+    if not reads or qlen == 0:
+        print("no reads", file=sys.stderr)
+        return 1
+    queries = pad_queries(reads, qlen)
+    t0 = time.perf_counter()
+    hits = search(queries, ref, window=args.window, scoring=scoring,
+                  strand=args.strand)
+    scores = np.asarray(hits.scores)
+    dt = time.perf_counter() - t0
+    print(f"searched {len(reads)} reads x {len(ref)} bases in {dt:.2f}s "
+          f"({len(reads) * qlen * len(ref) / dt / 1e9:.1f} GCUPS "
+          "effective, incl. jit compile)", file=sys.stderr)
+    sel = [i for i in np.argsort(-scores, kind="stable")
+           if scores[i] >= max(1, args.min_score)]
+    if args.top is not None:
+        sel = sel[: args.top]
+    recs = align_hits(hits, reads, ref, scoring=scoring,
+                      reads=[int(i) for i in sel])
+    sam = to_sam(recs, reads, ref_name=ref_name, ref_len=len(ref),
+                 read_names=names)
+    if args.output == "-":
+        sys.stdout.write(sam)
+    else:
+        with open(args.output, "w") as f:
+            f.write(sam)
+        print(f"wrote {len(recs)} records to {args.output}",
+              file=sys.stderr)
+    return 0
+
+
 def main(argv=None) -> int:
+    if argv is None:
+        argv = sys.argv[1:]
+    if argv and argv[0] == "map":
+        return map_main(argv[1:])
     ap = argparse.ArgumentParser(
         prog="swtpu", description="TPU-native Smith-Waterman alignment")
     ap.add_argument("m", nargs="?", type=int, default=None,

@@ -195,3 +195,27 @@ def read_seqfile(path: str) -> list[np.ndarray]:
     lib.sw_seqfile_read(path.encode(), codes, len(codes), offsets, nseq)
     bounds = list(offsets[:nseq]) + [total.value]
     return [codes[bounds[i]:bounds[i + 1]].copy() for i in range(nseq)]
+
+
+def seq_names(path: str) -> list[str]:
+    """Record names (first whitespace-delimited token of each FASTA '>' /
+    FASTQ '@' header), in file order — the companion of `read_seqfile`
+    for name-carrying output like SAM. Header scanning is plain text
+    handling, kept in Python; the sequence decode stays native."""
+    names = []
+    with open(path, "rb") as f:
+        fastq_state = 0
+        for line in f:
+            line = line.strip()
+            if not line:
+                continue
+            if line[:1] == b">":
+                names.append(line[1:].split()[0].decode(errors="replace")
+                             if len(line) > 1 else "")
+            elif line[:1] == b"@" and fastq_state == 0:
+                names.append(line[1:].split()[0].decode(errors="replace")
+                             if len(line) > 1 else "")
+                fastq_state = 3                   # skip seq, '+', qual
+            elif fastq_state:
+                fastq_state -= 1
+    return names

@@ -377,3 +377,38 @@ def test_align_hits_truncated_read_stays_end_anchored():
     r = recs[0]
     assert r.score >= 3 * 32
     assert r.ref_end == p + 31
+
+
+def test_map_cli_end_to_end(tmp_path):
+    """`python -m swtpu map ref.fa reads.fa` — native FASTA in, SAM out,
+    both strands, in a fresh process."""
+    import os
+    import subprocess
+    import sys
+
+    from swtpu.core.encode import decode, revcomp
+
+    rng = np.random.default_rng(91)
+    ref = rng.integers(0, 4, 4096).astype(np.int8)
+    fwd = ref[1000:1080]
+    rc = revcomp(ref[2000:2080])
+    (tmp_path / "ref.fa").write_text(">chrT\n" + decode(ref) + "\n")
+    (tmp_path / "reads.fa").write_text(
+        ">plus\n" + decode(fwd) + "\n>minus\n" + decode(rc) + "\n")
+    env = {k: v for k, v in os.environ.items()
+           if k != "PALLAS_AXON_POOL_IPS"}       # never touch the tunnel
+    env["JAX_PLATFORMS"] = "cpu"
+    out = subprocess.run(
+        [sys.executable, "-m", "swtpu", "map",
+         str(tmp_path / "ref.fa"), str(tmp_path / "reads.fa"),
+         "--min-score", "100"],
+        capture_output=True, text=True, timeout=240, env=env,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    assert out.returncode == 0, out.stderr
+    body = [ln.split("\t") for ln in out.stdout.strip().split("\n")
+            if not ln.startswith("@")]
+    by_name = {f[0]: f for f in body}
+    assert set(by_name) == {"plus", "minus"}
+    assert by_name["plus"][1] == "0" and by_name["plus"][3] == "1001"
+    assert by_name["minus"][1] == "16" and by_name["minus"][3] == "2001"
+    assert by_name["plus"][5] == by_name["minus"][5] == "80M"
