@@ -229,9 +229,24 @@ long sw_alignment(const int8_t* P, const int8_t* a, const int8_t* b,
 // ('@' records, quality lines skipped). Unknown bases encode as -1 -
 // alignment treats them as always-mismatch sentinels.
 
+// 256-entry code LUT from an alphabet string (case-insensitive); unknown
+// characters -> -1 (always-mismatch sentinel). Null alphabet = ACGT.
+static void build_lut(const char* alphabet, int8_t* lut) {
+  for (int i = 0; i < 256; ++i) lut[i] = -1;
+  if (!alphabet) alphabet = "ACGT";
+  for (int i = 0; alphabet[i]; ++i) {
+    unsigned char u = static_cast<unsigned char>(alphabet[i]);
+    lut[u] = static_cast<int8_t>(i);
+    if (u >= 'A' && u <= 'Z') lut[u + 32] = static_cast<int8_t>(i);
+    else if (u >= 'a' && u <= 'z') lut[u - 32] = static_cast<int8_t>(i);
+  }
+}
+
 static long scan_or_read(const char* path, int8_t* codes, long codes_cap,
                          long* offsets, long offsets_cap,
-                         long* total_out) {
+                         long* total_out, const int8_t* lut = nullptr) {
+  int8_t dna_lut[256];
+  if (!lut) { build_lut(nullptr, dna_lut); lut = dna_lut; }
   FILE* f = std::fopen(path, "rb");
   if (!f) return -1;
   std::string line;
@@ -258,7 +273,7 @@ static long scan_or_read(const char* path, int8_t* codes, long codes_cap,
         continue; }
       if (fastq_line == 1) {           // sequence line
         for (char ch : line) {
-          if (codes && total < codes_cap) codes[total] = encode_base(ch);
+          if (codes && total < codes_cap) codes[total] = lut[static_cast<unsigned char>(ch)];
           ++total;
         }
         fastq_line = 2; continue;
@@ -274,7 +289,7 @@ static long scan_or_read(const char* path, int8_t* codes, long codes_cap,
     }
     if (in_seq) {
       for (char ch : line) {
-        if (codes && total < codes_cap) codes[total] = encode_base(ch);
+        if (codes && total < codes_cap) codes[total] = lut[static_cast<unsigned char>(ch)];
         ++total;
       }
     }
@@ -292,6 +307,18 @@ long sw_seqfile_read(const char* path, int8_t* codes, long codes_cap,
                      long* offsets, long offsets_cap) {
   long total = 0;
   return scan_or_read(path, codes, codes_cap, offsets, offsets_cap, &total);
+}
+
+// Alphabet-parameterized variant (e.g. the 21-letter protein alphabet):
+// codes are indices into `alphabet`, case-insensitive, unknown -> -1.
+long sw_seqfile_read_alpha(const char* path, int8_t* codes, long codes_cap,
+                           long* offsets, long offsets_cap,
+                           const char* alphabet) {
+  int8_t lut[256];
+  build_lut(alphabet, lut);
+  long total = 0;
+  return scan_or_read(path, codes, codes_cap, offsets, offsets_cap, &total,
+                      lut);
 }
 
 }  // extern "C"

@@ -41,23 +41,37 @@ def map_main(argv) -> int:
     ap.add_argument("--mismatch", type=int, default=-3)
     ap.add_argument("--gap", type=int, default=-2)
     ap.add_argument("--affine", action="store_true")
-    ap.add_argument("--gap-open", type=int, default=-4)
-    ap.add_argument("--gap-extend", type=int, default=-1)
+    ap.add_argument("--gap-open", type=int, default=None)
+    ap.add_argument("--gap-extend", type=int, default=None)
+    ap.add_argument("--blosum62", action="store_true",
+                    help="protein mode: BLOSUM62 scoring, protein-alphabet "
+                         "FASTA, affine -11/-1 defaults, forward-only")
     args = ap.parse_args(argv)
 
     from . import Scoring
     from .dist.database import align_hits, pad_queries, search, to_sam
     from .runtime_native import read_seqfile, seq_names
 
-    ref = read_seqfile(args.ref_fasta)[0]
+    sub = None
+    alphabet = None
+    if args.blosum62:
+        from .core.encode import PROTEIN_ALPHABET
+        from .core.substitution import BLOSUM62
+        sub, alphabet = BLOSUM62, PROTEIN_ALPHABET
+        args.affine = True
+        args.strand = "forward"
+    gap_open = args.gap_open if args.gap_open is not None \
+        else (-11 if args.blosum62 else -4)
+    gap_extend = args.gap_extend if args.gap_extend is not None else -1
+    ref = read_seqfile(args.ref_fasta, alphabet=alphabet)[0]
     ref_name = (seq_names(args.ref_fasta) or ["ref"])[0]
-    reads = read_seqfile(args.reads_fasta)
+    reads = read_seqfile(args.reads_fasta, alphabet=alphabet)
     names = seq_names(args.reads_fasta)
     if len(names) != len(reads):
         names = [f"read{i}" for i in range(len(reads))]
     scoring = Scoring(match=args.match, mismatch=args.mismatch,
-                      gap=args.gap, gap_open=args.gap_open,
-                      gap_extend=args.gap_extend,
+                      gap=args.gap, gap_open=gap_open,
+                      gap_extend=gap_extend,
                       mode="affine" if args.affine else "linear")
     qlen = max((len(r) for r in reads), default=0)
     if not reads or qlen == 0:
@@ -66,7 +80,7 @@ def map_main(argv) -> int:
     queries = pad_queries(reads, qlen)
     t0 = time.perf_counter()
     hits = search(queries, ref, window=args.window, scoring=scoring,
-                  strand=args.strand)
+                  strand=args.strand, substitution=sub)
     scores = np.asarray(hits.scores)
     dt = time.perf_counter() - t0
     print(f"searched {len(reads)} reads x {len(ref)} bases in {dt:.2f}s "
@@ -77,9 +91,9 @@ def map_main(argv) -> int:
     if args.top is not None:
         sel = sel[: args.top]
     recs = align_hits(hits, reads, ref, scoring=scoring,
-                      reads=[int(i) for i in sel])
+                      reads=[int(i) for i in sel], substitution=sub)
     sam = to_sam(recs, reads, ref_name=ref_name, ref_len=len(ref),
-                 read_names=names)
+                 read_names=names, alphabet=alphabet)
     if args.output == "-":
         sys.stdout.write(sam)
     else:

@@ -35,7 +35,7 @@ def _load() -> Optional[ctypes.CDLL]:
         lib = ctypes.CDLL(str(_LIB_PATH))
     except OSError:
         return None
-    if not hasattr(lib, "sw_fill"):
+    if not hasattr(lib, "sw_seqfile_read_alpha"):   # newest symbol
         # stale prebuilt library from before sw_fill existed: rebuild for
         # the NEXT process (the already-mapped handle can't be safely
         # swapped in-place) and fall back to NumPy in this one
@@ -63,6 +63,10 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.sw_seqfile_read.restype = ctypes.c_long
     lib.sw_seqfile_read.argtypes = [ctypes.c_char_p, i8p, ctypes.c_long,
                                     lp, ctypes.c_long]
+    lib.sw_seqfile_read_alpha.restype = ctypes.c_long
+    lib.sw_seqfile_read_alpha.argtypes = [ctypes.c_char_p, i8p,
+                                          ctypes.c_long, lp, ctypes.c_long,
+                                          ctypes.c_char_p]
     i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
     lib.sw_fill.restype = ctypes.c_int32
     lib.sw_fill.argtypes = [i8p, i8p, ctypes.c_long, ctypes.c_long,
@@ -180,9 +184,12 @@ def fill(a: np.ndarray, b: np.ndarray, scoring=None, sub=None):
     return OracleResult(H, P, int(maxpos.value), int(score))
 
 
-def read_seqfile(path: str) -> list[np.ndarray]:
+def read_seqfile(path: str, alphabet: Optional[str] = None
+                 ) -> list[np.ndarray]:
     """Parse FASTA/FASTQ into a list of int8 code arrays (native parser;
-    no Python fallback — production IO is native by design)."""
+    no Python fallback — production IO is native by design). ``alphabet``
+    maps characters to code indices (default ACGT); unknown characters
+    encode as the -1 always-mismatch sentinel."""
     lib = _load()
     if lib is None:
         raise RuntimeError("native runtime unavailable; run `make -C csrc`")
@@ -192,7 +199,11 @@ def read_seqfile(path: str) -> list[np.ndarray]:
         raise FileNotFoundError(path)
     codes = np.empty(max(1, total.value), np.int8)
     offsets = np.empty(max(1, nseq), np.int64)
-    lib.sw_seqfile_read(path.encode(), codes, len(codes), offsets, nseq)
+    if alphabet is None:
+        lib.sw_seqfile_read(path.encode(), codes, len(codes), offsets, nseq)
+    else:
+        lib.sw_seqfile_read_alpha(path.encode(), codes, len(codes),
+                                  offsets, nseq, alphabet.encode())
     bounds = list(offsets[:nseq]) + [total.value]
     return [codes[bounds[i]:bounds[i + 1]].copy() for i in range(nseq)]
 

@@ -412,3 +412,51 @@ def test_map_cli_end_to_end(tmp_path):
     assert by_name["plus"][1] == "0" and by_name["plus"][3] == "1001"
     assert by_name["minus"][1] == "16" and by_name["minus"][3] == "2001"
     assert by_name["plus"][5] == by_name["minus"][5] == "80M"
+
+
+def test_map_cli_protein_blosum62(tmp_path):
+    """`swtpu map --blosum62`: protein FASTA through the native
+    alphabet-parameterized reader, BLOSUM62+affine search, SAM out."""
+    import os
+    import subprocess
+    import sys
+
+    from swtpu.core.encode import PROTEIN_ALPHABET, decode
+
+    rng = np.random.default_rng(97)
+    ref = rng.integers(0, 20, 1500).astype(np.int8)
+    pep = ref[400:430]
+    (tmp_path / "ref.fa").write_text(
+        ">protRef\n" + decode(ref, PROTEIN_ALPHABET) + "\n")
+    (tmp_path / "peps.fa").write_text(
+        ">pep\n" + decode(pep, PROTEIN_ALPHABET) + "\n")
+    env = {k: v for k, v in os.environ.items()
+           if k != "PALLAS_AXON_POOL_IPS"}
+    env["JAX_PLATFORMS"] = "cpu"
+    out = subprocess.run(
+        [sys.executable, "-m", "swtpu", "map", str(tmp_path / "ref.fa"),
+         str(tmp_path / "peps.fa"), "--blosum62"],
+        capture_output=True, text=True, timeout=240, env=env,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    assert out.returncode == 0, out.stderr
+    rec = [ln for ln in out.stdout.strip().split("\n")
+           if ln.startswith("pep\t")][0].split("\t")
+    assert rec[3] == "401" and rec[5] == "30M"
+    assert rec[9] == decode(pep, PROTEIN_ALPHABET)
+    # exact self-match BLOSUM62 score
+    from swtpu.core.substitution import BLOSUM62
+    assert rec[11] == f"AS:i:{int(BLOSUM62[pep, pep].sum())}"
+
+
+def test_read_seqfile_protein_alphabet(tmp_path):
+    from swtpu.core.encode import PROTEIN_ALPHABET
+    from swtpu.runtime_native import available, read_seqfile
+
+    if not available():
+        pytest.skip("native lib unavailable")
+    (tmp_path / "p.fa").write_text(">a\nMKvl\nW?\n")
+    (seq,) = read_seqfile(str(tmp_path / "p.fa"),
+                          alphabet=PROTEIN_ALPHABET)
+    lut = {c: i for i, c in enumerate(PROTEIN_ALPHABET)}
+    assert list(seq) == [lut["M"], lut["K"], lut["V"], lut["L"],
+                         lut["W"], -1]
