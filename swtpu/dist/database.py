@@ -58,6 +58,58 @@ def _window_scorer(scoring: Scoring, substitution=None):
     return jax.vmap(one, in_axes=(0, None))
 
 
+class SearchHits2(NamedTuple):
+    """Best two hits per read at DISTINCT end positions (multi-mapping /
+    chimera detection; see `make_searcher(n_best=2)`). Secondary fields
+    are 0 / -1 / 0 when no second locus scored > 0."""
+
+    scores: jax.Array
+    ref_pos: jax.Array
+    read_end: jax.Array
+    scores2: jax.Array
+    ref_pos2: jax.Array
+    read_end2: jax.Array
+
+    @property
+    def primary(self) -> SearchHits:
+        return SearchHits(self.scores, self.ref_pos, self.read_end)
+
+    @property
+    def secondary(self) -> SearchHits:
+        return SearchHits(self.scores2, self.ref_pos2, self.read_end2)
+
+
+def _upd2(carry, s, pos, qi):
+    """Fold one candidate (score s, global end col pos, read end qi) into
+    a top-2-distinct-loci carry. Loci are deduped by end position: the
+    same alignment seen from two overlapping windows (where the earlier
+    window may truncate its start, lowering the score) refreshes its slot
+    instead of occupying both. Ties prefer the lower position, matching
+    the single-best searcher."""
+    s1, p1, e1, s2, p2, e2 = carry
+    # same-locus refresh (the untruncated view of a known alignment)
+    r1 = (pos == p1) & (s > s1)
+    s1_, e1_ = jnp.where(r1, s, s1), jnp.where(r1, qi, e1)
+    r2 = (pos == p2) & (s > s2) & (pos != p1)
+    s2_, e2_ = jnp.where(r2, s, s2), jnp.where(r2, qi, e2)
+    # distinct-locus competition
+    fresh = (s > 0) & (pos != p1)
+    new1 = fresh & ((s > s1_) | ((s == s1_) & (pos < p1)))
+    new2 = fresh & ~new1 & (pos != p2) \
+        & ((s > s2_) | ((s == s2_) & (pos < p2)))
+    s2n = jnp.where(new1, s1_, jnp.where(new2, s, s2_))
+    p2n = jnp.where(new1, p1, jnp.where(new2, pos, p2))
+    e2n = jnp.where(new1, e1_, jnp.where(new2, qi, e2_))
+    return (jnp.where(new1, s, s1_), jnp.where(new1, pos, p1),
+            jnp.where(new1, qi, e1_), s2n, p2n, e2n)
+
+
+def _merge2(c, other):
+    """Merge another top-2 carry (e.g. a neighbour device's) into c."""
+    c = _upd2(c, other[0], other[1], other[2])
+    return _upd2(c, other[3], other[4], other[5])
+
+
 def _searcher_plan(mesh: Optional[Mesh], qlen: int, window: int,
                    scoring: Scoring, plan: str, substitution=None) -> str:
     if plan != "auto":
@@ -81,18 +133,25 @@ def _searcher_plan(mesh: Optional[Mesh], qlen: int, window: int,
 def make_searcher(mesh: Optional[Mesh], qlen: int, shard_len: int,
                   window: int = 32768, scoring: Scoring = Scoring(),
                   axis: str = "data", plan: str = "auto",
-                  interpret: Optional[bool] = None, substitution=None):
+                  interpret: Optional[bool] = None, substitution=None,
+                  n_best: int = 1):
     """Build a jitted searcher.
 
     queries: (B, qlen) int8 (pad reads with -3 sentinel), replicated.
     ref_sharded: (D, shard_len + qlen) int8 — each row is a device's shard
     plus a qlen halo from the next shard (build with `shard_reference`).
-    Returns SearchHits with global reference positions.
+    Returns SearchHits with global reference positions — or, with
+    ``n_best=2``, SearchHits2 carrying the best two hits at distinct end
+    positions per read (multi-mapping detection; the same top-2 carry
+    rides the window scan, and devices merge their carries with one
+    all_gather).
 
     On TPU meshes the per-window scorer is the Pallas batch stripe kernel
     (reads packed in rows, reset masks between them — one kernel sweep per
     window for the whole batch); elsewhere the vmapped XLA scan.
     """
+    if n_best not in (1, 2):
+        raise ValueError(f"n_best must be 1 or 2, got {n_best}")
     ext = shard_len + qlen                 # shard + boundary halo
     window = min(window, ext)              # a window never exceeds a shard
     step = window - qlen                   # window stride (qlen overlap)
@@ -150,10 +209,61 @@ def make_searcher(mesh: Optional[Mesh], qlen: int, shard_len: int,
         bp = jnp.where(bs > 0, bp, -1)
         return bs, bp, be
 
+    def local2(queries, ref_shard, d):
+        # top-2-distinct-loci variant: same window sweep, _upd2 carry
+        B = queries.shape[0]
+        prepared = prepare_reads(queries)
+
+        def scan_windows(w, carry):
+            off = jnp.minimum(w * step, ext - window)
+            win = lax.dynamic_slice(ref_shard, (off,), (window,))
+            s, qi, wj = score_batch(prepared, win, B)
+            pos = d * shard_len + off + wj - 1
+            return _upd2(carry, s, pos, qi)
+
+        z = jnp.zeros((B,), jnp.int32)
+        sent = jnp.full((B,), 2**31 - 1, jnp.int32)
+        return lax.fori_loop(0, nwin, scan_windows,
+                             (z, sent, z, z, sent, z))
+
+    def _finish2(c):
+        s1, p1, e1, s2, p2, e2 = c
+        return SearchHits2(s1, jnp.where(s1 > 0, p1, -1), e1,
+                           s2, jnp.where(s2 > 0, p2, -1), e2)
+
     if mesh is None:
+        if n_best == 2:
+            def run2(queries, ref_sharded):
+                return _finish2(local2(queries, ref_sharded[0], 0))
+            return jax.jit(run2)
+
         def run(queries, ref_sharded):
             return SearchHits(*local(queries, ref_sharded[0], 0))
         return jax.jit(run)
+
+    if n_best == 2:
+        D = mesh.shape[axis]
+
+        def sharded2(queries, ref_sharded):
+            d = lax.axis_index(axis)
+            c = local2(queries, ref_sharded[0], d)
+            # one all_gather of the six (B,) carries, then every device
+            # folds all D top-2 sets identically (replicated result)
+            g = lax.all_gather(jnp.stack(c), axis)      # (D, 6, B)
+            z = jnp.zeros_like(c[0])
+            sent = jnp.full_like(c[0], 2**31 - 1)
+            merged = (z, sent, z, z, sent, z)
+            for i in range(D):
+                merged = _merge2(merged, tuple(g[i]))
+            return _finish2(merged)
+
+        fn2 = jax.shard_map(
+            sharded2, mesh=mesh,
+            in_specs=(P(), P(axis)),
+            out_specs=SearchHits2(P(), P(), P(), P(), P(), P()),
+            check_vma=False,
+        )
+        return jax.jit(fn2)
 
     def sharded(queries, ref_sharded):
         d = lax.axis_index(axis)
@@ -389,8 +499,12 @@ def to_sam(records: list[HitAlignment], queries, *, ref_name: str = "ref",
 def search(queries, reference, mesh: Optional[Mesh] = None,
            window: int = 32768, scoring: Scoring = Scoring(),
            axis: str = "data", substitution=None,
-           strand: str = "forward") -> Union[SearchHits, StrandedHits]:
+           strand: str = "forward", n_best: int = 1
+           ) -> Union[SearchHits, StrandedHits, SearchHits2]:
     """Convenience one-shot search (builds shards + searcher).
+
+    ``n_best=2`` returns SearchHits2 — the best two hits per read at
+    distinct end positions (forward strand only for now).
 
     ``strand="both"`` (DNA only) also searches every read's reverse
     complement in the same device sweep — the doubled batch rides the
@@ -404,6 +518,9 @@ def search(queries, reference, mesh: Optional[Mesh] = None,
     queries = np.asarray(queries, np.int8)
     if strand not in ("forward", "both"):
         raise ValueError(f"strand must be 'forward' or 'both', got {strand!r}")
+    if n_best == 2 and strand == "both":
+        raise ValueError("n_best=2 with strand='both' is not supported "
+                         "yet — search each strand explicitly")
     if strand == "both":
         if substitution is not None:
             raise ValueError("strand='both' is DNA-only (reverse "
@@ -415,7 +532,7 @@ def search(queries, reference, mesh: Optional[Mesh] = None,
                                         D, qlen)
     window = min(window, shards.shape[1])
     fn = make_searcher(mesh, qlen, shard_len, window, scoring, axis,
-                       substitution=substitution)
+                       substitution=substitution, n_best=n_best)
     hits = fn(jnp.asarray(queries), jnp.asarray(shards))
     if strand == "forward":
         return hits

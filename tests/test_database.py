@@ -460,3 +460,68 @@ def test_read_seqfile_protein_alphabet(tmp_path):
     lut = {c: i for i, c in enumerate(PROTEIN_ALPHABET)}
     assert list(seq) == [lut["M"], lut["K"], lut["V"], lut["L"],
                          lut["W"], -1]
+
+
+def test_search_n_best_two_loci(mesh):
+    """A read planted at two loci (second copy carries one SNP) yields a
+    primary hit at the exact copy and a secondary at the mutated one; a
+    single-locus read reports no second hit (overlapping windows must not
+    double-count the same alignment)."""
+    from swtpu.dist.database import align_hits
+
+    rng = np.random.default_rng(101)
+    ref = rng.integers(0, 4, 4096).astype(np.int8)
+    p1, p2 = 700, 2900
+    read = ref[p1: p1 + 32].copy()
+    mut = read.copy()
+    mut[10] = (mut[10] + 1) % 4
+    ref[p2: p2 + 32] = mut
+    ref[p1: p1 + 32] = read                      # keep exact copy intact
+    lone = ref[1500:1532].copy()
+    # windows of 256 with qlen overlap guarantee multi-window visibility
+    q = pad_queries([read, lone], 32)
+    hits = search(q, ref, mesh=mesh, window=256, n_best=2)
+    assert int(hits.scores[0]) == 96
+    assert int(hits.ref_pos[0]) == p1 + 31
+    assert int(hits.scores2[0]) == 96 - 6        # one SNP: 3 -> -3
+    assert int(hits.ref_pos2[0]) == p2 + 31
+    # single-locus read: the same alignment seen from two overlapping
+    # windows must NOT occupy both slots
+    assert int(hits.scores[1]) == 96
+    assert int(hits.ref_pos[1]) == 1531
+    assert int(hits.scores2[1]) < 96
+    assert int(hits.ref_pos2[1]) != 1531
+    # single-device == mesh
+    single = search(q, ref, mesh=None, window=256, n_best=2)
+    for f in range(6):
+        np.testing.assert_array_equal(np.asarray(hits[f]),
+                                      np.asarray(single[f]))
+    # primary view matches the n_best=1 searcher exactly
+    h1 = search(q, ref, mesh=mesh, window=256)
+    np.testing.assert_array_equal(np.asarray(hits.primary.scores),
+                                  np.asarray(h1.scores))
+    np.testing.assert_array_equal(np.asarray(hits.primary.ref_pos),
+                                  np.asarray(h1.ref_pos))
+    # align_hits consumes the secondary view directly
+    recs = align_hits(hits.secondary, q, ref, reads=[0])
+    assert recs[0].score == 90 and recs[0].ref_end == p2 + 31
+
+
+def test_search_n_best_cross_shard(mesh):
+    """Primary and secondary loci on different shards merge correctly
+    (the all_gather top-2 fold)."""
+    rng = np.random.default_rng(103)
+    L = 4096                                     # shard_len = 512 on 8 dev
+    ref = rng.integers(0, 4, L).astype(np.int8)
+    pA, pB = 100, 3700                           # shards 0 and 7
+    read = ref[pA: pA + 24].copy()
+    mut = read.copy()
+    mut[5] = (mut[5] + 2) % 4
+    ref[pB: pB + 24] = mut
+    ref[pA: pA + 24] = read
+    q = pad_queries([read], 24)
+    hits = search(q, ref, mesh=mesh, window=256, n_best=2)
+    assert int(hits.scores[0]) == 72
+    assert int(hits.ref_pos[0]) == pA + 23
+    assert int(hits.scores2[0]) == 66
+    assert int(hits.ref_pos2[0]) == pB + 23
