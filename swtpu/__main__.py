@@ -37,6 +37,9 @@ def map_main(argv) -> int:
     ap.add_argument("--top", type=int, default=None,
                     help="only report the best K hits (default: all >0)")
     ap.add_argument("--min-score", type=int, default=1)
+    ap.add_argument("--secondary", action="store_true",
+                    help="also search each read's second-best locus: tag "
+                         "primaries with XS:i and emit flag-256 records")
     ap.add_argument("--match", type=int, default=3)
     ap.add_argument("--mismatch", type=int, default=-3)
     ap.add_argument("--gap", type=int, default=-2)
@@ -80,7 +83,8 @@ def map_main(argv) -> int:
     queries = pad_queries(reads, qlen)
     t0 = time.perf_counter()
     hits = search(queries, ref, window=args.window, scoring=scoring,
-                  strand=args.strand, substitution=sub)
+                  strand=args.strand, substitution=sub,
+                  n_best=2 if args.secondary else 1)
     scores = np.asarray(hits.scores)
     dt = time.perf_counter() - t0
     print(f"searched {len(reads)} reads x {len(ref)} bases in {dt:.2f}s "
@@ -90,8 +94,20 @@ def map_main(argv) -> int:
            if scores[i] >= max(1, args.min_score)]
     if args.top is not None:
         sel = sel[: args.top]
-    recs = align_hits(hits, reads, ref, scoring=scoring,
-                      reads=[int(i) for i in sel], substitution=sub)
+    if args.secondary:
+        s2 = np.asarray(hits.scores2)
+        recs = align_hits(hits.primary, reads, ref, scoring=scoring,
+                          reads=[int(i) for i in sel], substitution=sub)
+        recs = [r._replace(xs=int(s2[r.read]) if s2[r.read] > 0 else None)
+                for r in recs]
+        sec_sel = [int(i) for i in sel if s2[i] >= max(1, args.min_score)]
+        recs += [r._replace(is_secondary=True)
+                 for r in align_hits(hits.secondary, reads, ref,
+                                     scoring=scoring, reads=sec_sel,
+                                     substitution=sub)]
+    else:
+        recs = align_hits(hits, reads, ref, scoring=scoring,
+                          reads=[int(i) for i in sel], substitution=sub)
     sam = to_sam(recs, reads, ref_name=ref_name, ref_len=len(ref),
                  read_names=names, alphabet=alphabet)
     if args.output == "-":

@@ -79,6 +79,30 @@ class SearchHits2(NamedTuple):
         return SearchHits(self.scores2, self.ref_pos2, self.read_end2)
 
 
+class StrandedHits2(NamedTuple):
+    """Best two hits per read across both strands and distinct loci
+    (see `search(strand="both", n_best=2)`)."""
+
+    scores: jax.Array
+    ref_pos: jax.Array
+    read_end: jax.Array
+    strand: jax.Array
+    scores2: jax.Array
+    ref_pos2: jax.Array
+    read_end2: jax.Array
+    strand2: jax.Array
+
+    @property
+    def primary(self) -> StrandedHits:
+        return StrandedHits(self.scores, self.ref_pos, self.read_end,
+                            self.strand)
+
+    @property
+    def secondary(self) -> StrandedHits:
+        return StrandedHits(self.scores2, self.ref_pos2, self.read_end2,
+                            self.strand2)
+
+
 def _upd2(carry, s, pos, qi):
     """Fold one candidate (score s, global end col pos, read end qi) into
     a top-2-distinct-loci carry. Loci are deduped by end position: the
@@ -356,6 +380,8 @@ class HitAlignment(NamedTuple):
     cigar: str           # SAM-style M/I/D runs (read as the query)
     strand: str = "+"    # '-' = the read aligned reverse-complemented;
     #                      read coords/strings are in that orientation
+    is_secondary: bool = False   # SAM flag 0x100 when rendered
+    xs: Optional[int] = None     # suboptimal (second locus) score tag
 
 
 def _strip_queries(queries) -> list[np.ndarray]:
@@ -414,7 +440,7 @@ def align_hits(hits: Union[SearchHits, StrandedHits], queries, reference,
     scores = np.asarray(hits.scores)
     pos = np.asarray(hits.ref_pos)
     strands = (np.asarray(hits.strand)
-               if isinstance(hits, StrandedHits) else None)
+               if hasattr(hits, "strand") else None)   # StrandedHits[2]
     qlist = _strip_queries(queries)
     if strands is not None:
         from ..core.encode import revcomp
@@ -461,6 +487,34 @@ def align_hits(hits: Union[SearchHits, StrandedHits], queries, reference,
     return out
 
 
+def _merge_stranded2(hits: SearchHits2, Bh: int) -> StrandedHits2:
+    """Top-2 over both strands: rank the four labeled candidates per read
+    (forward/reverse x primary/secondary) by score desc, then position
+    asc, then forward-first. Same-position hits on opposite strands are
+    distinct alignments and may occupy both slots."""
+    s = np.stack([np.asarray(hits.scores[:Bh]),
+                  np.asarray(hits.scores2[:Bh]),
+                  np.asarray(hits.scores[Bh:]),
+                  np.asarray(hits.scores2[Bh:])], axis=1)     # (B, 4)
+    p = np.stack([np.asarray(hits.ref_pos[:Bh]),
+                  np.asarray(hits.ref_pos2[:Bh]),
+                  np.asarray(hits.ref_pos[Bh:]),
+                  np.asarray(hits.ref_pos2[Bh:])], axis=1)
+    e = np.stack([np.asarray(hits.read_end[:Bh]),
+                  np.asarray(hits.read_end2[:Bh]),
+                  np.asarray(hits.read_end[Bh:]),
+                  np.asarray(hits.read_end2[Bh:])], axis=1)
+    st = np.broadcast_to(np.array([1, 1, -1, -1], np.int8), s.shape)
+    order = np.lexsort(((st < 0).astype(np.int8), p, -s), axis=1)[:, :2]
+    takes = lambda a: np.take_along_axis(a, order, axis=1)
+    s, p, e, st = takes(s), takes(p), takes(e), takes(st)
+    st = np.where(s > 0, st, 0).astype(np.int8)
+    p = np.where(s > 0, p, -1)
+    j = jnp.asarray
+    return StrandedHits2(j(s[:, 0]), j(p[:, 0]), j(e[:, 0]), j(st[:, 0]),
+                         j(s[:, 1]), j(p[:, 1]), j(e[:, 1]), j(st[:, 1]))
+
+
 def to_sam(records: list[HitAlignment], queries, *, ref_name: str = "ref",
            ref_len: Optional[int] = None, read_names=None,
            alphabet: Optional[str] = None) -> str:
@@ -485,14 +539,18 @@ def to_sam(records: list[HitAlignment], queries, *, ref_name: str = "ref",
             q = revcomp(q)
         name = (read_names[r.read] if read_names is not None
                 else f"read{r.read}")
-        flag = 16 if r.strand == "-" else 0
+        flag = (16 if r.strand == "-" else 0) \
+            | (256 if r.is_secondary else 0)
         head = f"{r.read_start}S" if r.read_start else ""
         tail_n = len(q) - 1 - r.read_end
         tail = f"{tail_n}S" if tail_n else ""
-        lines.append("\t".join([
+        fields = [
             name, str(flag), ref_name, str(r.ref_start + 1), "255",
             head + r.cigar + tail, "*", "0", "0",
-            decode(q, alphabet), "*", f"AS:i:{r.score}"]))
+            decode(q, alphabet), "*", f"AS:i:{r.score}"]
+        if r.xs is not None:
+            fields.append(f"XS:i:{r.xs}")
+        lines.append("\t".join(fields))
     return "\n".join(lines) + "\n"
 
 
@@ -504,7 +562,8 @@ def search(queries, reference, mesh: Optional[Mesh] = None,
     """Convenience one-shot search (builds shards + searcher).
 
     ``n_best=2`` returns SearchHits2 — the best two hits per read at
-    distinct end positions (forward strand only for now).
+    distinct end positions; combined with ``strand="both"`` it returns
+    StrandedHits2, the top two over all four strand/locus candidates.
 
     ``strand="both"`` (DNA only) also searches every read's reverse
     complement in the same device sweep — the doubled batch rides the
@@ -518,9 +577,6 @@ def search(queries, reference, mesh: Optional[Mesh] = None,
     queries = np.asarray(queries, np.int8)
     if strand not in ("forward", "both"):
         raise ValueError(f"strand must be 'forward' or 'both', got {strand!r}")
-    if n_best == 2 and strand == "both":
-        raise ValueError("n_best=2 with strand='both' is not supported "
-                         "yet — search each strand explicitly")
     if strand == "both":
         if substitution is not None:
             raise ValueError("strand='both' is DNA-only (reverse "
@@ -536,6 +592,8 @@ def search(queries, reference, mesh: Optional[Mesh] = None,
     hits = fn(jnp.asarray(queries), jnp.asarray(shards))
     if strand == "forward":
         return hits
+    if n_best == 2:
+        return _merge_stranded2(hits, B // 2)
     # strand merge stays on device (jnp.where) — a host round-trip here
     # would cost six tunnel fetches plus four re-uploads per search
     Bh = B // 2

@@ -525,3 +525,93 @@ def test_search_n_best_cross_shard(mesh):
     assert int(hits.ref_pos[0]) == pA + 23
     assert int(hits.scores2[0]) == 66
     assert int(hits.ref_pos2[0]) == pB + 23
+
+
+def test_search_both_strands_top2(mesh):
+    """strand='both' + n_best=2: the two slots rank over all four
+    strand/locus candidates — here the primary on the minus strand and
+    the secondary (one SNP weaker) on the plus strand."""
+    from swtpu.core.encode import revcomp
+    from swtpu.dist.database import align_hits
+
+    rng = np.random.default_rng(107)
+    ref = rng.integers(0, 4, 4096).astype(np.int8)
+    pA, pB = 800, 2700
+    site = ref[pA: pA + 32].copy()
+    weaker = site.copy()
+    weaker[7] = (weaker[7] + 1) % 4              # one SNP
+    ref[pB: pB + 32] = weaker
+    ref[pA: pA + 32] = site
+    read = revcomp(site)   # hits pA on '-' (96) and pB on '-' (one SNP, 90)
+    q = pad_queries([read], 32)
+    hits = search(q, ref, mesh=mesh, window=256, strand="both", n_best=2)
+    assert int(hits.scores[0]) == 96
+    assert int(hits.strand[0]) == -1
+    assert int(hits.ref_pos[0]) == pA + 31
+    assert int(hits.scores2[0]) == 90
+    assert int(hits.strand2[0]) == -1
+    assert int(hits.ref_pos2[0]) == pB + 31
+    # align_hits consumes the views with strand orientation
+    rp = align_hits(hits.primary, q, ref)
+    rs = align_hits(hits.secondary, q, ref)
+    assert rp[0].strand == "-" and rp[0].ref_start == pA
+    assert rs[0].strand == "-" and rs[0].ref_start == pB
+
+
+def test_search_both_strands_top2_mixed_strands():
+    """Candidates from different strands interleave correctly: plus-strand
+    primary, minus-strand secondary."""
+    from swtpu.core.encode import revcomp
+
+    rng = np.random.default_rng(109)
+    ref = rng.integers(0, 4, 2048).astype(np.int8)
+    pF, pR = 300, 1500
+    read = ref[pF: pF + 28].copy()               # exact forward hit
+    weaker = read.copy()
+    weaker[3] = (weaker[3] + 2) % 4
+    ref[pR: pR + 28] = revcomp(weaker)           # minus-strand weaker hit
+    ref[pF: pF + 28] = read
+    q = pad_queries([read], 28)
+    hits = search(q, ref, window=256, strand="both", n_best=2)
+    assert int(hits.scores[0]) == 84 and int(hits.strand[0]) == 1
+    assert int(hits.ref_pos[0]) == pF + 27
+    assert int(hits.scores2[0]) == 78 and int(hits.strand2[0]) == -1
+    assert int(hits.ref_pos2[0]) == pR + 27
+
+
+def test_map_cli_secondary_records(tmp_path):
+    """`swtpu map --secondary`: primary line carries XS:i (second-best
+    score); secondary locus emitted as a flag-256 record (272 when it is
+    on the minus strand)."""
+    import os
+    import subprocess
+    import sys
+
+    from swtpu.core.encode import decode, revcomp
+
+    rng = np.random.default_rng(113)
+    ref = rng.integers(0, 4, 3000).astype(np.int8)
+    site = ref[700:732].copy()
+    weak = site.copy()
+    weak[9] = (weak[9] + 1) % 4
+    ref[2000:2032] = revcomp(weak)
+    ref[700:732] = site
+    (tmp_path / "ref.fa").write_text(">c\n" + decode(ref) + "\n")
+    (tmp_path / "r.fa").write_text(">r1\n" + decode(site) + "\n")
+    env = {k: v for k, v in os.environ.items()
+           if k != "PALLAS_AXON_POOL_IPS"}
+    env["JAX_PLATFORMS"] = "cpu"
+    out = subprocess.run(
+        [sys.executable, "-m", "swtpu", "map", str(tmp_path / "ref.fa"),
+         str(tmp_path / "r.fa"), "--secondary", "--min-score", "50"],
+        capture_output=True, text=True, timeout=240, env=env,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    assert out.returncode == 0, out.stderr
+    body = [ln.split("\t") for ln in out.stdout.strip().split("\n")
+            if not ln.startswith("@")]
+    assert len(body) == 2
+    prim, sec = body
+    assert prim[1] == "0" and prim[3] == "701"
+    assert prim[11] == "AS:i:96" and prim[12] == "XS:i:90"
+    assert sec[1] == "272" and sec[3] == "2001"  # secondary + minus
+    assert sec[11] == "AS:i:90"
