@@ -178,6 +178,84 @@ def sweep(sizes=(512, 2048, 8192, 25632),
     return table
 
 
+def _time_batch(B: int, qlen: int, window: int, R: int, CB: int,
+                unroll: Optional[int], repeats: int = 2, k: int = 5,
+                scoring: Scoring = Scoring(), substitution=None) -> float:
+    """Seconds per window dispatch of batch_score_fn at this config,
+    timed exactly as the database searcher uses it (reads prepared once,
+    windows streamed)."""
+    from ..kernels.pallas_fill import batch_score_fn
+
+    rng = np.random.default_rng(0)
+    A = 4 if substitution is None else np.asarray(substitution).shape[0]
+    reads = rng.integers(0, A, (B, qlen)).astype(np.int8)
+    win = rng.integers(0, A, window).astype(np.int8)
+    fn = batch_score_fn(B, qlen, window, scoring=scoring, R=R, CB=CB,
+                        unroll=unroll, substitution=substitution)
+    rj, wj = jnp.asarray(reads), jnp.asarray(win)
+    prepared = fn.prepare(rj)
+    np.asarray(fn.score_prepared(prepared, wj)[0])    # compile
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        for _ in range(k - 1):
+            fn.score_prepared(prepared, wj)
+        np.asarray(fn.score_prepared(prepared, wj)[0])
+        best = min(best, (time.perf_counter() - t0) / k)
+    return best
+
+
+def sweep_batch(shapes=((2048, 152, 32768),),
+                r_candidates=(32, 16, 8, 4, 2, 1),
+                cb_candidates=(1, 2),
+                unrolls=(None, 8, 32),
+                verbose: bool = True,
+                allow_non_tpu: bool = False,
+                scoring: Scoring = Scoring(),
+                substitution=None) -> dict:
+    """Tune the batched window scorer the database searcher dispatches
+    (batch_score_fn): shapes are (B, qlen, window) triples; entries land
+    in the same table keyed (m=window, n=B*qlen) under the ``batch|``
+    signature, which `make_searcher` consults."""
+    from .plan import current_platform
+
+    if not allow_non_tpu and current_platform() != "tpu":
+        raise RuntimeError(
+            f"autotune.sweep_batch measures the live device; refusing on "
+            f"platform {current_platform()!r}")
+    sig = "batch|" + scoring_sig(scoring, substitution)
+    table = {"entries": []}
+    for B, qlen, window in shapes:
+        rows = []
+        for R in r_candidates:
+            if qlen % R:
+                continue
+            for CB in cb_candidates:
+                for U in unrolls:
+                    try:
+                        dt = _time_batch(B, qlen, window, R, CB, U,
+                                         scoring=scoring,
+                                         substitution=substitution)
+                    except Exception:
+                        continue
+                    rows.append({"plan": "stripe", "T": None, "R": R,
+                                 "CB": CB, "C": None, "unroll": U,
+                                 "s": dt,
+                                 "gcups": gcups(B * qlen * window, dt),
+                                 "kind": "sweep-batch", "B": B,
+                                 "qlen": qlen, "window": window})
+        if not rows:
+            continue
+        best = max(rows, key=lambda r: r["gcups"])
+        table["entries"].append({"m": window, "n": B * qlen, "sig": sig,
+                                 "best": best, "all": rows})
+        if verbose:
+            print(f"batch {B}x{qlen} win {window} [{sig}]: best "
+                  f"R={best['R']} CB={best['CB']} U={best['unroll']} "
+                  f"{best['gcups']:.1f} effective GCUPS")
+    return table
+
+
 def save(table: dict, path="swtpu_tuned.json") -> None:
     Path(path).write_text(json.dumps(table, indent=1))
 

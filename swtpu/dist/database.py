@@ -187,9 +187,23 @@ def make_searcher(mesh: Optional[Mesh], qlen: int, shard_len: int,
 
         def _stripe_fn(B):
             if B not in _stripe_cache:
+                kw = {}
+                # measured batch-scorer config (autotune.sweep_batch),
+                # matched on (window, total read rows) under the batch
+                # signature; R must still divide this qlen
+                from ..dispatch.autotune import scoring_sig
+                from ..dispatch.plan import _tuned_policy
+                pol = _tuned_policy()
+                if pol is not None:
+                    e = pol.choose_near(
+                        window, B * qlen,
+                        sig="batch|" + scoring_sig(scoring, substitution))
+                    if e and e.get("R") and qlen % e["R"] == 0:
+                        kw = dict(R=e["R"], CB=e.get("CB") or 2,
+                                  unroll=e.get("unroll"))
                 _stripe_cache[B] = batch_score_fn(
                     B, qlen, window, scoring=scoring, interpret=interpret,
-                    substitution=substitution)
+                    substitution=substitution, **kw)
             return _stripe_cache[B]
 
         def prepare_reads(queries):

@@ -1653,6 +1653,7 @@ def batch_score_fn(B: int, rlen: int, W: int,
                                                       window))
     fn.prepare = jax.jit(prepare)
     fn.score_prepared = jax.jit(score_prepared)
+    fn.config = {"T": T, "R": R, "CB": CB, "C": C, "unroll": u}
     return fn
 
 

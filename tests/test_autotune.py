@@ -56,3 +56,64 @@ def test_choose_plan_uses_tuned_table(tmp_path, monkeypatch):
     from swtpu.runtime_native import available
     # tiny problems: native host tier when the lib is built, scan else
     assert planmod.choose_plan(8, 8) == ("host" if available() else "scan")
+
+
+def test_batch_tuned_config_reaches_searcher(tmp_path, monkeypatch):
+    """A sweep_batch entry in the tuned table (batch| signature, keyed on
+    (window, B*qlen)) provably configures the batch_score_fn the database
+    searcher builds."""
+    import json
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from swtpu.dispatch import plan as planmod
+    from swtpu.dist import database as db
+    from swtpu.kernels import pallas_fill as pf
+
+    f = tmp_path / "tuned.json"
+    f.write_text(json.dumps({"entries": [
+        {"m": 128, "n": 3 * 24, "sig": "batch|linear",
+         "best": {"plan": "stripe", "T": None, "R": 8, "CB": 1, "C": None,
+                  "unroll": 8, "s": 0.001, "gcups": 1.0,
+                  "kind": "sweep-batch"},
+         "all": []}]}))
+    monkeypatch.setenv("SWTPU_TUNED_TABLE", str(f))
+    monkeypatch.setattr(planmod, "_policy_cache",
+                        {"loaded": False, "policy": None})
+    captured = {}
+    orig = pf.batch_score_fn
+
+    def spy(*a, **k):
+        fn = orig(*a, **k)
+        captured.update(fn.config)
+        return fn
+
+    monkeypatch.setattr(pf, "batch_score_fn", spy)
+    fn = db.make_searcher(None, qlen=24, shard_len=104, window=128,
+                          plan="stripe", interpret=True)
+    rng = np.random.default_rng(5)
+    ref = rng.integers(0, 4, 128).astype(np.int8)
+    reads = db.pad_queries([ref[10:34].copy()], 24)
+    shards, _ = db.shard_reference(ref, 1, 24)
+    hits = fn(jnp.asarray(np.repeat(reads, 3, axis=0)),
+              jnp.asarray(shards[:1]))
+    assert int(hits.scores[0]) == 72
+    assert captured["R"] == 8 and captured["CB"] == 1
+    assert captured["unroll"] == 8
+
+
+def test_sweep_batch_produces_entries(monkeypatch):
+    """CPU smoke of the batch sweep (interpret kernels, tiny shapes)."""
+    from swtpu.dispatch import autotune
+
+    monkeypatch.setattr("swtpu.dispatch.plan.current_platform",
+                        lambda: "cpu")
+    table = autotune.sweep_batch(shapes=((2, 16, 64),),
+                                 r_candidates=(8,), cb_candidates=(1,),
+                                 unrolls=(None,), verbose=False,
+                                 allow_non_tpu=True)
+    (e,) = table["entries"]
+    assert e["sig"] == "batch|linear"
+    assert e["m"] == 64 and e["n"] == 32
+    assert e["best"]["R"] == 8 and e["best"]["kind"] == "sweep-batch"
