@@ -61,9 +61,14 @@ def main():
     autotune.save(pol.table, path)
     print("merged tuned table ->", path, flush=True)
 
-    # measure the searcher end-to-end with the merged table in place
-    # (fresh process would be cleaner; the in-process policy cache has
-    # not loaded yet in this script, so the lookup sees the new rows)
+    # measure the searcher end-to-end with the merged table in place.
+    # Pin the table path explicitly — _tuned_policy resolves default
+    # filenames relative to the CWD, so running this script from
+    # anywhere but the repo root (or past a stray swtpu_tuned.json)
+    # would silently measure the UNTUNED config
+    os.environ["SWTPU_TUNED_TABLE"] = os.path.abspath(path)
+    from swtpu.dispatch import plan as planmod
+    planmod._policy_cache.update({"loaded": False, "policy": None})
     from swtpu.dist.database import make_searcher, shard_reference
     rng = np.random.default_rng(0)
     B, qlen, L = 2048, 152, 1_000_000

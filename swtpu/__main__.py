@@ -98,13 +98,20 @@ def map_main(argv) -> int:
         s2 = np.asarray(hits.scores2)
         recs = align_hits(hits.primary, reads, ref, scoring=scoring,
                           reads=[int(i) for i in sel], substitution=sub)
-        recs = [r._replace(xs=int(s2[r.read]) if s2[r.read] > 0 else None)
-                for r in recs]
         sec_sel = [int(i) for i in sel if s2[i] >= max(1, args.min_score)]
-        recs += [r._replace(is_secondary=True)
-                 for r in align_hits(hits.secondary, reads, ref,
-                                     scoring=scoring, reads=sec_sel,
-                                     substitution=sub)]
+        sec = [r._replace(is_secondary=True)
+               for r in align_hits(hits.secondary, reads, ref,
+                                   scoring=scoring, reads=sec_sel,
+                                   substitution=sub)]
+        # XS = the re-aligned secondary score where we have it (window
+        # truncation can under-report the raw search score; the AS of the
+        # flag-256 record and the primary's XS must agree), else the raw
+        # search second-best
+        sec_as = {r.read: r.score for r in sec}
+        recs = [r._replace(xs=sec_as.get(
+                    r.read, int(s2[r.read]) if s2[r.read] > 0 else None))
+                for r in recs]
+        recs += sec
     else:
         recs = align_hits(hits, reads, ref, scoring=scoring,
                           reads=[int(i) for i in sel], substitution=sub)

@@ -226,7 +226,7 @@ def sweep_batch(shapes=((2048, 152, 32768),),
     sig = "batch|" + scoring_sig(scoring, substitution)
     table = {"entries": []}
     for B, qlen, window in shapes:
-        rows = []
+        rows, skipped = [], []
         for R in r_candidates:
             if qlen % R:
                 continue
@@ -236,7 +236,9 @@ def sweep_batch(shapes=((2048, 152, 32768),),
                         dt = _time_batch(B, qlen, window, R, CB, U,
                                          scoring=scoring,
                                          substitution=substitution)
-                    except Exception:
+                    except Exception as e:
+                        skipped.append((R, CB, U, f"{type(e).__name__}: "
+                                        f"{e}"))
                         continue
                     rows.append({"plan": "stripe", "T": None, "R": R,
                                  "CB": CB, "C": None, "unroll": U,
@@ -244,7 +246,17 @@ def sweep_batch(shapes=((2048, 152, 32768),),
                                  "gcups": gcups(B * qlen * window, dt),
                                  "kind": "sweep-batch", "B": B,
                                  "qlen": qlen, "window": window})
+        if verbose and skipped:
+            print(f"batch {B}x{qlen} win {window}: {len(skipped)} "
+                  f"configs failed (last: R={skipped[-1][0]} "
+                  f"CB={skipped[-1][1]} U={skipped[-1][2]} "
+                  f"{skipped[-1][3]})")
         if not rows:
+            if skipped:
+                raise RuntimeError(
+                    f"sweep_batch: every config failed for shape "
+                    f"({B}, {qlen}, {window}); last error: "
+                    f"{skipped[-1][3]}")
             continue
         best = max(rows, key=lambda r: r["gcups"])
         table["entries"].append({"m": window, "n": B * qlen, "sig": sig,

@@ -59,7 +59,9 @@ def _window_scorer(scoring: Scoring, substitution=None):
 
 
 class SearchHits2(NamedTuple):
-    """Best two hits per read at DISTINCT end positions (multi-mapping /
+    """Best two hits per read at DISTINCT loci — end positions more than
+    a read length apart, so the two window views of one boundary-
+    straddling alignment never count as two loci (multi-mapping /
     chimera detection; see `make_searcher(n_best=2)`). Secondary fields
     are 0 / -1 / 0 when no second locus scored > 0."""
 
@@ -103,35 +105,52 @@ class StrandedHits2(NamedTuple):
                             self.strand2)
 
 
-def _upd2(carry, s, pos, qi):
+def _upd2(carry, s, pos, qi, min_dist: int = 0):
     """Fold one candidate (score s, global end col pos, read end qi) into
-    a top-2-distinct-loci carry. Loci are deduped by end position: the
-    same alignment seen from two overlapping windows (where the earlier
-    window may truncate its start, lowering the score) refreshes its slot
-    instead of occupying both. Ties prefer the lower position, matching
-    the single-best searcher."""
+    a top-2-distinct-loci carry. Two slots hold DISTINCT loci: end
+    positions more than ``min_dist`` apart (pass the read length — a
+    boundary-straddling alignment is seen twice by overlapping windows,
+    once end-truncated at the boundary with a shifted end position, so
+    exact-position dedup is not enough; any candidate within a read
+    length of the primary is a view of the same alignment, while real
+    extra loci of the same read necessarily end further away). A
+    same-position (or near-position, better-scoring) candidate refreshes
+    its slot. Ties prefer the lower position, matching the single-best
+    searcher."""
     s1, p1, e1, s2, p2, e2 = carry
+    near1 = jnp.abs(pos - p1) <= min_dist
+    near2 = jnp.abs(pos - p2) <= min_dist
     # same-locus refresh (the untruncated view of a known alignment)
-    r1 = (pos == p1) & (s > s1)
+    r1 = near1 & (s > s1)
     s1_, e1_ = jnp.where(r1, s, s1), jnp.where(r1, qi, e1)
-    r2 = (pos == p2) & (s > s2) & (pos != p1)
+    p1_ = jnp.where(r1, pos, p1)
+    r2 = near2 & (s > s2) & ~near1
     s2_, e2_ = jnp.where(r2, s, s2), jnp.where(r2, qi, e2)
+    p2_ = jnp.where(r2, pos, p2)
     # distinct-locus competition
-    fresh = (s > 0) & (pos != p1)
-    new1 = fresh & ((s > s1_) | ((s == s1_) & (pos < p1)))
-    new2 = fresh & ~new1 & (pos != p2) \
-        & ((s > s2_) | ((s == s2_) & (pos < p2)))
+    fresh = (s > 0) & ~near1
+    new1 = fresh & ((s > s1_) | ((s == s1_) & (pos < p1_)))
+    new2 = fresh & ~new1 & ~near2 \
+        & ((s > s2_) | ((s == s2_) & (pos < p2_)))
+    # on promotion the old slot-1 (necessarily > min_dist away, since a
+    # near candidate takes the refresh path instead) drops to slot 2
     s2n = jnp.where(new1, s1_, jnp.where(new2, s, s2_))
-    p2n = jnp.where(new1, p1, jnp.where(new2, pos, p2))
+    p2n = jnp.where(new1, p1_, jnp.where(new2, pos, p2_))
     e2n = jnp.where(new1, e1_, jnp.where(new2, qi, e2_))
-    return (jnp.where(new1, s, s1_), jnp.where(new1, pos, p1),
+    # a new primary can also invalidate a slot 2 that sits within
+    # min_dist of it (e.g. an earlier truncated view of the new winner)
+    kill2 = jnp.abs(p2n - jnp.where(new1, pos, p1_)) <= min_dist
+    s2n = jnp.where(kill2, 0, s2n)
+    p2n = jnp.where(kill2, 2**31 - 1, p2n)
+    e2n = jnp.where(kill2, 0, e2n)
+    return (jnp.where(new1, s, s1_), jnp.where(new1, pos, p1_),
             jnp.where(new1, qi, e1_), s2n, p2n, e2n)
 
 
-def _merge2(c, other):
+def _merge2(c, other, min_dist: int = 0):
     """Merge another top-2 carry (e.g. a neighbour device's) into c."""
-    c = _upd2(c, other[0], other[1], other[2])
-    return _upd2(c, other[3], other[4], other[5])
+    c = _upd2(c, other[0], other[1], other[2], min_dist)
+    return _upd2(c, other[3], other[4], other[5], min_dist)
 
 
 def _searcher_plan(mesh: Optional[Mesh], qlen: int, window: int,
@@ -257,7 +276,7 @@ def make_searcher(mesh: Optional[Mesh], qlen: int, shard_len: int,
             win = lax.dynamic_slice(ref_shard, (off,), (window,))
             s, qi, wj = score_batch(prepared, win, B)
             pos = d * shard_len + off + wj - 1
-            return _upd2(carry, s, pos, qi)
+            return _upd2(carry, s, pos, qi, min_dist=qlen)
 
         z = jnp.zeros((B,), jnp.int32)
         sent = jnp.full((B,), 2**31 - 1, jnp.int32)
@@ -292,7 +311,7 @@ def make_searcher(mesh: Optional[Mesh], qlen: int, shard_len: int,
             sent = jnp.full_like(c[0], 2**31 - 1)
             merged = (z, sent, z, z, sent, z)
             for i in range(D):
-                merged = _merge2(merged, tuple(g[i]))
+                merged = _merge2(merged, tuple(g[i]), min_dist=qlen)
             return _finish2(merged)
 
         fn2 = jax.shard_map(
@@ -501,32 +520,47 @@ def align_hits(hits: Union[SearchHits, StrandedHits], queries, reference,
     return out
 
 
+@functools.partial(jax.jit, static_argnums=(1,))
 def _merge_stranded2(hits: SearchHits2, Bh: int) -> StrandedHits2:
     """Top-2 over both strands: rank the four labeled candidates per read
-    (forward/reverse x primary/secondary) by score desc, then position
-    asc, then forward-first. Same-position hits on opposite strands are
-    distinct alignments and may occupy both slots."""
-    s = np.stack([np.asarray(hits.scores[:Bh]),
-                  np.asarray(hits.scores2[:Bh]),
-                  np.asarray(hits.scores[Bh:]),
-                  np.asarray(hits.scores2[Bh:])], axis=1)     # (B, 4)
-    p = np.stack([np.asarray(hits.ref_pos[:Bh]),
-                  np.asarray(hits.ref_pos2[:Bh]),
-                  np.asarray(hits.ref_pos[Bh:]),
-                  np.asarray(hits.ref_pos2[Bh:])], axis=1)
-    e = np.stack([np.asarray(hits.read_end[:Bh]),
-                  np.asarray(hits.read_end2[:Bh]),
-                  np.asarray(hits.read_end[Bh:]),
-                  np.asarray(hits.read_end2[Bh:])], axis=1)
-    st = np.broadcast_to(np.array([1, 1, -1, -1], np.int8), s.shape)
-    order = np.lexsort(((st < 0).astype(np.int8), p, -s), axis=1)[:, :2]
-    takes = lambda a: np.take_along_axis(a, order, axis=1)
-    s, p, e, st = takes(s), takes(p), takes(e), takes(st)
-    st = np.where(s > 0, st, 0).astype(np.int8)
-    p = np.where(s > 0, p, -1)
-    j = jnp.asarray
-    return StrandedHits2(j(s[:, 0]), j(p[:, 0]), j(e[:, 0]), j(st[:, 0]),
-                         j(s[:, 1]), j(p[:, 1]), j(e[:, 1]), j(st[:, 1]))
+    (forward/reverse x primary/secondary) by score desc, then
+    forward-first (the single-best merge's tie rule), then position asc.
+    Same-position hits on opposite strands are distinct alignments and
+    may occupy both slots. Stays on device — a host round-trip here
+    would cost twelve tunnel fetches plus eight re-uploads per search."""
+    # candidate columns in PREFERENCE order: forward slot1, forward
+    # slot2, reverse slot1, reverse slot2. Within a strand, slot1 already
+    # dominates slot2 (higher score, or equal score at lower position),
+    # so across the ordered columns only a STRICTLY higher score may
+    # displace an earlier candidate — which encodes exactly "score desc,
+    # then forward-first, then position asc" with plain int32 compares.
+    cols = [(hits.scores[:Bh], hits.ref_pos[:Bh], hits.read_end[:Bh], 1),
+            (hits.scores2[:Bh], hits.ref_pos2[:Bh], hits.read_end2[:Bh], 1),
+            (hits.scores[Bh:], hits.ref_pos[Bh:], hits.read_end[Bh:], -1),
+            (hits.scores2[Bh:], hits.ref_pos2[Bh:], hits.read_end2[Bh:],
+             -1)]
+
+    def top(excl_idx):
+        zb = jnp.zeros_like(cols[0][0])
+        best = (zb - 1, zb - 1, zb, zb.astype(jnp.int8), zb - 1)
+        for i, (s, p, e, st) in enumerate(cols):
+            s = jnp.where(excl_idx == i, -1, s) if excl_idx is not None \
+                else s
+            take = s > best[0]
+            best = (jnp.where(take, s, best[0]),
+                    jnp.where(take, p, best[1]),
+                    jnp.where(take, e, best[2]),
+                    jnp.where(take, st, best[3]).astype(jnp.int8),
+                    jnp.where(take, i, best[4]))
+        return best
+
+    s1, p1, e1, st1, i1 = top(None)
+    s2, p2, e2, st2, _ = top(i1)
+    return StrandedHits2(
+        jnp.maximum(s1, 0), jnp.where(s1 > 0, p1, -1), e1,
+        jnp.where(s1 > 0, st1, 0).astype(jnp.int8),
+        jnp.maximum(s2, 0), jnp.where(s2 > 0, p2, -1), e2,
+        jnp.where(s2 > 0, st2, 0).astype(jnp.int8))
 
 
 def to_sam(records: list[HitAlignment], queries, *, ref_name: str = "ref",

@@ -220,13 +220,18 @@ def seq_names(path: str) -> list[str]:
             line = line.strip()
             if not line:
                 continue
+            # consume FASTQ seq/'+'/quality lines BEFORE any header
+            # check: quality strings legally contain '>' and '@'
+            # (Phred+33), so first-character dispatch inside a record
+            # would mint bogus names and swallow the next real header
+            if fastq_state:
+                fastq_state -= 1
+                continue
             if line[:1] == b">":
                 names.append(line[1:].split()[0].decode(errors="replace")
                              if len(line) > 1 else "")
-            elif line[:1] == b"@" and fastq_state == 0:
+            elif line[:1] == b"@":
                 names.append(line[1:].split()[0].decode(errors="replace")
                              if len(line) > 1 else "")
                 fastq_state = 3                   # skip seq, '+', qual
-            elif fastq_state:
-                fastq_state -= 1
     return names

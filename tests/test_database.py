@@ -615,3 +615,76 @@ def test_map_cli_secondary_records(tmp_path):
     assert prim[11] == "AS:i:96" and prim[12] == "XS:i:90"
     assert sec[1] == "272" and sec[3] == "2001"  # secondary + minus
     assert sec[11] == "AS:i:90"
+
+
+def test_n_best_no_phantom_secondary_at_window_boundary():
+    """A uniquely-mapping read straddling a window boundary is seen twice
+    (once end-truncated at the boundary with a SHIFTED end position);
+    the truncated view must not surface as a phantom second locus."""
+    rng = np.random.default_rng(127)
+    ref = rng.integers(0, 4, 512).astype(np.int8)
+    p = 110                                      # spans windows 0 and 1
+    read = ref[p: p + 32].copy()
+    hits = search(pad_queries([read], 32), ref, window=128, n_best=2)
+    assert int(hits.scores[0]) == 96
+    assert int(hits.ref_pos[0]) == p + 31
+    # the end-truncated view scores 3 * 18 = 54 at the window-0 boundary
+    # (pos 127); a genuine weak secondary elsewhere is fine, but nothing
+    # within a read length of the primary may occupy the second slot
+    if int(hits.scores2[0]) > 0:
+        assert abs(int(hits.ref_pos2[0]) - int(hits.ref_pos[0])) > 32
+        assert int(hits.scores2[0]) < 54
+
+
+def test_n_best_boundary_straddler_with_real_second_locus(mesh):
+    """The boundary-straddling primary still reports its genuine second
+    locus elsewhere (the truncated view must not shadow it either)."""
+    rng = np.random.default_rng(131)
+    ref = rng.integers(0, 4, 2048).astype(np.int8)
+    p1, p2 = 110, 1500                           # p1 straddles window 0/1
+    read = ref[p1: p1 + 32].copy()
+    weak = read.copy()
+    weak[4] = (weak[4] + 1) % 4
+    ref[p2: p2 + 32] = weak
+    ref[p1: p1 + 32] = read
+    for m in (None, mesh):
+        hits = search(pad_queries([read], 32), ref, mesh=m, window=128,
+                      n_best=2)
+        assert int(hits.scores[0]) == 96, m
+        assert int(hits.ref_pos[0]) == p1 + 31, m
+        assert int(hits.scores2[0]) == 90, m
+        assert int(hits.ref_pos2[0]) == p2 + 31, m
+
+
+def test_both_strands_top2_tie_prefers_forward():
+    """Equal-score hits on both strands: the primary must be the forward
+    one regardless of position — the same tie rule as n_best=1."""
+    from swtpu.core.encode import revcomp
+
+    rng = np.random.default_rng(137)
+    ref = rng.integers(0, 4, 2048).astype(np.int8)
+    pR, pF = 300, 1500                           # reverse locus FIRST
+    read = ref[pF: pF + 28].copy()
+    ref[pR: pR + 28] = revcomp(read)
+    ref[pF: pF + 28] = read
+    q = pad_queries([read], 28)
+    h1 = search(q, ref, window=256, strand="both")
+    h2 = search(q, ref, window=256, strand="both", n_best=2)
+    assert int(h1.strand[0]) == 1 and int(h1.ref_pos[0]) == pF + 27
+    assert int(h2.strand[0]) == 1 and int(h2.ref_pos[0]) == pF + 27
+    assert int(h2.strand2[0]) == -1 and int(h2.ref_pos2[0]) == pR + 27
+
+
+def test_seq_names_fastq_quality_line_starting_with_header_chars(tmp_path):
+    """'>' and '@' are legal Phred+33 quality characters; names must come
+    only from real headers."""
+    from swtpu.runtime_native import available, read_seqfile, seq_names
+
+    fq = tmp_path / "r.fq"
+    fq.write_text("@read1\nACGTACGT\n+\n>IIIIIII\n"
+                  "@read2\nTTTTACGT\n+\n@IIIIIII\n")
+    assert seq_names(str(fq)) == ["read1", "read2"]
+    if available():
+        seqs = read_seqfile(str(fq))
+        assert len(seqs) == 2
+        assert list(seqs[1][:4]) == [3, 3, 3, 3]
