@@ -520,6 +520,9 @@ def align_hits(hits: Union[SearchHits, StrandedHits], queries, reference,
     return out
 
 
+_searcher_memo: dict = {}    # search()'s builder cache (retrace saver)
+
+
 @functools.partial(jax.jit, static_argnums=(1,))
 def _merge_stranded2(hits: SearchHits2, Bh: int) -> StrandedHits2:
     """Top-2 over both strands: rank the four labeled candidates per read
@@ -618,10 +621,9 @@ def search(queries, reference, mesh: Optional[Mesh] = None,
     same batched kernel — and returns `StrandedHits` with the winning
     strand per read (higher score wins; ties prefer forward).
 
-    NOTE: builds a fresh jitted searcher every call — for repeated
-    searches build one with `make_searcher` and reuse it (the jit cache
-    then makes subsequent calls pure device time; see
-    examples/read_mapping.py)."""
+    Searchers are memoized on (shape, scoring, table, mesh), so repeated
+    same-shape calls skip the retrace; for full control build one with
+    `make_searcher` and reuse it (see examples/read_mapping.py)."""
     queries = np.asarray(queries, np.int8)
     if strand not in ("forward", "both"):
         raise ValueError(f"strand must be 'forward' or 'both', got {strand!r}")
@@ -635,8 +637,22 @@ def search(queries, reference, mesh: Optional[Mesh] = None,
     shards, shard_len = shard_reference(np.asarray(reference, np.int8),
                                         D, qlen)
     window = min(window, shards.shape[1])
-    fn = make_searcher(mesh, qlen, shard_len, window, scoring, axis,
-                       substitution=substitution, n_best=n_best)
+    sub_key = (None if substitution is None
+               else np.asarray(substitution).tobytes())
+    try:
+        mesh_key = hash(mesh)
+    except TypeError:                  # pragma: no cover - unhashable mesh
+        mesh_key = id(mesh)
+    from ..dispatch.plan import _policy_cache
+    key = (qlen, shard_len, window, scoring, axis, sub_key, mesh_key,
+           n_best, id(_policy_cache.get("policy")))
+    fn = _searcher_memo.get(key)
+    if fn is None:
+        fn = make_searcher(mesh, qlen, shard_len, window, scoring, axis,
+                           substitution=substitution, n_best=n_best)
+        if len(_searcher_memo) >= 16:
+            _searcher_memo.pop(next(iter(_searcher_memo)))
+        _searcher_memo[key] = fn
     hits = fn(jnp.asarray(queries), jnp.asarray(shards))
     if strand == "forward":
         return hits
