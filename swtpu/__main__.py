@@ -28,7 +28,8 @@ def map_main(argv) -> int:
     ap = argparse.ArgumentParser(
         prog="swtpu map",
         description="Map reads against a reference; print SAM")
-    ap.add_argument("ref_fasta", help="reference FASTA (first record used)")
+    ap.add_argument("ref_fasta",
+                    help="reference FASTA (multi-record/chromosome OK)")
     ap.add_argument("reads_fasta", help="reads FASTA/FASTQ")
     ap.add_argument("-o", "--output", default="-", help="SAM path or '-'")
     ap.add_argument("--strand", default="both",
@@ -66,8 +67,10 @@ def map_main(argv) -> int:
     gap_open = args.gap_open if args.gap_open is not None \
         else (-11 if args.blosum62 else -4)
     gap_extend = args.gap_extend if args.gap_extend is not None else -1
-    ref = read_seqfile(args.ref_fasta, alphabet=alphabet)[0]
-    ref_name = (seq_names(args.ref_fasta) or ["ref"])[0]
+    ref_seqs = read_seqfile(args.ref_fasta, alphabet=alphabet)
+    ref_names = seq_names(args.ref_fasta)
+    if len(ref_names) != len(ref_seqs):
+        ref_names = [f"ref{i}" for i in range(len(ref_seqs))]
     reads = read_seqfile(args.reads_fasta, alphabet=alphabet)
     names = seq_names(args.reads_fasta)
     if len(names) != len(reads):
@@ -77,9 +80,16 @@ def map_main(argv) -> int:
                       gap_extend=gap_extend,
                       mode="affine" if args.affine else "linear")
     qlen = max((len(r) for r in reads), default=0)
-    if not reads or qlen == 0:
-        print("no reads", file=sys.stderr)
+    if not reads or qlen == 0 or not ref_seqs:
+        print("no reads or empty reference", file=sys.stderr)
         return 1
+    if len(ref_seqs) > 1:
+        # one searchable array; spacers make cross-record alignments
+        # strictly unprofitable, coordinates map back per record
+        from .dist.database import concat_references
+        ref, ref_starts = concat_references(ref_seqs, qlen, scoring)
+    else:
+        ref, ref_starts = ref_seqs[0], None
     queries = pad_queries(reads, qlen)
     t0 = time.perf_counter()
     hits = search(queries, ref, window=args.window, scoring=scoring,
@@ -115,8 +125,25 @@ def map_main(argv) -> int:
     else:
         recs = align_hits(hits, reads, ref, scoring=scoring,
                           reads=[int(i) for i in sel], substitution=sub)
-    sam = to_sam(recs, reads, ref_name=ref_name, ref_len=len(ref),
-                 read_names=names, alphabet=alphabet)
+    if ref_starts is not None:
+        # global concat coords -> per-record (RNAME, local POS)
+        from .dist.database import locate_record
+        fixed = []
+        for r in recs:
+            ci, lo = locate_record(ref_starts, ref_seqs, r.ref_start)
+            cj, _ = locate_record(ref_starts, ref_seqs, r.ref_end)
+            if ci != cj:               # pragma: no cover - spacer math
+                raise AssertionError(
+                    f"alignment spans records {ci}/{cj}")
+            fixed.append(r._replace(
+                rname=ref_names[ci], ref_start=lo,
+                ref_end=r.ref_end - int(ref_starts[ci])))
+        recs = fixed
+        sam = to_sam(recs, reads, read_names=names, alphabet=alphabet,
+                     sq=[(n, len(s)) for n, s in zip(ref_names, ref_seqs)])
+    else:
+        sam = to_sam(recs, reads, ref_name=ref_names[0], ref_len=len(ref),
+                     read_names=names, alphabet=alphabet)
     if args.output == "-":
         sys.stdout.write(sam)
     else:

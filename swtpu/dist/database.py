@@ -359,6 +359,46 @@ def shard_reference(ref: np.ndarray, n_shards: int, qlen: int
     return out, shard_len
 
 
+def concat_references(seqs: list[np.ndarray], qlen: int,
+                      scoring: Scoring = Scoring()
+                      ) -> tuple[np.ndarray, np.ndarray]:
+    """Concatenate reference records (chromosomes) into one searchable
+    array with never-matching ``-2`` spacers sized so that NO local
+    alignment can profitably span two records: crossing a spacer of
+    length L costs at least L x |cheapest per-base gap| while the read
+    can contribute at most match x qlen more, so L > match*qlen/|gap| + 1
+    makes any spanning alignment strictly worse than its best side alone
+    (plus a qlen pad so windows land cleanly). Returns (cat, starts)
+    where starts[i] is record i's offset into cat."""
+    ge = abs(scoring.gap_extend if scoring.is_affine else scoring.gap)
+    spacer = int(scoring.match) * qlen // max(1, ge) + qlen + 1
+    starts = []
+    parts = []
+    off = 0
+    gap = np.full(spacer, -2, np.int8)
+    for i, s in enumerate(seqs):
+        s = np.asarray(s, np.int8)
+        starts.append(off)
+        parts.append(s)
+        off += len(s)
+        if i != len(seqs) - 1:
+            parts.append(gap)
+            off += spacer
+    return np.concatenate(parts), np.asarray(starts, np.int64)
+
+
+def locate_record(starts: np.ndarray, seqs: list[np.ndarray],
+                  global_pos: int) -> tuple[int, int]:
+    """(record index, local position) for a `concat_references` global
+    position. Raises if the position falls in a spacer."""
+    i = int(np.searchsorted(starts, global_pos, side="right")) - 1
+    local = global_pos - int(starts[i])
+    if local >= len(seqs[i]):
+        raise ValueError(f"position {global_pos} falls in the spacer "
+                         f"after record {i}")
+    return i, local
+
+
 def pad_queries(queries: list[np.ndarray], qlen: int) -> np.ndarray:
     """Stack variable-length reads into (B, qlen) with the -3 sentinel
     (distinct from the reference pad so padding never matches anything)."""
@@ -415,6 +455,7 @@ class HitAlignment(NamedTuple):
     #                      read coords/strings are in that orientation
     is_secondary: bool = False   # SAM flag 0x100 when rendered
     xs: Optional[int] = None     # suboptimal (second locus) score tag
+    rname: Optional[str] = None  # per-record reference name (multi-chrom)
 
 
 def _strip_queries(queries) -> list[np.ndarray]:
@@ -568,7 +609,7 @@ def _merge_stranded2(hits: SearchHits2, Bh: int) -> StrandedHits2:
 
 def to_sam(records: list[HitAlignment], queries, *, ref_name: str = "ref",
            ref_len: Optional[int] = None, read_names=None,
-           alphabet: Optional[str] = None) -> str:
+           alphabet: Optional[str] = None, sq=None) -> str:
     """Render `align_hits` records as minimal SAM (header + one line per
     record): local alignments get soft-clip runs for the unaligned read
     ends, minus-strand records the 0x10 flag with the stored (already
@@ -581,7 +622,10 @@ def to_sam(records: list[HitAlignment], queries, *, ref_name: str = "ref",
         alphabet = DNA_ALPHABET
     qlist = _strip_queries(queries)
     lines = ["@HD\tVN:1.6\tSO:unknown"]
-    if ref_len is not None:
+    if sq is not None:                 # multi-reference: (name, len) pairs
+        for name, ln in sq:
+            lines.append(f"@SQ\tSN:{name}\tLN:{ln}")
+    elif ref_len is not None:
         lines.append(f"@SQ\tSN:{ref_name}\tLN:{ref_len}")
     for r in records:
         q = qlist[r.read]
@@ -596,7 +640,8 @@ def to_sam(records: list[HitAlignment], queries, *, ref_name: str = "ref",
         tail_n = len(q) - 1 - r.read_end
         tail = f"{tail_n}S" if tail_n else ""
         fields = [
-            name, str(flag), ref_name, str(r.ref_start + 1), "255",
+            name, str(flag), r.rname or ref_name, str(r.ref_start + 1),
+            "255",
             head + r.cigar + tail, "*", "0", "0",
             decode(q, alphabet), "*", f"AS:i:{r.score}"]
         if r.xs is not None:

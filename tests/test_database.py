@@ -688,3 +688,65 @@ def test_seq_names_fastq_quality_line_starting_with_header_chars(tmp_path):
         seqs = read_seqfile(str(fq))
         assert len(seqs) == 2
         assert list(seqs[1][:4]) == [3, 3, 3, 3]
+
+
+def test_concat_references_and_locate():
+    """Spacers between records are long enough that no local alignment
+    can profitably span them, and coordinates map back per record."""
+    import swtpu
+    from swtpu.dist.database import concat_references, locate_record
+
+    rng = np.random.default_rng(139)
+    a = rng.integers(0, 4, 300).astype(np.int8)
+    b = rng.integers(0, 4, 200).astype(np.int8)
+    qlen = 32
+    cat, starts = concat_references([a, b], qlen)
+    assert list(starts) == [0, 300 + (3 * qlen // 2 + qlen + 1)]
+    np.testing.assert_array_equal(cat[:300], a)
+    np.testing.assert_array_equal(cat[int(starts[1]):], b)
+    assert (cat[300:int(starts[1])] == -2).all()
+    assert locate_record(starts, [a, b], 299) == (0, 299)
+    assert locate_record(starts, [a, b], int(starts[1]) + 5) == (1, 5)
+    with pytest.raises(ValueError, match="spacer"):
+        locate_record(starts, [a, b], 305)
+    # a read whose halves sit at the two record edges cannot span: the
+    # best alignment is one side alone
+    read = np.concatenate([a[-16:], b[:16]])
+    hits = search(pad_queries([read], 32), cat, window=256)
+    assert int(hits.scores[0]) <= 3 * 16 + 12    # one side +slack, never 96
+
+
+def test_map_cli_multi_chromosome(tmp_path):
+    """Multi-record reference FASTA: per-record @SQ headers, RNAME and
+    local 1-based POS on both strands."""
+    import os
+    import subprocess
+    import sys
+
+    from swtpu.core.encode import decode, revcomp
+
+    rng = np.random.default_rng(149)
+    chr1 = rng.integers(0, 4, 1500).astype(np.int8)
+    chr2 = rng.integers(0, 4, 1000).astype(np.int8)
+    r1 = chr1[400:440].copy()
+    r2 = revcomp(chr2[700:740])
+    (tmp_path / "g.fa").write_text(
+        ">chr1\n" + decode(chr1) + "\n>chr2\n" + decode(chr2) + "\n")
+    (tmp_path / "r.fa").write_text(
+        ">a\n" + decode(r1) + "\n>b\n" + decode(r2) + "\n")
+    env = {k: v for k, v in os.environ.items()
+           if k != "PALLAS_AXON_POOL_IPS"}
+    env["JAX_PLATFORMS"] = "cpu"
+    out = subprocess.run(
+        [sys.executable, "-m", "swtpu", "map", str(tmp_path / "g.fa"),
+         str(tmp_path / "r.fa"), "--min-score", "100"],
+        capture_output=True, text=True, timeout=240, env=env,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    assert out.returncode == 0, out.stderr
+    lines = out.stdout.strip().split("\n")
+    assert "@SQ\tSN:chr1\tLN:1500" in lines and \
+        "@SQ\tSN:chr2\tLN:1000" in lines
+    by = {f[0]: f for f in (ln.split("\t") for ln in lines
+                            if not ln.startswith("@"))}
+    assert by["a"][2] == "chr1" and by["a"][3] == "401" and by["a"][1] == "0"
+    assert by["b"][2] == "chr2" and by["b"][3] == "701" and by["b"][1] == "16"
