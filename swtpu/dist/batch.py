@@ -19,7 +19,7 @@ import jax.numpy as jnp
 from jax import lax
 from jax.sharding import Mesh, PartitionSpec as P
 
-from ..core.config import Scoring
+from ..core.config import EngineConfig, Scoring
 from ..kernels.scan_fill import scan_fill
 
 
@@ -128,6 +128,44 @@ def batch_score(a_batch, b_batch, scoring: Scoring = Scoring(),
                           sub_table=_sub_to_table(substitution))
     )(a_batch, b_batch)
     return BatchHits(s, i, j)
+
+
+def batch_align(a_batch, b_batch, scoring: Scoring = Scoring(),
+                band: Optional[int] = None, plan: str = "auto",
+                interpret: Optional[bool] = None,
+                mesh: Optional[Mesh] = None, substitution=None,
+                alphabet: Optional[str] = None, top: Optional[int] = None):
+    """Batched scoring + alignment strings: scores every pair in one
+    device sweep (`batch_score`), then tracebacks the selected pairs on
+    the host — per-pair `engine.align` calls ride the normal dispatch
+    (tiny pairs hit the native host tier). Returns a list of
+    (pair index, Alignment) sorted best-first; ``top`` limits how many
+    pairs get tracebacks (scores are computed for all)."""
+    import numpy as np
+
+    from ..engine.align import align as _align
+
+    hits = batch_score(a_batch, b_batch, scoring, band=band, plan=plan,
+                       interpret=interpret, mesh=mesh,
+                       substitution=substitution)
+    scores = np.asarray(hits.scores)
+    order = sorted((i for i in range(len(scores)) if scores[i] > 0),
+                   key=lambda i: (-scores[i], i))
+    if top is not None:
+        order = order[:top]
+    a_np, b_np = np.asarray(a_batch, np.int8), np.asarray(b_batch, np.int8)
+    kw = {} if alphabet is None else {"alphabet": alphabet}
+    out = []
+    for i in order:
+        res = _align(a_np[i], b_np[i], scoring,
+                     EngineConfig(band=band), traceback=True,
+                     substitution=substitution, **kw)
+        if res.max_score != int(scores[i]):   # pragma: no cover - guard
+            raise AssertionError(
+                f"pair {i}: batch score {int(scores[i])} != "
+                f"re-aligned {res.max_score}")
+        out.append((i, res))
+    return out
 
 
 def make_sharded_batch_scorer(mesh: Mesh, scoring: Scoring = Scoring(),

@@ -254,3 +254,24 @@ def test_initialize_multihost_autodetect(monkeypatch):
     assert calls[-1] == {}
     initialize_multihost(process_id=0, local_device_ids=[0])
     assert calls[-1] == {"process_id": 0, "local_device_ids": [0]}
+
+
+def test_batch_align_strings_match_oracle():
+    """batch_align: one batched scoring dispatch, host tracebacks for the
+    selected pairs, best-first order, scores cross-checked."""
+    from swtpu.core import oracle
+    from swtpu.core.encode import random_batch
+    from swtpu.dist.batch import batch_align
+
+    a, b = random_batch(5, 48, 40, seed=33)
+    recs = batch_align(a, b, top=3)
+    assert len(recs) == 3
+    scores = [r.max_score for _, r in recs]
+    assert scores == sorted(scores, reverse=True)
+    for i, res in recs:
+        ref = oracle.fill(a[i], b[i])
+        assert res.max_score == ref.max_score
+        mi, mj = ref.max_ij
+        ra, rb = oracle.alignment_strings(a[i], b[i], ref.P,
+                                          mi * (48 + 1) + mj)
+        assert (res.aligned_a, res.aligned_b) == (ra, rb)
