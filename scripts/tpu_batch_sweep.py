@@ -88,6 +88,17 @@ def main():
         "gcups_effective": round(B * qlen * L / best / 1e9, 1)}
     print("db search tuned:", results["db_search_tuned"], flush=True)
 
+    # opportunistic single-pair probe: CB=8 at the deep-blocking champion
+    # R=32 was never measured (round-2 stopped at CB=4); the cost model
+    # predicts roughly chain-doubling vs cells-doubling — settle it
+    try:
+        t8 = autotune.sweep(sizes=(25632,), r_candidates=(32,),
+                            cb_candidates=(8,), unrolls=(32,),
+                            verbose=True)
+        results["cb8_probe"] = t8["entries"][0]["all"]
+    except Exception as e:
+        results["cb8_probe"] = f"failed: {type(e).__name__}: {e}"
+
     os.makedirs(os.path.dirname(OUT), exist_ok=True)
     prior = {}
     if os.path.exists(OUT):
