@@ -90,14 +90,19 @@ def main():
 
     # opportunistic single-pair probe: CB=8 at the deep-blocking champion
     # R=32 was never measured (round-2 stopped at CB=4); the cost model
-    # predicts roughly chain-doubling vs cells-doubling — settle it
+    # predicts roughly chain-doubling vs cells-doubling — settle it.
+    # _time_stripe directly: autotune.sweep would re-time the 25632^2
+    # scan baseline (minutes of shared-chip time) and, because its inner
+    # loop swallows stripe failures, would silently record that scan row
+    # as the probe's "answer" if CB=8 failed to build
     try:
-        t8 = autotune.sweep(sizes=(25632,), r_candidates=(32,),
-                            cb_candidates=(8,), unrolls=(32,),
-                            verbose=True)
-        results["cb8_probe"] = t8["entries"][0]["all"]
+        s = autotune._time_stripe(25632, 25632, T=28672, C=128, R=32,
+                                  CB=8, unroll=32)
+        results["cb8_probe"] = {"T": 28672, "R": 32, "CB": 8,
+                                "unroll": 32, "s": round(s, 5),
+                                "gcups": round(25632**2 / s / 1e9, 1)}
     except Exception as e:
-        results["cb8_probe"] = f"failed: {type(e).__name__}: {e}"
+        results["cb8_probe"] = {"failed": f"{type(e).__name__}: {e}"}
 
     os.makedirs(os.path.dirname(OUT), exist_ok=True)
     prior = {}

@@ -87,7 +87,8 @@ def map_main(argv) -> int:
         # one searchable array; spacers make cross-record alignments
         # strictly unprofitable, coordinates map back per record
         from .dist.database import concat_references
-        ref, ref_starts = concat_references(ref_seqs, qlen, scoring)
+        ref, ref_starts = concat_references(ref_seqs, qlen, scoring,
+                                            substitution=sub)
     else:
         ref, ref_starts = ref_seqs[0], None
     queries = pad_queries(reads, qlen)

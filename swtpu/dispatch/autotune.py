@@ -16,6 +16,7 @@ per-diagonal policy to Apollo's measured-timing model
 from __future__ import annotations
 
 import dataclasses
+import itertools
 import json
 import time
 from pathlib import Path
@@ -277,13 +278,23 @@ def load(path="swtpu_tuned.json") -> Optional[dict]:
     return json.loads(p.read_text()) if p.exists() else None
 
 
+_policy_uids = itertools.count()
+
+
 @dataclasses.dataclass
 class Policy:
     """Measured-cost plan selector (the Apollo analog: the model is a table
     of observed timings instead of hand thresholds; `observe` updates it
-    online the way region->end() feeds Apollo's model)."""
+    online the way region->end() feeds Apollo's model).
+
+    ``uid`` (process-unique, never reused — unlike id()) and ``version``
+    (bumped on every in-place mutation) let caches keyed on a policy's
+    CONTENT — e.g. the memoized database searcher — invalidate when new
+    observations land or the policy is replaced."""
 
     table: Optional[dict] = None
+    uid: int = dataclasses.field(default_factory=lambda: next(_policy_uids))
+    version: int = 0
 
     def choose_near(self, m: int, n: int, max_cells_ratio: float = 6.0,
                     max_aspect_ratio: float = 4.0,
@@ -336,6 +347,7 @@ class Policy:
         merges can compare like with like."""
         if self.table is None:
             self.table = {"entries": []}
+        self.version += 1
         row = {"plan": plan, "T": T, "R": R, "CB": CB, "C": C,
                "unroll": unroll, "s": seconds,
                "gcups": gcups(m * n, seconds), "kind": kind}
@@ -359,6 +371,7 @@ class Policy:
             return
         if self.table is None:
             self.table = {"entries": []}
+        self.version += 1
         mine = {(e["m"], e["n"], e.get("sig", "linear")): e
                 for e in self.table["entries"]}
         for oe in other["entries"]:

@@ -360,18 +360,25 @@ def shard_reference(ref: np.ndarray, n_shards: int, qlen: int
 
 
 def concat_references(seqs: list[np.ndarray], qlen: int,
-                      scoring: Scoring = Scoring()
+                      scoring: Scoring = Scoring(), substitution=None
                       ) -> tuple[np.ndarray, np.ndarray]:
     """Concatenate reference records (chromosomes) into one searchable
     array with never-matching ``-2`` spacers sized so that NO local
-    alignment can profitably span two records: crossing a spacer of
-    length L costs at least L x |cheapest per-base gap| while the read
-    can contribute at most match x qlen more, so L > match*qlen/|gap| + 1
-    makes any spanning alignment strictly worse than its best side alone
-    (plus a qlen pad so windows land cleanly). Returns (cat, starts)
-    where starts[i] is record i's offset into cat."""
+    alignment can profitably span two records: spacer cells score the
+    NEG_SUB sentinel (substitution) or a mismatch, so the cheapest way
+    across a spacer of length L is gaps, costing L x |cheapest per-base
+    gap|, while the read can contribute at most max_per_base x qlen
+    more; L > max_per_base*qlen/|gap| + 1 makes any spanning alignment
+    strictly worse than its best side alone (plus a qlen pad so windows
+    land cleanly). ``max_per_base`` is ``scoring.match`` for DNA but the
+    TABLE MAX under a substitution matrix (BLOSUM62: 11 for W-W — sizing
+    by match=3 would let tryptophan-rich spans pay the crossing).
+    Returns (cat, starts) where starts[i] is record i's offset into
+    cat. Pass the same ``substitution`` given to ``search``."""
     ge = abs(scoring.gap_extend if scoring.is_affine else scoring.gap)
-    spacer = int(scoring.match) * qlen // max(1, ge) + qlen + 1
+    per_base = (int(np.max(np.asarray(substitution)))
+                if substitution is not None else int(scoring.match))
+    spacer = per_base * qlen // max(1, ge) + qlen + 1
     starts = []
     parts = []
     off = 0
@@ -390,8 +397,12 @@ def concat_references(seqs: list[np.ndarray], qlen: int,
 def locate_record(starts: np.ndarray, seqs: list[np.ndarray],
                   global_pos: int) -> tuple[int, int]:
     """(record index, local position) for a `concat_references` global
-    position. Raises if the position falls in a spacer."""
+    position. Raises if the position falls in a spacer or is negative
+    (e.g. the -1 no-hit sentinel from SearchHits.ref_pos)."""
     i = int(np.searchsorted(starts, global_pos, side="right")) - 1
+    if i < 0:
+        raise ValueError(f"position {global_pos} is before the first "
+                         "record (no-hit sentinel?)")
     local = global_pos - int(starts[i])
     if local >= len(seqs[i]):
         raise ValueError(f"position {global_pos} falls in the spacer "
@@ -688,13 +699,23 @@ def search(queries, reference, mesh: Optional[Mesh] = None,
         mesh_key = hash(mesh)
     except TypeError:                  # pragma: no cover - unhashable mesh
         mesh_key = id(mesh)
-    from ..dispatch.plan import _policy_cache
+    # resolve the plan NOW so a jax_default_device flip (the documented
+    # tunnel-dodge pattern) never serves a searcher compiled for the
+    # other backend, and key on the policy's (uid, version) — uid is
+    # never reused and version bumps on every observe/merge, so a table
+    # mutation or replacement invalidates the memo where id() would not
+    from ..dispatch.plan import _tuned_policy
+    plan = _searcher_plan(mesh, qlen, window, scoring, "auto", substitution)
+    pol = _tuned_policy()
     key = (qlen, shard_len, window, scoring, axis, sub_key, mesh_key,
-           n_best, id(_policy_cache.get("policy")))
+           n_best, plan, (pol.uid, pol.version) if pol is not None else None)
     fn = _searcher_memo.get(key)
-    if fn is None:
+    if fn is not None:
+        _searcher_memo[key] = _searcher_memo.pop(key)   # LRU touch
+    else:
         fn = make_searcher(mesh, qlen, shard_len, window, scoring, axis,
-                           substitution=substitution, n_best=n_best)
+                           plan=plan, substitution=substitution,
+                           n_best=n_best)
         if len(_searcher_memo) >= 16:
             _searcher_memo.pop(next(iter(_searcher_memo)))
         _searcher_memo[key] = fn

@@ -750,3 +750,73 @@ def test_map_cli_multi_chromosome(tmp_path):
                             if not ln.startswith("@"))}
     assert by["a"][2] == "chr1" and by["a"][3] == "401" and by["a"][1] == "0"
     assert by["b"][2] == "chr2" and by["b"][3] == "701" and by["b"][1] == "16"
+
+
+def test_concat_references_substitution_spacer():
+    """BLOSUM62 spacers are sized by the TABLE MAX (W-W scores 11), not
+    scoring.match=3: with match-sized spacers a tryptophan-rich read
+    straddling two record edges profitably spans the spacer (157 > 147
+    one-sided at qlen=24) and crashes the map CLI's record-locating
+    assertion. Table-sized spacers make the crossing strictly losing."""
+    from swtpu.core.substitution import BLOSUM62
+    from swtpu.dist.database import (align_hits, concat_references,
+                                     locate_record)
+    from swtpu.core.config import Scoring
+
+    qlen, W = 24, 17                       # PROTEIN_ALPHABET.index('W')
+    rng = np.random.default_rng(157)
+    a = rng.integers(0, 20, 220).astype(np.int8)
+    b = rng.integers(0, 20, 180).astype(np.int8)
+    a[-12:] = W                            # W-rich record edges
+    b[:12] = W
+    scoring = Scoring(mode="affine", gap_open=-11, gap_extend=-1)
+    cat, starts = concat_references([a, b], qlen, scoring,
+                                    substitution=BLOSUM62)
+    assert int(starts[1]) - len(a) >= 11 * qlen + qlen + 1
+    read = np.full(qlen, W, np.int8)
+    hits = search(pad_queries([read], qlen), cat, window=512,
+                  scoring=scoring, substitution=BLOSUM62)
+    recs = align_hits(hits, [read], cat, scoring=scoring,
+                      substitution=BLOSUM62)
+    ci, _ = locate_record(starts, [a, b], recs[0].ref_start)
+    cj, _ = locate_record(starts, [a, b], recs[0].ref_end)
+    assert ci == cj
+    with pytest.raises(ValueError, match="before the first"):
+        locate_record(starts, [a, b], -1)
+
+
+def test_search_memo_invalidation_and_lru(monkeypatch):
+    """The searcher memo must rebuild when the tuned policy mutates
+    (uid/version key — id() misses in-place observe and can collide
+    after reuse) and must evict least-recently-USED, so a hot shape
+    survives churn from one-shot shapes."""
+    import swtpu.dist.database as db
+    from swtpu.dispatch.plan import _tuned_policy
+
+    builds = []
+    real = db.make_searcher
+
+    def counting(*a, **k):
+        builds.append(1)
+        return real(*a, **k)
+
+    monkeypatch.setattr(db, "make_searcher", counting)
+    db._searcher_memo.clear()
+    rng = np.random.default_rng(3)
+    ref = rng.integers(0, 4, 400).astype(np.int8)
+    q = pad_queries([ref[50:70]], 20)
+    db.search(q, ref, window=128)
+    n0 = len(builds)
+    db.search(q, ref, window=128)              # same shape: memo hit
+    assert len(builds) == n0
+    pol = _tuned_policy(create=True)
+    pol.observe(128, 128, "scan", None, None, 0.5)
+    db.search(q, ref, window=128)              # table mutated: rebuild
+    assert len(builds) == n0 + 1
+    for w in range(60, 75):                    # 15 cold shapes -> memo full
+        db.search(q, ref, window=w)
+    db.search(q, ref, window=128)              # touch the hot entry
+    db.search(q, ref, window=50)               # 17th insert evicts LRU
+    n1 = len(builds)
+    db.search(q, ref, window=128)
+    assert len(builds) == n1                   # hot survived the eviction
