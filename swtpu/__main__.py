@@ -39,8 +39,9 @@ def map_main(argv) -> int:
                     help="only report the best K hits (default: all >0)")
     ap.add_argument("--min-score", type=int, default=1)
     ap.add_argument("--secondary", action="store_true",
-                    help="also search each read's second-best locus: tag "
-                         "primaries with XS:i and emit flag-256 records")
+                    help="also EMIT each read's second-best locus as a "
+                         "flag-256 record (the second locus is always "
+                         "searched — it feeds MAPQ and the XS:i tag)")
     ap.add_argument("--match", type=int, default=3)
     ap.add_argument("--mismatch", type=int, default=-3)
     ap.add_argument("--gap", type=int, default=-2)
@@ -54,7 +55,7 @@ def map_main(argv) -> int:
 
     from . import Scoring
     from .dist.database import align_hits, pad_queries, search, to_sam
-    from .runtime_native import read_seqfile, seq_names
+    from .runtime_native import read_seqfile, seq_names, seq_quals
 
     sub = None
     alphabet = None
@@ -93,9 +94,10 @@ def map_main(argv) -> int:
         ref, ref_starts = ref_seqs[0], None
     queries = pad_queries(reads, qlen)
     t0 = time.perf_counter()
+    # always track the second-best locus: the AS-XS gap is what MAPQ is
+    # computed from (the top-2 carry rides the same device sweep)
     hits = search(queries, ref, window=args.window, scoring=scoring,
-                  strand=args.strand, substitution=sub,
-                  n_best=2 if args.secondary else 1)
+                  strand=args.strand, substitution=sub, n_best=2)
     scores = np.asarray(hits.scores)
     dt = time.perf_counter() - t0
     print(f"searched {len(reads)} reads x {len(ref)} bases in {dt:.2f}s "
@@ -105,27 +107,25 @@ def map_main(argv) -> int:
            if scores[i] >= max(1, args.min_score)]
     if args.top is not None:
         sel = sel[: args.top]
+    s2 = np.asarray(hits.scores2)
+    recs = align_hits(hits.primary, reads, ref, scoring=scoring,
+                      reads=[int(i) for i in sel], substitution=sub)
+    sec = []
     if args.secondary:
-        s2 = np.asarray(hits.scores2)
-        recs = align_hits(hits.primary, reads, ref, scoring=scoring,
-                          reads=[int(i) for i in sel], substitution=sub)
         sec_sel = [int(i) for i in sel if s2[i] >= max(1, args.min_score)]
         sec = [r._replace(is_secondary=True)
                for r in align_hits(hits.secondary, reads, ref,
                                    scoring=scoring, reads=sec_sel,
                                    substitution=sub)]
-        # XS = the re-aligned secondary score where we have it (window
-        # truncation can under-report the raw search score; the AS of the
-        # flag-256 record and the primary's XS must agree), else the raw
-        # search second-best
-        sec_as = {r.read: r.score for r in sec}
-        recs = [r._replace(xs=sec_as.get(
-                    r.read, int(s2[r.read]) if s2[r.read] > 0 else None))
-                for r in recs]
-        recs += sec
-    else:
-        recs = align_hits(hits, reads, ref, scoring=scoring,
-                          reads=[int(i) for i in sel], substitution=sub)
+    # XS = the re-aligned secondary score where we have it (window
+    # truncation can under-report the raw search score; the AS of the
+    # flag-256 record and the primary's XS must agree), else the raw
+    # search second-best
+    sec_as = {r.read: r.score for r in sec}
+    recs = [r._replace(xs=sec_as.get(
+                r.read, int(s2[r.read]) if s2[r.read] > 0 else None))
+            for r in recs]
+    recs += sec
     if ref_starts is not None:
         # global concat coords -> per-record (RNAME, local POS)
         from .dist.database import locate_record
@@ -140,11 +140,16 @@ def map_main(argv) -> int:
                 rname=ref_names[ci], ref_start=lo,
                 ref_end=r.ref_end - int(ref_starts[ci])))
         recs = fixed
+    quals = seq_quals(args.reads_fasta)
+    if len(quals) != len(reads) or all(q is None for q in quals):
+        quals = None                   # FASTA input: no QUAL column
+    if ref_starts is not None:
         sam = to_sam(recs, reads, read_names=names, alphabet=alphabet,
+                     quals=quals,
                      sq=[(n, len(s)) for n, s in zip(ref_names, ref_seqs)])
     else:
         sam = to_sam(recs, reads, ref_name=ref_names[0], ref_len=len(ref),
-                     read_names=names, alphabet=alphabet)
+                     read_names=names, alphabet=alphabet, quals=quals)
     if args.output == "-":
         sys.stdout.write(sam)
     else:

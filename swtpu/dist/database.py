@@ -177,7 +177,7 @@ def make_searcher(mesh: Optional[Mesh], qlen: int, shard_len: int,
                   window: int = 32768, scoring: Scoring = Scoring(),
                   axis: str = "data", plan: str = "auto",
                   interpret: Optional[bool] = None, substitution=None,
-                  n_best: int = 1):
+                  n_best: int = 1, sec_resolution: int = 2048):
     """Build a jitted searcher.
 
     queries: (B, qlen) int8 (pad reads with -3 sentinel), replicated.
@@ -189,12 +189,23 @@ def make_searcher(mesh: Optional[Mesh], qlen: int, shard_len: int,
     rides the window scan, and devices merge their carries with one
     all_gather).
 
+    Secondary-locus RESOLUTION is the window size: each window
+    contributes its single best candidate to the top-2 carry, so two
+    loci inside one window collapse to the better one. With n_best=2
+    the window is therefore clamped to ``max(2*qlen, sec_resolution)``
+    — distinct loci at least that far apart are always separated (the
+    extra qlen-overlap cost is ~qlen/window); loci nearer than the
+    clamped window (but farther than the read-length dedup distance)
+    can still be missed, as in other heuristic-XS mappers.
+
     On TPU meshes the per-window scorer is the Pallas batch stripe kernel
     (reads packed in rows, reset masks between them — one kernel sweep per
     window for the whole batch); elsewhere the vmapped XLA scan.
     """
     if n_best not in (1, 2):
         raise ValueError(f"n_best must be 1 or 2, got {n_best}")
+    if n_best == 2:
+        window = min(window, max(2 * qlen, sec_resolution))
     ext = shard_len + qlen                 # shard + boundary halo
     window = min(window, ext)              # a window never exceeds a shard
     step = window - qlen                   # window stride (qlen overlap)
@@ -618,15 +629,32 @@ def _merge_stranded2(hits: SearchHits2, Bh: int) -> StrandedHits2:
         jnp.where(s2 > 0, st2, 0).astype(jnp.int8))
 
 
+def mapq(primary: int, secondary: Optional[int], scale: int = 60) -> int:
+    """Heuristic mapping quality from the best/second-best score gap
+    (the widely used AS−XS form): 0 when the two loci tie (placement is
+    ambiguous), `scale` when no competing locus exists, linear in the
+    relative gap between."""
+    if primary <= 0:
+        return 0
+    if secondary is None or secondary <= 0:
+        return scale
+    return max(0, min(scale, round(scale * (primary - secondary) / primary)))
+
+
 def to_sam(records: list[HitAlignment], queries, *, ref_name: str = "ref",
            ref_len: Optional[int] = None, read_names=None,
-           alphabet: Optional[str] = None, sq=None) -> str:
+           alphabet: Optional[str] = None, sq=None, quals=None) -> str:
     """Render `align_hits` records as minimal SAM (header + one line per
     record): local alignments get soft-clip runs for the unaligned read
     ends, minus-strand records the 0x10 flag with the stored (already
-    reverse-complemented) sequence, MAPQ 255 (unavailable), and the score
-    as the AS:i tag. `queries` as given to `align_hits` (pass
-    ``alphabet=PROTEIN_ALPHABET`` for protein records)."""
+    reverse-complemented) sequence, and the score as the AS:i tag.
+    MAPQ is `mapq(score, xs)` when the record carries a second-best
+    score, 0 for secondary records, else 255 (unavailable).
+    ``quals`` (per-read Phred strings from `runtime_native.seq_quals`,
+    None entries allowed) fills the QUAL column, reversed on the minus
+    strand to match the reverse-complemented SEQ. `queries` as given to
+    `align_hits` (pass ``alphabet=PROTEIN_ALPHABET`` for protein
+    records)."""
     from ..core.encode import DNA_ALPHABET, decode
 
     if alphabet is None:
@@ -650,11 +678,20 @@ def to_sam(records: list[HitAlignment], queries, *, ref_name: str = "ref",
         head = f"{r.read_start}S" if r.read_start else ""
         tail_n = len(q) - 1 - r.read_end
         tail = f"{tail_n}S" if tail_n else ""
+        if r.is_secondary:
+            mq = "0"
+        elif r.xs is not None:
+            mq = str(mapq(r.score, r.xs))
+        else:
+            mq = "255"
+        qual = quals[r.read] if quals is not None else None
+        if qual is not None and r.strand == "-":
+            qual = qual[::-1]
         fields = [
             name, str(flag), r.rname or ref_name, str(r.ref_start + 1),
-            "255",
+            mq,
             head + r.cigar + tail, "*", "0", "0",
-            decode(q, alphabet), "*", f"AS:i:{r.score}"]
+            decode(q, alphabet), qual or "*", f"AS:i:{r.score}"]
         if r.xs is not None:
             fields.append(f"XS:i:{r.xs}")
         lines.append("\t".join(fields))

@@ -235,3 +235,27 @@ def seq_names(path: str) -> list[str]:
                              if len(line) > 1 else "")
                 fastq_state = 3                   # skip seq, '+', qual
     return names
+
+
+def seq_quals(path: str) -> list:
+    """Per-record Phred quality strings for FASTQ records, None for
+    FASTA records, in file order — the QUAL-column companion of
+    `read_seqfile` for SAM output (the native reader decodes bases
+    only; qualities are plain text handled here, like `seq_names`)."""
+    quals = []
+    with open(path, "rb") as f:
+        fastq_state = 0
+        for line in f:
+            line = line.strip()
+            if not line:
+                continue
+            if fastq_state:              # seq / '+' / qual of one record
+                fastq_state -= 1
+                if fastq_state == 0:
+                    quals.append(line.decode(errors="replace"))
+                continue
+            if line[:1] == b">":
+                quals.append(None)
+            elif line[:1] == b"@":
+                fastq_state = 3
+    return quals

@@ -820,3 +820,67 @@ def test_search_memo_invalidation_and_lru(monkeypatch):
     n1 = len(builds)
     db.search(q, ref, window=128)
     assert len(builds) == n1                   # hot survived the eviction
+
+
+def test_mapq_formula():
+    from swtpu.dist.database import mapq
+
+    assert mapq(100, None) == 60        # unique placement
+    assert mapq(100, 0) == 60
+    assert mapq(100, 100) == 0          # tied loci: ambiguous
+    assert mapq(100, 50) == 30          # linear in the relative gap
+    assert mapq(0, None) == 0           # no alignment at all
+    assert 0 <= mapq(37, 36) <= 60
+
+
+def test_seq_quals_fastq_and_fasta(tmp_path):
+    from swtpu.runtime_native import seq_quals
+
+    fq = tmp_path / "r.fq"
+    fq.write_text("@r1\nACGT\n+\n>@I!\n"        # quals may start with > or @
+                  "@r2\nTTTT\n+anything\nIIII\n")
+    assert seq_quals(str(fq)) == [">@I!", "IIII"]
+    fa = tmp_path / "r.fa"
+    fa.write_text(">a\nACGT\nACGT\n>b\nTT\n")
+    assert seq_quals(str(fa)) == [None, None]
+
+
+def test_to_sam_mapq_and_qual_passthrough():
+    """MAPQ comes from the AS-XS gap when a second-best score is known
+    (255 otherwise, 0 for secondary records); FASTQ quality strings fill
+    QUAL, reversed on the minus strand to match the rc'd SEQ."""
+    from swtpu.dist.database import HitAlignment, to_sam
+
+    recs = [
+        HitAlignment(0, 100, 10, 39, 0, 29, "A" * 30, "A" * 30, "30M"),
+        HitAlignment(1, 100, 50, 79, 0, 29, "A" * 30, "A" * 30, "30M",
+                     strand="-", xs=50),
+        HitAlignment(1, 50, 200, 229, 0, 29, "A" * 30, "A" * 30, "30M",
+                     is_secondary=True),
+    ]
+    q = [np.zeros(30, np.int8), np.zeros(30, np.int8)]
+    quals = ["I" * 30, "ABCDEFGHIJKLMNOPQRSTUVWXYZ0123"]
+    sam = to_sam(recs, q, ref_len=512, quals=quals)
+    body = [ln.split("\t") for ln in sam.strip().split("\n")
+            if not ln.startswith("@")]
+    assert body[0][4] == "255" and body[0][10] == "I" * 30
+    assert body[1][4] == "30"                       # 60*(100-50)/100
+    assert body[1][10] == quals[1][::-1]            # minus strand reversed
+    assert body[2][4] == "0" and body[2][1] == "256"
+
+
+def test_secondary_locus_same_window():
+    """Two loci of one read inside a single user-sized window: each
+    window contributes one candidate to the top-2 carry, so n_best=2
+    clamps the sweep window to the secondary resolution — an exact
+    duplicate 1.5 kb away must surface as the secondary hit even when
+    the caller asked for 32 kb windows."""
+    from swtpu.dist.database import pad_queries, search
+
+    rng = np.random.default_rng(5)
+    ref = rng.integers(0, 4, 3000).astype(np.int8)
+    ref[2000:2040] = ref[500:540]            # exact duplicate locus
+    read = ref[505:535].copy()
+    h = search(pad_queries([read], 30), ref, n_best=2, window=32768)
+    assert int(h.scores[0]) == 90 and int(h.ref_pos[0]) == 534
+    assert int(h.scores2[0]) == 90 and int(h.ref_pos2[0]) == 2034
