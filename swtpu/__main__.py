@@ -30,8 +30,13 @@ def map_main(argv) -> int:
         description="Map reads against a reference; print SAM")
     ap.add_argument("ref_fasta",
                     help="reference FASTA (multi-record/chromosome OK)")
-    ap.add_argument("reads_fasta", help="reads FASTA/FASTQ")
+    ap.add_argument("reads_fasta", nargs="+",
+                    help="reads FASTA/FASTQ; TWO files = paired-end "
+                         "(mate1 mate2, FR orientation)")
     ap.add_argument("-o", "--output", default="-", help="SAM path or '-'")
+    ap.add_argument("--min-insert", type=int, default=0)
+    ap.add_argument("--max-insert", type=int, default=1000,
+                    help="proper-pair template-length bounds (paired mode)")
     ap.add_argument("--strand", default="both",
                     choices=["both", "forward"])
     ap.add_argument("--window", type=int, default=32768)
@@ -72,15 +77,33 @@ def map_main(argv) -> int:
     ref_names = seq_names(args.ref_fasta)
     if len(ref_names) != len(ref_seqs):
         ref_names = [f"ref{i}" for i in range(len(ref_seqs))]
-    reads = read_seqfile(args.reads_fasta, alphabet=alphabet)
-    names = seq_names(args.reads_fasta)
+    paired = len(args.reads_fasta) == 2
+    if len(args.reads_fasta) > 2:
+        print("at most two read files (mate1 mate2)", file=sys.stderr)
+        return 2
+    if paired and (args.blosum62 or args.strand != "both"
+                   or args.secondary):
+        print("paired mode needs both DNA strands and owns the second "
+              "locus (no --blosum62/--strand forward/--secondary)",
+              file=sys.stderr)
+        return 2
+    reads = read_seqfile(args.reads_fasta[0], alphabet=alphabet)
+    names = seq_names(args.reads_fasta[0])
     if len(names) != len(reads):
         names = [f"read{i}" for i in range(len(reads))]
+    reads2 = None
+    if paired:
+        reads2 = read_seqfile(args.reads_fasta[1], alphabet=alphabet)
+        if len(reads2) != len(reads):
+            print("mate files differ in read count", file=sys.stderr)
+            return 1
+        # mates share one QNAME; drop conventional /1 /2 suffixes
+        names = [n[:-2] if n.endswith(("/1", "/2")) else n for n in names]
     scoring = Scoring(match=args.match, mismatch=args.mismatch,
                       gap=args.gap, gap_open=gap_open,
                       gap_extend=gap_extend,
                       mode="affine" if args.affine else "linear")
-    qlen = max((len(r) for r in reads), default=0)
+    qlen = max((len(r) for r in reads + (reads2 or [])), default=0)
     if not reads or qlen == 0 or not ref_seqs:
         print("no reads or empty reference", file=sys.stderr)
         return 1
@@ -92,40 +115,73 @@ def map_main(argv) -> int:
                                             substitution=sub)
     else:
         ref, ref_starts = ref_seqs[0], None
-    queries = pad_queries(reads, qlen)
     t0 = time.perf_counter()
     # always track the second-best locus: the AS-XS gap is what MAPQ is
-    # computed from (the top-2 carry rides the same device sweep)
-    hits = search(queries, ref, window=args.window, scoring=scoring,
-                  strand=args.strand, substitution=sub, n_best=2)
-    scores = np.asarray(hits.scores)
+    # computed from (the top-2 carry rides the same device sweep); in
+    # paired mode it additionally supplies pairing candidates
+    if paired:
+        from .dist.database import pair_hits
+        h1 = search(pad_queries(reads, qlen), ref, window=args.window,
+                    scoring=scoring, strand="both", n_best=2)
+        h2 = search(pad_queries(reads2, qlen), ref, window=args.window,
+                    scoring=scoring, strand="both", n_best=2)
+        psel = pair_hits(h1, h2, min_insert=args.min_insert,
+                         max_insert=args.max_insert)
+        scores = np.maximum(np.asarray(psel.mate1.scores),
+                            np.asarray(psel.mate2.scores))
+        nreads = 2 * len(reads)
+    else:
+        hits = search(pad_queries(reads, qlen), ref, window=args.window,
+                      scoring=scoring, strand=args.strand,
+                      substitution=sub, n_best=2)
+        scores = np.asarray(hits.scores)
+        nreads = len(reads)
     dt = time.perf_counter() - t0
-    print(f"searched {len(reads)} reads x {len(ref)} bases in {dt:.2f}s "
-          f"({len(reads) * qlen * len(ref) / dt / 1e9:.1f} GCUPS "
+    print(f"searched {nreads} reads x {len(ref)} bases in {dt:.2f}s "
+          f"({nreads * qlen * len(ref) / dt / 1e9:.1f} GCUPS "
           "effective, incl. jit compile)", file=sys.stderr)
     sel = [i for i in np.argsort(-scores, kind="stable")
            if scores[i] >= max(1, args.min_score)]
     if args.top is not None:
         sel = sel[: args.top]
-    s2 = np.asarray(hits.scores2)
-    recs = align_hits(hits.primary, reads, ref, scoring=scoring,
-                      reads=[int(i) for i in sel], substitution=sub)
-    sec = []
-    if args.secondary:
-        sec_sel = [int(i) for i in sel if s2[i] >= max(1, args.min_score)]
-        sec = [r._replace(is_secondary=True)
-               for r in align_hits(hits.secondary, reads, ref,
-                                   scoring=scoring, reads=sec_sel,
-                                   substitution=sub)]
-    # XS = the re-aligned secondary score where we have it (window
-    # truncation can under-report the raw search score; the AS of the
-    # flag-256 record and the primary's XS must agree), else the raw
-    # search second-best
-    sec_as = {r.read: r.score for r in sec}
-    recs = [r._replace(xs=sec_as.get(
-                r.read, int(s2[r.read]) if s2[r.read] > 0 else None))
-            for r in recs]
-    recs += sec
+    B = len(reads)
+    if paired:
+        m1 = np.asarray(psel.mate1.scores)
+        m2 = np.asarray(psel.mate2.scores)
+        recs = align_hits(psel.mate1, reads, ref, scoring=scoring,
+                          reads=[int(i) for i in sel if m1[i] > 0])
+        recs2 = align_hits(psel.mate2, reads2, ref, scoring=scoring,
+                           reads=[int(i) for i in sel if m2[i] > 0])
+        # XS = the other candidate's raw search score (as in single-end)
+        recs = [r._replace(xs=int(psel.alt_scores1[r.read])
+                           if psel.alt_scores1[r.read] > 0 else None)
+                for r in recs]
+        # mate-2 records index the second half of the combined read list
+        recs += [r._replace(read=r.read + B,
+                            xs=int(psel.alt_scores2[r.read])
+                            if psel.alt_scores2[r.read] > 0 else None)
+                 for r in recs2]
+    else:
+        s2 = np.asarray(hits.scores2)
+        recs = align_hits(hits.primary, reads, ref, scoring=scoring,
+                          reads=[int(i) for i in sel], substitution=sub)
+        sec = []
+        if args.secondary:
+            sec_sel = [int(i) for i in sel
+                       if s2[i] >= max(1, args.min_score)]
+            sec = [r._replace(is_secondary=True)
+                   for r in align_hits(hits.secondary, reads, ref,
+                                       scoring=scoring, reads=sec_sel,
+                                       substitution=sub)]
+        # XS = the re-aligned secondary score where we have it (window
+        # truncation can under-report the raw search score; the AS of the
+        # flag-256 record and the primary's XS must agree), else the raw
+        # search second-best
+        sec_as = {r.read: r.score for r in sec}
+        recs = [r._replace(xs=sec_as.get(
+                    r.read, int(s2[r.read]) if s2[r.read] > 0 else None))
+                for r in recs]
+        recs += sec
     if ref_starts is not None:
         # global concat coords -> per-record (RNAME, local POS)
         from .dist.database import locate_record
@@ -140,16 +196,56 @@ def map_main(argv) -> int:
                 rname=ref_names[ci], ref_start=lo,
                 ref_end=r.ref_end - int(ref_starts[ci])))
         recs = fixed
-    quals = seq_quals(args.reads_fasta)
-    if len(quals) != len(reads) or all(q is None for q in quals):
+    if paired:
+        # stitch mate fields AFTER the coordinate fixup (RNEXT/PNEXT/
+        # TLEN are in final per-record coordinates); emit mates adjacent
+        by1 = {r.read: r for r in recs if r.read < B}
+        by2 = {r.read - B: r for r in recs if r.read >= B}
+
+        def stitch(r, mate, first):
+            fe = 0x1 | (0x40 if first else 0x80)
+            if mate is None:
+                return r._replace(flag_extra=fe | 0x8)  # mate unmapped
+            if psel.proper[r.read % B]:
+                fe |= 0x2
+            if mate.strand == "-":
+                fe |= 0x20
+            same = mate.rname == r.rname
+            if same:
+                tl = (max(r.ref_end, mate.ref_end)
+                      - min(r.ref_start, mate.ref_start) + 1)
+                if r.ref_start > mate.ref_start or \
+                        (r.ref_start == mate.ref_start and not first):
+                    tl = -tl             # rightmost mate gets the minus
+            else:
+                tl = 0                   # cross-record pair: TLEN undefined
+            return r._replace(flag_extra=fe,
+                              rnext="=" if same else mate.rname,
+                              pnext=mate.ref_start, tlen=tl)
+
+        recs = []
+        for i in (int(i) for i in sel):
+            if i in by1:
+                recs.append(stitch(by1[i], by2.get(i), True))
+            if i in by2:
+                recs.append(stitch(by2[i], by1.get(i), False))
+        reads_all = list(reads) + list(reads2)
+        names_all = names + names        # mates share one QNAME
+        quals = (seq_quals(args.reads_fasta[0])
+                 + seq_quals(args.reads_fasta[1]))
+    else:
+        reads_all, names_all = reads, names
+        quals = seq_quals(args.reads_fasta[0])
+    if len(quals) != len(reads_all) or all(q is None for q in quals):
         quals = None                   # FASTA input: no QUAL column
     if ref_starts is not None:
-        sam = to_sam(recs, reads, read_names=names, alphabet=alphabet,
-                     quals=quals,
+        sam = to_sam(recs, reads_all, read_names=names_all,
+                     alphabet=alphabet, quals=quals,
                      sq=[(n, len(s)) for n, s in zip(ref_names, ref_seqs)])
     else:
-        sam = to_sam(recs, reads, ref_name=ref_names[0], ref_len=len(ref),
-                     read_names=names, alphabet=alphabet, quals=quals)
+        sam = to_sam(recs, reads_all, ref_name=ref_names[0],
+                     ref_len=len(ref), read_names=names_all,
+                     alphabet=alphabet, quals=quals)
     if args.output == "-":
         sys.stdout.write(sam)
     else:

@@ -478,6 +478,12 @@ class HitAlignment(NamedTuple):
     is_secondary: bool = False   # SAM flag 0x100 when rendered
     xs: Optional[int] = None     # suboptimal (second locus) score tag
     rname: Optional[str] = None  # per-record reference name (multi-chrom)
+    flag_extra: int = 0          # extra SAM flag bits OR'd in (pairing:
+    #                              0x1/0x2/0x8/0x20/0x40/0x80)
+    rnext: Optional[str] = None  # mate reference name ('=' = same) —
+    #                              None = unpaired (RNEXT '*', PNEXT 0)
+    pnext: int = 0               # mate ref_start, 0-based (like ref_start)
+    tlen: int = 0                # signed observed template length
 
 
 def _strip_queries(queries) -> list[np.ndarray]:
@@ -629,6 +635,66 @@ def _merge_stranded2(hits: SearchHits2, Bh: int) -> StrandedHits2:
         jnp.where(s2 > 0, st2, 0).astype(jnp.int8))
 
 
+class PairSelection(NamedTuple):
+    """Per-pair mate placements chosen by `pair_hits`."""
+
+    mate1: StrandedHits      # selected candidate for each first mate
+    mate2: StrandedHits      # selected candidate for each second mate
+    proper: np.ndarray       # (B,) bool — FR orientation within bounds
+    alt_scores1: np.ndarray  # the NOT-chosen candidate's score (XS tag)
+    alt_scores2: np.ndarray
+
+
+def pair_hits(h1: StrandedHits2, h2: StrandedHits2, *,
+              min_insert: int = 0, max_insert: int = 1000
+              ) -> PairSelection:
+    """Select mate placements for paired-end reads from the two ends'
+    top-2 both-strand candidates (`search(strand="both", n_best=2)` per
+    end): among the 4 candidate combinations per pair, take the
+    highest-scoring PROPER one — mates on opposite strands in FR
+    orientation (the forward mate upstream of the reverse mate) with an
+    estimated template length inside [min_insert, max_insert] — and
+    fall back to the two independent best placements (improper pair)
+    when no combination qualifies. Template length is estimated from
+    the search's end positions (pos − read_end for the forward mate's
+    start); the exact TLEN comes from the re-alignment downstream."""
+    def cands(h):
+        return (np.stack([np.asarray(h.scores), np.asarray(h.scores2)]),
+                np.stack([np.asarray(h.ref_pos), np.asarray(h.ref_pos2)]),
+                np.stack([np.asarray(h.read_end), np.asarray(h.read_end2)]),
+                np.stack([np.asarray(h.strand), np.asarray(h.strand2)]))
+
+    s1, p1, e1, st1 = cands(h1)
+    s2, p2, e2, st2 = cands(h2)
+    B = s1.shape[1]
+    best = np.full(B, -1, np.int64)
+    a_i = np.zeros(B, np.int64)
+    b_i = np.zeros(B, np.int64)
+    for a in (0, 1):
+        for b in (0, 1):
+            ok = (s1[a] > 0) & (s2[b] > 0) & (st1[a] * st2[b] == -1)
+            a_fwd = st1[a] == 1
+            fwd_start = np.where(a_fwd, p1[a] - e1[a], p2[b] - e2[b])
+            rev_end = np.where(a_fwd, p2[b], p1[a])
+            ins = rev_end - fwd_start + 1
+            ok &= (ins >= max(1, min_insert)) & (ins <= max_insert)
+            sc = s1[a] + s2[b]
+            take = ok & (sc > best)
+            best = np.where(take, sc, best)
+            a_i = np.where(take, a, a_i)
+            b_i = np.where(take, b, b_i)
+    ar = np.arange(B)
+
+    def pick(s, p, e, st, idx):
+        return StrandedHits(s[idx, ar], p[idx, ar], e[idx, ar],
+                            st[idx, ar])
+
+    return PairSelection(pick(s1, p1, e1, st1, a_i),
+                         pick(s2, p2, e2, st2, b_i),
+                         best >= 0,
+                         s1[1 - a_i, ar], s2[1 - b_i, ar])
+
+
 def mapq(primary: int, secondary: Optional[int], scale: int = 60) -> int:
     """Heuristic mapping quality from the best/second-best score gap
     (the widely used AS−XS form): 0 when the two loci tie (placement is
@@ -674,7 +740,7 @@ def to_sam(records: list[HitAlignment], queries, *, ref_name: str = "ref",
         name = (read_names[r.read] if read_names is not None
                 else f"read{r.read}")
         flag = (16 if r.strand == "-" else 0) \
-            | (256 if r.is_secondary else 0)
+            | (256 if r.is_secondary else 0) | r.flag_extra
         head = f"{r.read_start}S" if r.read_start else ""
         tail_n = len(q) - 1 - r.read_end
         tail = f"{tail_n}S" if tail_n else ""
@@ -690,7 +756,10 @@ def to_sam(records: list[HitAlignment], queries, *, ref_name: str = "ref",
         fields = [
             name, str(flag), r.rname or ref_name, str(r.ref_start + 1),
             mq,
-            head + r.cigar + tail, "*", "0", "0",
+            head + r.cigar + tail,
+            r.rnext or "*",
+            str(r.pnext + 1) if r.rnext else "0",
+            str(r.tlen),
             decode(q, alphabet), qual or "*", f"AS:i:{r.score}"]
         if r.xs is not None:
             fields.append(f"XS:i:{r.xs}")

@@ -884,3 +884,77 @@ def test_secondary_locus_same_window():
     h = search(pad_queries([read], 30), ref, n_best=2, window=32768)
     assert int(h.scores[0]) == 90 and int(h.ref_pos[0]) == 534
     assert int(h.scores2[0]) == 90 and int(h.ref_pos2[0]) == 2034
+
+
+def test_pair_hits_selection():
+    """pair_hits picks the highest-scoring PROPER (FR, insert-bounded)
+    combination of each end's top-2 candidates — even when that means
+    the secondary slot — and falls back to the independent bests
+    (proper=False) when no combination qualifies."""
+    from swtpu.dist.database import StrandedHits2, pair_hits
+
+    def h2(rows):
+        cols = list(zip(*rows))
+        return StrandedHits2(*[np.asarray(c) for c in cols])
+
+    # fields: s, p, e, st, s2, p2, e2, st2
+    h1 = h2([
+        (100, 5000, 40, 1, 90, 1000, 40, 1),   # primary is a far decoy
+        (100, 1000, 40, 1, 0, -1, 0, 0),        # fwd, unique
+    ])
+    hB = h2([
+        (95, 1300, 40, -1, 0, -1, 0, 0),        # proper only with h1's 2nd
+        (80, 3000, 40, 1, 70, 900, 40, 1),      # same strand: never proper
+    ])
+    ps = pair_hits(h1, hB, max_insert=1000)
+    # pair 0: (secondary of end1, primary of end2) is FR with insert ~340
+    assert bool(ps.proper[0])
+    assert int(ps.mate1.scores[0]) == 90 and int(ps.mate1.ref_pos[0]) == 1000
+    assert int(ps.mate2.scores[0]) == 95
+    assert int(ps.alt_scores1[0]) == 100        # the decoy becomes XS
+    # pair 1: both ends forward -> no proper combo, primary/primary kept
+    assert not bool(ps.proper[1])
+    assert int(ps.mate1.scores[1]) == 100 and int(ps.mate2.scores[1]) == 80
+
+
+def test_map_cli_paired_end(tmp_path):
+    """Paired-end CLI: proper FR pair gets flags 99/147, RNEXT '=',
+    signed TLEN, shared QNAME (suffixes stripped); a poly-N mate is
+    unmapped, so its partner carries the mate-unmapped bit."""
+    import os
+    import subprocess
+    import sys
+
+    from swtpu.core.encode import decode, revcomp
+
+    rng = np.random.default_rng(9)
+    ref = rng.integers(0, 4, 4000).astype(np.int8)
+    a1, a2 = ref[1000:1040], revcomp(ref[1300:1340])
+    b1 = ref[2500:2540]
+    (tmp_path / "g.fa").write_text(">c1\n" + decode(ref) + "\n")
+    (tmp_path / "r1.fq").write_text(
+        "@pA/1\n" + decode(a1) + "\n+\n" + "I" * 40 + "\n"
+        "@pB/1\n" + decode(b1) + "\n+\n" + "I" * 40 + "\n")
+    (tmp_path / "r2.fq").write_text(
+        "@pA/2\n" + decode(a2) + "\n+\n" + "J" * 40 + "\n"
+        "@pB/2\n" + "N" * 40 + "\n+\n" + "J" * 40 + "\n")
+    env = {k: v for k, v in os.environ.items()
+           if k != "PALLAS_AXON_POOL_IPS"}
+    env["JAX_PLATFORMS"] = "cpu"
+    out = subprocess.run(
+        [sys.executable, "-m", "swtpu", "map", str(tmp_path / "g.fa"),
+         str(tmp_path / "r1.fq"), str(tmp_path / "r2.fq")],
+        capture_output=True, text=True, timeout=240, env=env,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    assert out.returncode == 0, out.stderr
+    body = [ln.split("\t") for ln in out.stdout.strip().split("\n")
+            if not ln.startswith("@")]
+    pa = [f for f in body if f[0] == "pA"]
+    assert [f[1] for f in pa] == ["99", "147"]       # proper FR pair
+    assert pa[0][3] == "1001" and pa[0][6] == "=" and pa[0][7] == "1301"
+    assert pa[0][8] == "340" and pa[1][8] == "-340"
+    assert pa[0][10] == "I" * 40 and pa[1][10] == "J" * 40
+    pb = [f for f in body if f[0] == "pB"]
+    assert len(pb) == 1                              # N-mate never maps
+    assert int(pb[0][1]) & 0x8 and int(pb[0][1]) & 0x1 and \
+        int(pb[0][1]) & 0x40
