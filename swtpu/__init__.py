@@ -56,8 +56,17 @@ def to_sam(records, queries, **kw):
     return _to_sam(records, queries, **kw)
 
 
+def pair_hits(hits1, hits2, **kw):
+    """Proper-pair mate selection for paired-end reads from each end's
+    `search(strand="both", n_best=2)` — see
+    `swtpu.dist.database.pair_hits`."""
+    from .dist.database import pair_hits as _pair_hits
+    return _pair_hits(hits1, hits2, **kw)
+
+
 __all__ = [
     "align", "score", "sanitize", "search", "align_hits", "to_sam",
+    "pair_hits",
     "Alignment", "Scoring", "EngineConfig",
     "AnchoredReverseMismatch",
     "encode", "decode", "random_pair", "random_batch", "revcomp",
