@@ -264,7 +264,16 @@ static long scan_or_read(const char* path, int8_t* codes, long codes_cap,
     // continuation of an overlong line: treat as same logical line — the
     // parser below only dispatches on the first character of logical
     // lines, so feed content directly when mid-sequence.
-    if (line.empty()) continue;
+    if (line.empty()) {
+      // blank lines BETWEEN records are ignorable, but inside a FASTQ
+      // record they are content (a quality-trimmed empty read, or its
+      // empty quality line) — skipping them would desynchronize the
+      // 4-line state machine and swallow the next record's header
+      if (fastq && fastq_line == 1) fastq_line = 2;       // empty seq
+      else if (fastq && fastq_line == 2) fastq_line = 3;  // malformed '+'
+      else if (fastq && fastq_line == 3) fastq_line = 0;  // empty qual
+      continue;
+    }
     char c0 = line[0];
     if (!fastq && c0 == '@' && nseq == 0 && !in_seq) fastq = true;
     if (fastq) {

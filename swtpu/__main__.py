@@ -126,7 +126,8 @@ def map_main(argv) -> int:
         h2 = search(pad_queries(reads2, qlen), ref, window=args.window,
                     scoring=scoring, strand="both", n_best=2)
         psel = pair_hits(h1, h2, min_insert=args.min_insert,
-                         max_insert=args.max_insert)
+                         max_insert=args.max_insert,
+                         record_starts=ref_starts)
         scores = np.maximum(np.asarray(psel.mate1.scores),
                             np.asarray(psel.mate2.scores))
         nreads = 2 * len(reads)
@@ -152,14 +153,13 @@ def map_main(argv) -> int:
                           reads=[int(i) for i in sel if m1[i] > 0])
         recs2 = align_hits(psel.mate2, reads2, ref, scoring=scoring,
                            reads=[int(i) for i in sel if m2[i] > 0])
-        # XS = the other candidate's raw search score (as in single-end)
-        recs = [r._replace(xs=int(psel.alt_scores1[r.read])
-                           if psel.alt_scores1[r.read] > 0 else None)
+        # XS = the other candidate's raw search score (0 = no competitor
+        # -> MAPQ 60, no XS tag — as in single-end)
+        recs = [r._replace(xs=max(0, int(psel.alt_scores1[r.read])))
                 for r in recs]
         # mate-2 records index the second half of the combined read list
         recs += [r._replace(read=r.read + B,
-                            xs=int(psel.alt_scores2[r.read])
-                            if psel.alt_scores2[r.read] > 0 else None)
+                            xs=max(0, int(psel.alt_scores2[r.read])))
                  for r in recs2]
     else:
         s2 = np.asarray(hits.scores2)
@@ -176,10 +176,10 @@ def map_main(argv) -> int:
         # XS = the re-aligned secondary score where we have it (window
         # truncation can under-report the raw search score; the AS of the
         # flag-256 record and the primary's XS must agree), else the raw
-        # search second-best
+        # search second-best — 0 when the searched second locus came up
+        # empty, so unique mappings get MAPQ 60, not "255 unavailable"
         sec_as = {r.read: r.score for r in sec}
-        recs = [r._replace(xs=sec_as.get(
-                    r.read, int(s2[r.read]) if s2[r.read] > 0 else None))
+        recs = [r._replace(xs=sec_as.get(r.read, int(s2[r.read])))
                 for r in recs]
         recs += sec
     if ref_starts is not None:
@@ -206,11 +206,11 @@ def map_main(argv) -> int:
             fe = 0x1 | (0x40 if first else 0x80)
             if mate is None:
                 return r._replace(flag_extra=fe | 0x8)  # mate unmapped
-            if psel.proper[r.read % B]:
-                fe |= 0x2
+            same = mate.rname == r.rname
+            if psel.proper[r.read % B] and same:
+                fe |= 0x2                # proper implies one chromosome
             if mate.strand == "-":
                 fe |= 0x20
-            same = mate.rname == r.rname
             if same:
                 tl = (max(r.ref_end, mate.ref_end)
                       - min(r.ref_start, mate.ref_start) + 1)

@@ -331,6 +331,22 @@ class Policy:
             return None
         return dict(entry["best"])
 
+    def sig_digest(self, sig: str) -> tuple:
+        """Hashable snapshot of this table's decisions for ONE signature
+        (each matching entry's shape + best config). Caches keyed on a
+        policy's content — e.g. the memoized database searcher — use
+        this instead of ``version`` so they invalidate only when an
+        observation lands in THEIR signature, not on every observe()
+        for unrelated shapes or scorings."""
+        if not self.table:
+            return ()
+        return tuple(
+            (e["m"], e["n"], e["best"].get("plan"), e["best"].get("T"),
+             e["best"].get("R"), e["best"].get("CB"),
+             e["best"].get("C"), e["best"].get("unroll"))
+            for e in self.table.get("entries", [])
+            if e.get("sig", "linear") == sig)
+
     def choose(self, m: int, n: int, sig: str = "linear") -> dict:
         got = self.choose_near(m, n, sig=sig)
         if got is not None:

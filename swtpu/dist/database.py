@@ -476,7 +476,9 @@ class HitAlignment(NamedTuple):
     strand: str = "+"    # '-' = the read aligned reverse-complemented;
     #                      read coords/strings are in that orientation
     is_secondary: bool = False   # SAM flag 0x100 when rendered
-    xs: Optional[int] = None     # suboptimal (second locus) score tag
+    xs: Optional[int] = None     # suboptimal (second locus) score:
+    #                              0 = searched, no competitor (MAPQ 60);
+    #                              None = never searched (MAPQ 255)
     rname: Optional[str] = None  # per-record reference name (multi-chrom)
     flag_extra: int = 0          # extra SAM flag bits OR'd in (pairing:
     #                              0x1/0x2/0x8/0x20/0x40/0x80)
@@ -646,8 +648,8 @@ class PairSelection(NamedTuple):
 
 
 def pair_hits(h1: StrandedHits2, h2: StrandedHits2, *,
-              min_insert: int = 0, max_insert: int = 1000
-              ) -> PairSelection:
+              min_insert: int = 0, max_insert: int = 1000,
+              record_starts=None) -> PairSelection:
     """Select mate placements for paired-end reads from the two ends'
     top-2 both-strand candidates (`search(strand="both", n_best=2)` per
     end): among the 4 candidate combinations per pair, take the
@@ -657,7 +659,13 @@ def pair_hits(h1: StrandedHits2, h2: StrandedHits2, *,
     fall back to the two independent best placements (improper pair)
     when no combination qualifies. Template length is estimated from
     the search's end positions (pos − read_end for the forward mate's
-    start); the exact TLEN comes from the re-alignment downstream."""
+    start); the exact TLEN comes from the re-alignment downstream.
+
+    With a `concat_references` reference, pass its ``starts`` as
+    ``record_starts``: positions are then global concat coordinates, and
+    without the record gate two mates straddling a (short) inter-record
+    spacer would satisfy the FR/insert check and be selected as a
+    proper cross-chromosome pair."""
     def cands(h):
         return (np.stack([np.asarray(h.scores), np.asarray(h.scores2)]),
                 np.stack([np.asarray(h.ref_pos), np.asarray(h.ref_pos2)]),
@@ -667,12 +675,18 @@ def pair_hits(h1: StrandedHits2, h2: StrandedHits2, *,
     s1, p1, e1, st1 = cands(h1)
     s2, p2, e2, st2 = cands(h2)
     B = s1.shape[1]
+    if record_starts is not None:
+        starts = np.asarray(record_starts)
+        rec1 = np.searchsorted(starts, p1, side="right") - 1
+        rec2 = np.searchsorted(starts, p2, side="right") - 1
     best = np.full(B, -1, np.int64)
     a_i = np.zeros(B, np.int64)
     b_i = np.zeros(B, np.int64)
     for a in (0, 1):
         for b in (0, 1):
             ok = (s1[a] > 0) & (s2[b] > 0) & (st1[a] * st2[b] == -1)
+            if record_starts is not None:
+                ok &= rec1[a] == rec2[b]     # proper = same chromosome
             a_fwd = st1[a] == 1
             fwd_start = np.where(a_fwd, p1[a] - e1[a], p2[b] - e2[b])
             rev_end = np.where(a_fwd, p2[b], p1[a])
@@ -761,8 +775,8 @@ def to_sam(records: list[HitAlignment], queries, *, ref_name: str = "ref",
             str(r.pnext + 1) if r.rnext else "0",
             str(r.tlen),
             decode(q, alphabet), qual or "*", f"AS:i:{r.score}"]
-        if r.xs is not None:
-            fields.append(f"XS:i:{r.xs}")
+        if r.xs:                       # xs == 0 means "no competitor":
+            fields.append(f"XS:i:{r.xs}")  # it feeds MAPQ, not a tag
         lines.append("\t".join(fields))
     return "\n".join(lines) + "\n"
 
@@ -807,14 +821,19 @@ def search(queries, reference, mesh: Optional[Mesh] = None,
         mesh_key = id(mesh)
     # resolve the plan NOW so a jax_default_device flip (the documented
     # tunnel-dodge pattern) never serves a searcher compiled for the
-    # other backend, and key on the policy's (uid, version) — uid is
-    # never reused and version bumps on every observe/merge, so a table
-    # mutation or replacement invalidates the memo where id() would not
+    # other backend, and key on the tuned table's batch-signature
+    # DIGEST: the searcher only consults "batch|<sig>" entries, so only
+    # an observation landing there invalidates the memo — a warm
+    # align() observe (linear sig) must not force a multi-second
+    # searcher retrace, and id()-style keys miss in-place mutation
+    from ..dispatch.autotune import scoring_sig
     from ..dispatch.plan import _tuned_policy
     plan = _searcher_plan(mesh, qlen, window, scoring, "auto", substitution)
     pol = _tuned_policy()
+    digest = (pol.sig_digest("batch|" + scoring_sig(scoring, substitution))
+              if pol is not None else None)
     key = (qlen, shard_len, window, scoring, axis, sub_key, mesh_key,
-           n_best, plan, (pol.uid, pol.version) if pol is not None else None)
+           n_best, plan, digest)
     fn = _searcher_memo.get(key)
     if fn is not None:
         _searcher_memo[key] = _searcher_memo.pop(key)   # LRU touch

@@ -208,33 +208,47 @@ def read_seqfile(path: str, alphabet: Optional[str] = None
     return [codes[bounds[i]:bounds[i + 1]].copy() for i in range(nseq)]
 
 
+def _scan_records(path: str):
+    """Yield (name, qual) per FASTA/FASTQ record, in file order — qual
+    is None for FASTA records. ONE state machine behind `seq_names` and
+    `seq_quals`. FASTQ records are consumed by line COUNT, never by
+    first-character dispatch (quality strings legally contain '>' and
+    '@'), and blank lines count as content INSIDE a record (a
+    quality-trimmed empty read, or its empty quality line) while still
+    being ignorable between records — mirroring the native reader, so
+    an empty record cannot desynchronize the 4-line cycle."""
+    with open(path, "rb") as f:
+        fastq_state = 0
+        name = ""
+        for line in f:
+            line = line.strip()
+            if fastq_state:              # seq / '+' / qual of one record
+                fastq_state -= 1
+                if fastq_state == 0:
+                    yield name, line.decode(errors="replace")
+                continue
+            if not line:
+                continue
+            if line[:1] == b">":
+                yield (line[1:].split()[0].decode(errors="replace")
+                       if len(line) > 1 else ""), None
+            elif line[:1] == b"@":
+                name = (line[1:].split()[0].decode(errors="replace")
+                        if len(line) > 1 else "")
+                fastq_state = 3
+        if fastq_state:
+            # truncated final record: the native reader counts it at its
+            # header, so yield it (with an empty quality) to keep the
+            # per-record lists aligned with read_seqfile's output
+            yield name, ""
+
+
 def seq_names(path: str) -> list[str]:
     """Record names (first whitespace-delimited token of each FASTA '>' /
     FASTQ '@' header), in file order — the companion of `read_seqfile`
     for name-carrying output like SAM. Header scanning is plain text
     handling, kept in Python; the sequence decode stays native."""
-    names = []
-    with open(path, "rb") as f:
-        fastq_state = 0
-        for line in f:
-            line = line.strip()
-            if not line:
-                continue
-            # consume FASTQ seq/'+'/quality lines BEFORE any header
-            # check: quality strings legally contain '>' and '@'
-            # (Phred+33), so first-character dispatch inside a record
-            # would mint bogus names and swallow the next real header
-            if fastq_state:
-                fastq_state -= 1
-                continue
-            if line[:1] == b">":
-                names.append(line[1:].split()[0].decode(errors="replace")
-                             if len(line) > 1 else "")
-            elif line[:1] == b"@":
-                names.append(line[1:].split()[0].decode(errors="replace")
-                             if len(line) > 1 else "")
-                fastq_state = 3                   # skip seq, '+', qual
-    return names
+    return [n for n, _ in _scan_records(path)]
 
 
 def seq_quals(path: str) -> list:
@@ -242,20 +256,4 @@ def seq_quals(path: str) -> list:
     FASTA records, in file order — the QUAL-column companion of
     `read_seqfile` for SAM output (the native reader decodes bases
     only; qualities are plain text handled here, like `seq_names`)."""
-    quals = []
-    with open(path, "rb") as f:
-        fastq_state = 0
-        for line in f:
-            line = line.strip()
-            if not line:
-                continue
-            if fastq_state:              # seq / '+' / qual of one record
-                fastq_state -= 1
-                if fastq_state == 0:
-                    quals.append(line.decode(errors="replace"))
-                continue
-            if line[:1] == b">":
-                quals.append(None)
-            elif line[:1] == b"@":
-                fastq_state = 3
-    return quals
+    return [q for _, q in _scan_records(path)]

@@ -810,8 +810,13 @@ def test_search_memo_invalidation_and_lru(monkeypatch):
     db.search(q, ref, window=128)              # same shape: memo hit
     assert len(builds) == n0
     pol = _tuned_policy(create=True)
-    pol.observe(128, 128, "scan", None, None, 0.5)
-    db.search(q, ref, window=128)              # table mutated: rebuild
+    # a warm align() observe (linear sig) must NOT invalidate — the
+    # searcher only consults batch|-signature entries
+    pol.observe(999, 999, "stripe", None, None, 0.1)
+    db.search(q, ref, window=128)
+    assert len(builds) == n0
+    pol.observe(128, 400, "stripe", 128, 128, 0.5, sig="batch|linear")
+    db.search(q, ref, window=128)              # batch entry: rebuild
     assert len(builds) == n0 + 1
     for w in range(60, 75):                    # 15 cold shapes -> memo full
         db.search(q, ref, window=w)
@@ -958,3 +963,63 @@ def test_map_cli_paired_end(tmp_path):
     assert len(pb) == 1                              # N-mate never maps
     assert int(pb[0][1]) & 0x8 and int(pb[0][1]) & 0x1 and \
         int(pb[0][1]) & 0x40
+
+
+def test_empty_fastq_record_stays_in_sync():
+    """A quality-trimmed empty read must not desynchronize the FASTQ
+    parsers: before the fix, the blank seq/qual lines were skipped
+    without advancing the 4-line state machine, so the NEXT read's
+    bases were returned as the empty read's quality string (and the
+    native reader encoded the '+' separator as a base)."""
+    import tempfile
+
+    from swtpu.runtime_native import available, read_seqfile, seq_names, \
+        seq_quals
+
+    with tempfile.NamedTemporaryFile("w", suffix=".fq",
+                                     delete=False) as f:
+        f.write("@r1\n\n+\n\n@r2\nACGT\n+\nIIII\n")
+        path = f.name
+    assert seq_names(path) == ["r1", "r2"]
+    assert seq_quals(path) == ["", "IIII"]
+    if available():
+        seqs = read_seqfile(path)
+        assert len(seqs) == 2
+        assert len(seqs[0]) == 0                 # empty read stays empty
+        assert list(seqs[1]) == [0, 1, 2, 3]
+
+
+def test_pair_hits_record_gate():
+    """With a concat_references reference, two mates straddling the
+    (short) inter-record spacer satisfy the FR/insert check in global
+    coordinates; record_starts gates properness to one chromosome."""
+    from swtpu.dist.database import StrandedHits2, pair_hits
+
+    def h(*rows):
+        return StrandedHits2(*[np.asarray(c) for c in zip(*rows)])
+
+    # chr0 = [0, 400), chr1 starts at 500 (spacer 100): mate1 fwd ends
+    # at 390 (chr0), mate2 rev ends at 600 (chr1), "insert" ~250
+    h1 = h((100, 390, 40, 1, 0, -1, 0, 0))
+    hB = h((95, 600, 40, -1, 0, -1, 0, 0))
+    ps = pair_hits(h1, hB, max_insert=1000)
+    assert bool(ps.proper[0])                    # ungated: looks proper
+    ps = pair_hits(h1, hB, max_insert=1000,
+                   record_starts=np.array([0, 500]))
+    assert not bool(ps.proper[0])                # gated: cross-record
+
+
+def test_unique_mapping_gets_mapq_60():
+    """xs=0 means 'second locus searched, none found' — the most
+    confident mappings must render MAPQ 60, not 255 ('unavailable',
+    which MAPQ-aware downstream tools filter out), and no XS tag."""
+    from swtpu.dist.database import HitAlignment, to_sam
+
+    rec = HitAlignment(0, 120, 10, 49, 0, 39, "A" * 40, "A" * 40,
+                       "40M", xs=0)
+    line = [ln for ln in to_sam([rec], [np.zeros(40, np.int8)],
+                                ref_len=100).splitlines()
+            if not ln.startswith("@")][0]
+    fields = line.split("\t")
+    assert fields[4] == "60"
+    assert not any(f.startswith("XS:") for f in fields)
