@@ -49,7 +49,10 @@ def main():
 
     results = {"date": time.strftime("%Y-%m-%d %H:%M")}
     table = autotune.sweep_batch(
-        shapes=((2048, 152, 32768), (4096, 32, 32768)),
+        shapes=((2048, 152, 32768), (4096, 32, 32768),
+                # the map CLI's n_best=2 searchers clamp the window to
+                # the 2048 secondary-resolution — tune that shape too
+                (2048, 152, 2048)),
         r_candidates=(32, 16, 8, 4), cb_candidates=(1, 2),
         unrolls=(None, 32))
     results["batch_sweep"] = table
