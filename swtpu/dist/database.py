@@ -555,6 +555,13 @@ def align_hits(hits: Union[SearchHits, StrandedHits], queries, reference,
                        key=lambda i: (-scores[i], pos[i], i))
         if top is not None:
             reads = reads[:top]
+    # hit windows are tiny DP problems (a short read x ~2 read lengths
+    # of reference) — raise the host-tier cap so they run the native C
+    # fill (~1 ms/Mcell, traceback free on host) instead of paying the
+    # multi-ms device dispatch floor PER HIT; beyond ~1 Mcells the
+    # device plans win again
+    from ..core.config import EngineConfig
+    cfg = EngineConfig(host_max_cells=1 << 20)
     out: list[HitAlignment] = []
     for i in reads:
         s = int(scores[i])
@@ -565,7 +572,7 @@ def align_hits(hits: Union[SearchHits, StrandedHits], queries, reference,
         W = len(q) + 32
         while True:
             start = max(0, end + 1 - W)
-            res = _align(reference[start:end + 1], q, scoring,
+            res = _align(reference[start:end + 1], q, scoring, cfg,
                          traceback=True, substitution=substitution,
                          alphabet=alphabet)
             if res.max_score >= s or start == 0:

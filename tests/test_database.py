@@ -1023,3 +1023,27 @@ def test_unique_mapping_gets_mapq_60():
     fields = line.split("\t")
     assert fields[4] == "60"
     assert not any(f.startswith("XS:") for f in fields)
+
+
+def test_align_hits_uses_host_tier(monkeypatch):
+    """Hit re-alignment windows (a read x ~2 read lengths) must run the
+    native C host fill — align_hits raises the host-tier cell cap, so
+    per-hit cost is ~µs instead of the multi-ms device dispatch floor
+    (a 152 bp read's first window is ~28k cells, over the default 8k
+    cap)."""
+    import swtpu.runtime_native as rn
+    from swtpu.dist.database import align_hits
+
+    if not rn.available():
+        pytest.skip("native runtime not built")
+    calls = []
+    real = rn.fill
+    monkeypatch.setattr(
+        rn, "fill", lambda *a, **k: (calls.append(1), real(*a, **k))[1])
+    rng = np.random.default_rng(77)
+    ref = rng.integers(0, 4, 4096).astype(np.int8)
+    read = ref[1000:1152].copy()
+    hits = search(pad_queries([read], 152), ref, window=1024)
+    recs = align_hits(hits, [read], ref)
+    assert recs[0].cigar == "152M" and recs[0].ref_start == 1000
+    assert calls                     # the re-alignment ran the C fill
