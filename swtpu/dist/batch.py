@@ -156,9 +156,12 @@ def batch_align(a_batch, b_batch, scoring: Scoring = Scoring(),
     a_np, b_np = np.asarray(a_batch, np.int8), np.asarray(b_batch, np.int8)
     kw = {} if alphabet is None else {"alphabet": alphabet}
     out = []
+    # raised host-tier cap: pairs small enough run the native C fill
+    # with a free host traceback instead of a per-pair device dispatch
+    # (same routing as dist.database.align_hits)
+    cfg = EngineConfig(band=band, host_max_cells=1 << 20)
     for i in order:
-        res = _align(a_np[i], b_np[i], scoring,
-                     EngineConfig(band=band), traceback=True,
+        res = _align(a_np[i], b_np[i], scoring, cfg, traceback=True,
                      substitution=substitution, **kw)
         if res.max_score != int(scores[i]):   # pragma: no cover - guard
             raise AssertionError(
