@@ -238,14 +238,15 @@ def map_main(argv) -> int:
         quals = seq_quals(args.reads_fasta[0])
     if len(quals) != len(reads_all) or all(q is None for q in quals):
         quals = None                   # FASTA input: no QUAL column
+    cl = "swtpu map " + " ".join(argv)
     if ref_starts is not None:
         sam = to_sam(recs, reads_all, read_names=names_all,
-                     alphabet=alphabet, quals=quals,
+                     alphabet=alphabet, quals=quals, pg=cl,
                      sq=[(n, len(s)) for n, s in zip(ref_names, ref_seqs)])
     else:
         sam = to_sam(recs, reads_all, ref_name=ref_names[0],
                      ref_len=len(ref), read_names=names_all,
-                     alphabet=alphabet, quals=quals)
+                     alphabet=alphabet, quals=quals, pg=cl)
     if args.output == "-":
         sys.stdout.write(sam)
     else:

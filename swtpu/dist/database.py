@@ -730,7 +730,8 @@ def mapq(primary: int, secondary: Optional[int], scale: int = 60) -> int:
 
 def to_sam(records: list[HitAlignment], queries, *, ref_name: str = "ref",
            ref_len: Optional[int] = None, read_names=None,
-           alphabet: Optional[str] = None, sq=None, quals=None) -> str:
+           alphabet: Optional[str] = None, sq=None, quals=None,
+           pg: Optional[str] = None) -> str:
     """Render `align_hits` records as minimal SAM (header + one line per
     record): local alignments get soft-clip runs for the unaligned read
     ends, minus-strand records the 0x10 flag with the stored (already
@@ -753,6 +754,10 @@ def to_sam(records: list[HitAlignment], queries, *, ref_name: str = "ref",
             lines.append(f"@SQ\tSN:{name}\tLN:{ln}")
     elif ref_len is not None:
         lines.append(f"@SQ\tSN:{ref_name}\tLN:{ref_len}")
+    if pg is not None:                 # command line for provenance
+        from .. import __version__
+        lines.append(f"@PG\tID:swtpu\tPN:swtpu\tVN:{__version__}"
+                     f"\tCL:{pg}")
     for r in records:
         q = qlist[r.read]
         if r.strand == "-":
