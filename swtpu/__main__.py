@@ -37,6 +37,8 @@ def map_main(argv) -> int:
     ap.add_argument("--min-insert", type=int, default=0)
     ap.add_argument("--max-insert", type=int, default=1000,
                     help="proper-pair template-length bounds (paired mode)")
+    ap.add_argument("--no-unmapped", action="store_true",
+                    help="suppress flag-4 records for unmapped reads")
     ap.add_argument("--strand", default="both",
                     choices=["both", "forward"])
     ap.add_argument("--window", type=int, default=32768)
@@ -182,11 +184,22 @@ def map_main(argv) -> int:
         recs = [r._replace(xs=sec_as.get(r.read, int(s2[r.read])))
                 for r in recs]
         recs += sec
+        if not args.no_unmapped:
+            from .dist.database import HitAlignment
+            thr = max(1, args.min_score)
+            recs += [HitAlignment(
+                         read=i, score=0, ref_start=-1, ref_end=-1,
+                         read_start=0, read_end=0, aligned_read="",
+                         aligned_ref="", cigar="*", is_unmapped=True)
+                     for i in range(B) if scores[i] < thr]
     if ref_starts is not None:
         # global concat coords -> per-record (RNAME, local POS)
         from .dist.database import locate_record
         fixed = []
         for r in recs:
+            if r.is_unmapped:          # no coordinates to remap
+                fixed.append(r)
+                continue
             ci, lo = locate_record(ref_starts, ref_seqs, r.ref_start)
             cj, _ = locate_record(ref_starts, ref_seqs, r.ref_end)
             if ci != cj:               # pragma: no cover - spacer math
@@ -223,12 +236,42 @@ def map_main(argv) -> int:
                               rnext="=" if same else mate.rname,
                               pnext=mate.ref_start, tlen=tl)
 
+        from .dist.database import HitAlignment
+
+        def unmapped_mate(i, first, mate):
+            # flag-4 record, placed AT the mapped mate's coordinate
+            # when one exists (keeps the pair together under sorting)
+            fe = 0x1 | (0x40 if first else 0x80)
+            kw = dict(ref_start=-1, ref_end=-1)
+            if mate is not None:
+                if mate.strand == "-":
+                    fe |= 0x20
+                kw = dict(ref_start=mate.ref_start, ref_end=-1,
+                          rname=mate.rname, rnext="=",
+                          pnext=mate.ref_start)
+            else:
+                fe |= 0x8                # both ends unmapped
+            return HitAlignment(
+                read=i if first else i + B, score=0, read_start=0,
+                read_end=0, aligned_read="", aligned_ref="", cigar="*",
+                is_unmapped=True, flag_extra=fe, **kw)
+
         recs = []
         for i in (int(i) for i in sel):
             if i in by1:
                 recs.append(stitch(by1[i], by2.get(i), True))
+            elif not args.no_unmapped:
+                recs.append(unmapped_mate(i, True, by2.get(i)))
             if i in by2:
                 recs.append(stitch(by2[i], by1.get(i), False))
+            elif not args.no_unmapped:
+                recs.append(unmapped_mate(i, False, by1.get(i)))
+        if not args.no_unmapped:
+            thr = max(1, args.min_score)
+            for i in range(B):
+                if scores[i] < thr:    # pair below threshold: both ends
+                    recs.append(unmapped_mate(i, True, None))
+                    recs.append(unmapped_mate(i, False, None))
         reads_all = list(reads) + list(reads2)
         names_all = names + names        # mates share one QNAME
         quals = (seq_quals(args.reads_fasta[0])

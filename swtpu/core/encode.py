@@ -31,7 +31,12 @@ def encode(seq: str, alphabet: str = DNA_ALPHABET) -> np.ndarray:
 
 
 def decode(codes: np.ndarray, alphabet: str = DNA_ALPHABET) -> str:
-    return "".join(alphabet[int(c)] for c in codes)
+    """Codes -> text. Negative codes (the -1 unknown-base sentinel from
+    the file readers, and padding sentinels) render as 'N' ('X' for
+    protein alphabets that carry one) — Python's negative indexing would
+    otherwise silently print the LAST alphabet letter ('T' for DNA)."""
+    unk = "X" if "X" in alphabet else "N"
+    return "".join(alphabet[int(c)] if c >= 0 else unk for c in codes)
 
 
 def revcomp(codes: np.ndarray) -> np.ndarray:

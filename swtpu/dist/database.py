@@ -482,6 +482,9 @@ class HitAlignment(NamedTuple):
     rname: Optional[str] = None  # per-record reference name (multi-chrom)
     flag_extra: int = 0          # extra SAM flag bits OR'd in (pairing:
     #                              0x1/0x2/0x8/0x20/0x40/0x80)
+    is_unmapped: bool = False    # flag 0x4 record: CIGAR '*', MAPQ 0;
+    #                              rname/ref_start = the mapped mate's
+    #                              placement when paired, else unplaced
     rnext: Optional[str] = None  # mate reference name ('=' = same) —
     #                              None = unpaired (RNEXT '*', PNEXT 0)
     pnext: int = 0               # mate ref_start, 0-based (like ref_start)
@@ -760,11 +763,27 @@ def to_sam(records: list[HitAlignment], queries, *, ref_name: str = "ref",
                      f"\tCL:{pg}")
     for r in records:
         q = qlist[r.read]
+        name = (read_names[r.read] if read_names is not None
+                else f"read{r.read}")
+        if r.is_unmapped:
+            # flag-4 record: CIGAR/MAPQ '*'/0, SEQ as read; placed at
+            # the mapped mate's coordinate when the caller set one (the
+            # SAM convention that keeps pairs together under sorting)
+            qual = quals[r.read] if quals is not None else None
+            placed = r.ref_start >= 0
+            fields = [
+                name, str(4 | r.flag_extra),
+                (r.rname or ref_name) if placed else "*",
+                str(r.ref_start + 1) if placed else "0",
+                "0", "*",
+                r.rnext or "*",
+                str(r.pnext + 1) if r.rnext else "0",
+                "0", decode(q, alphabet), qual or "*"]
+            lines.append("\t".join(fields))
+            continue
         if r.strand == "-":
             from ..core.encode import revcomp
             q = revcomp(q)
-        name = (read_names[r.read] if read_names is not None
-                else f"read{r.read}")
         flag = (16 if r.strand == "-" else 0) \
             | (256 if r.is_secondary else 0) | r.flag_extra
         head = f"{r.read_start}S" if r.read_start else ""

@@ -960,9 +960,11 @@ def test_map_cli_paired_end(tmp_path):
     assert pa[0][8] == "340" and pa[1][8] == "-340"
     assert pa[0][10] == "I" * 40 and pa[1][10] == "J" * 40
     pb = [f for f in body if f[0] == "pB"]
-    assert len(pb) == 1                              # N-mate never maps
+    assert len(pb) == 2                  # mapped mate1 + flag-4 mate2
     assert int(pb[0][1]) & 0x8 and int(pb[0][1]) & 0x1 and \
         int(pb[0][1]) & 0x40
+    assert int(pb[1][1]) & 0x4 and int(pb[1][1]) & 0x80
+    assert pb[1][3] == pb[0][3] and pb[1][5] == "*"  # placed at mate, no CIGAR
 
 
 def test_empty_fastq_record_stays_in_sync():
@@ -1047,3 +1049,27 @@ def test_align_hits_uses_host_tier(monkeypatch):
     recs = align_hits(hits, [read], ref)
     assert recs[0].cigar == "152M" and recs[0].ref_start == 1000
     assert calls                     # the re-alignment ran the C fill
+
+
+def test_to_sam_unmapped_record():
+    """Flag-4 records: '*' RNAME/CIGAR and POS/MAPQ 0 when unplaced,
+    the mate's coordinate when placed, SEQ with 'N' for unknown-base
+    sentinels (negative codes previously rendered as the LAST alphabet
+    letter via Python negative indexing)."""
+    from swtpu.dist.database import HitAlignment, to_sam
+
+    unplaced = HitAlignment(0, 0, -1, -1, 0, 0, "", "", "*",
+                            is_unmapped=True)
+    placed = HitAlignment(1, 0, 499, -1, 0, 0, "", "", "*",
+                          is_unmapped=True, flag_extra=0x1 | 0x80,
+                          rnext="=", pnext=499)
+    q = [np.full(8, -1, np.int8), np.zeros(8, np.int8)]
+    body = [ln.split("\t") for ln in
+            to_sam([unplaced, placed], q, ref_len=1000,
+                   quals=["IIIIIIII", None]).splitlines()
+            if not ln.startswith("@")]
+    assert body[0][1:9] == ["4", "*", "0", "0", "*", "*", "0", "0"]
+    assert body[0][9] == "N" * 8 and body[0][10] == "IIIIIIII"
+    assert body[1][1] == str(4 | 0x1 | 0x80)
+    assert body[1][2] == "ref" and body[1][3] == "500"
+    assert body[1][6] == "=" and body[1][7] == "500"
