@@ -39,6 +39,9 @@ def map_main(argv) -> int:
                     help="proper-pair template-length bounds (paired mode)")
     ap.add_argument("--no-unmapped", action="store_true",
                     help="suppress flag-4 records for unmapped reads")
+    ap.add_argument("--sort", action="store_true",
+                    help="coordinate-sort the output (SO:coordinate; "
+                         "default order is best-score-first)")
     ap.add_argument("--strand", default="both",
                     choices=["both", "forward"])
     ap.add_argument("--window", type=int, default=32768)
@@ -281,15 +284,24 @@ def map_main(argv) -> int:
         quals = seq_quals(args.reads_fasta[0])
     if len(quals) != len(reads_all) or all(q is None for q in quals):
         quals = None                   # FASTA input: no QUAL column
+    so = "unknown"
+    if args.sort:
+        # samtools-style coordinate order: reference order as in the
+        # @SQ header, then POS; unplaced unmapped records go last
+        rank = {n: k for k, n in enumerate(ref_names)}
+        recs = sorted(recs, key=lambda r: (
+            (len(rank), 0) if r.is_unmapped and r.ref_start < 0
+            else (rank.get(r.rname, 0), r.ref_start)))
+        so = "coordinate"
     cl = "swtpu map " + " ".join(argv)
     if ref_starts is not None:
         sam = to_sam(recs, reads_all, read_names=names_all,
-                     alphabet=alphabet, quals=quals, pg=cl,
+                     alphabet=alphabet, quals=quals, pg=cl, so=so,
                      sq=[(n, len(s)) for n, s in zip(ref_names, ref_seqs)])
     else:
         sam = to_sam(recs, reads_all, ref_name=ref_names[0],
                      ref_len=len(ref), read_names=names_all,
-                     alphabet=alphabet, quals=quals, pg=cl)
+                     alphabet=alphabet, quals=quals, pg=cl, so=so)
     if args.output == "-":
         sys.stdout.write(sam)
     else:

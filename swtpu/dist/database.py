@@ -734,7 +734,7 @@ def mapq(primary: int, secondary: Optional[int], scale: int = 60) -> int:
 def to_sam(records: list[HitAlignment], queries, *, ref_name: str = "ref",
            ref_len: Optional[int] = None, read_names=None,
            alphabet: Optional[str] = None, sq=None, quals=None,
-           pg: Optional[str] = None) -> str:
+           pg: Optional[str] = None, so: str = "unknown") -> str:
     """Render `align_hits` records as minimal SAM (header + one line per
     record): local alignments get soft-clip runs for the unaligned read
     ends, minus-strand records the 0x10 flag with the stored (already
@@ -751,7 +751,7 @@ def to_sam(records: list[HitAlignment], queries, *, ref_name: str = "ref",
     if alphabet is None:
         alphabet = DNA_ALPHABET
     qlist = _strip_queries(queries)
-    lines = ["@HD\tVN:1.6\tSO:unknown"]
+    lines = [f"@HD\tVN:1.6\tSO:{so}"]
     if sq is not None:                 # multi-reference: (name, len) pairs
         for name, ln in sq:
             lines.append(f"@SQ\tSN:{name}\tLN:{ln}")
