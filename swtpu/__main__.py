@@ -151,6 +151,28 @@ def map_main(argv) -> int:
     if args.top is not None:
         sel = sel[: args.top]
     B = len(reads)
+    from .dist.database import HitAlignment
+
+    def unmapped_rec(i, first=None, mate=None):
+        """flag-4 record: ``first`` None = single-end (no pairing bits),
+        True/False = mate 1/2; placed AT the mapped mate's coordinate
+        when one exists (keeps the pair together under sorting)."""
+        fe = 0
+        if first is not None:
+            fe = 0x1 | (0x40 if first else 0x80)
+        kw = dict(ref_start=-1, ref_end=-1)
+        if mate is not None:
+            if mate.strand == "-":
+                fe |= 0x20
+            kw = dict(ref_start=mate.ref_start, ref_end=-1,
+                      rname=mate.rname, rnext="=", pnext=mate.ref_start)
+        elif first is not None:
+            fe |= 0x8                    # both ends unmapped
+        return HitAlignment(
+            read=i if first in (None, True) else i + B, score=0,
+            read_start=0, read_end=0, aligned_read="", aligned_ref="",
+            cigar="*", is_unmapped=True, flag_extra=fe, **kw)
+
     if paired:
         m1 = np.asarray(psel.mate1.scores)
         m2 = np.asarray(psel.mate2.scores)
@@ -188,13 +210,12 @@ def map_main(argv) -> int:
                 for r in recs]
         recs += sec
         if not args.no_unmapped:
-            from .dist.database import HitAlignment
-            thr = max(1, args.min_score)
-            recs += [HitAlignment(
-                         read=i, score=0, ref_start=-1, ref_end=-1,
-                         read_start=0, read_end=0, aligned_read="",
-                         aligned_ref="", cigar="*", is_unmapped=True)
-                     for i in range(B) if scores[i] < thr]
+            # every read without a mapped record gets a flag-4 one —
+            # below min-score AND --top-truncated alike, so the output's
+            # read count always matches the input's (flagstat-clean)
+            mapped = {r.read for r in recs if not r.is_secondary}
+            recs += [unmapped_rec(i) for i in range(B)
+                     if i not in mapped]
     if ref_starts is not None:
         # global concat coords -> per-record (RNAME, local POS)
         from .dist.database import locate_record
@@ -221,7 +242,11 @@ def map_main(argv) -> int:
         def stitch(r, mate, first):
             fe = 0x1 | (0x40 if first else 0x80)
             if mate is None:
-                return r._replace(flag_extra=fe | 0x8)  # mate unmapped
+                # the placed-unmapped mate record sits AT this record's
+                # coordinate (unmapped_rec), so point RNEXT/PNEXT here —
+                # the two records of the template must agree
+                return r._replace(flag_extra=fe | 0x8, rnext="=",
+                                  pnext=r.ref_start)
             same = mate.rname == r.rname
             if psel.proper[r.read % B] and same:
                 fe |= 0x2                # proper implies one chromosome
@@ -239,42 +264,24 @@ def map_main(argv) -> int:
                               rnext="=" if same else mate.rname,
                               pnext=mate.ref_start, tlen=tl)
 
-        from .dist.database import HitAlignment
-
-        def unmapped_mate(i, first, mate):
-            # flag-4 record, placed AT the mapped mate's coordinate
-            # when one exists (keeps the pair together under sorting)
-            fe = 0x1 | (0x40 if first else 0x80)
-            kw = dict(ref_start=-1, ref_end=-1)
-            if mate is not None:
-                if mate.strand == "-":
-                    fe |= 0x20
-                kw = dict(ref_start=mate.ref_start, ref_end=-1,
-                          rname=mate.rname, rnext="=",
-                          pnext=mate.ref_start)
-            else:
-                fe |= 0x8                # both ends unmapped
-            return HitAlignment(
-                read=i if first else i + B, score=0, read_start=0,
-                read_end=0, aligned_read="", aligned_ref="", cigar="*",
-                is_unmapped=True, flag_extra=fe, **kw)
-
         recs = []
         for i in (int(i) for i in sel):
             if i in by1:
                 recs.append(stitch(by1[i], by2.get(i), True))
             elif not args.no_unmapped:
-                recs.append(unmapped_mate(i, True, by2.get(i)))
+                recs.append(unmapped_rec(i, True, by2.get(i)))
             if i in by2:
                 recs.append(stitch(by2[i], by1.get(i), False))
             elif not args.no_unmapped:
-                recs.append(unmapped_mate(i, False, by1.get(i)))
+                recs.append(unmapped_rec(i, False, by1.get(i)))
         if not args.no_unmapped:
-            thr = max(1, args.min_score)
+            # pairs never selected (below min-score OR --top-cut): both
+            # ends flag-4, keeping output read counts flagstat-clean
+            covered = {int(i) for i in sel}
             for i in range(B):
-                if scores[i] < thr:    # pair below threshold: both ends
-                    recs.append(unmapped_mate(i, True, None))
-                    recs.append(unmapped_mate(i, False, None))
+                if i not in covered:
+                    recs.append(unmapped_rec(i, True, None))
+                    recs.append(unmapped_rec(i, False, None))
         reads_all = list(reads) + list(reads2)
         names_all = names + names        # mates share one QNAME
         quals = (seq_quals(args.reads_fasta[0])

@@ -778,7 +778,8 @@ def to_sam(records: list[HitAlignment], queries, *, ref_name: str = "ref",
                 "0", "*",
                 r.rnext or "*",
                 str(r.pnext + 1) if r.rnext else "0",
-                "0", decode(q, alphabet), qual or "*"]
+                "0", decode(q, alphabet) or "*",    # empty read: '*' SEQ
+                qual or "*"]
             lines.append("\t".join(fields))
             continue
         if r.strand == "-":
