@@ -1073,3 +1073,31 @@ def test_to_sam_unmapped_record():
     assert body[1][1] == str(4 | 0x1 | 0x80)
     assert body[1][2] == "ref" and body[1][3] == "500"
     assert body[1][6] == "=" and body[1][7] == "500"
+
+
+def test_pair_hits_prefers_higher_scoring_proper_combo():
+    """When two combinations are both proper, the higher-scoring one
+    wins; insert bounds are inclusive and measured from the forward
+    mate's estimated start to the reverse mate's end."""
+    from swtpu.dist.database import StrandedHits2, pair_hits
+
+    def h(*rows):
+        return StrandedHits2(*[np.asarray(c) for c in zip(*rows)])
+
+    # end1 candidates: fwd@1000 (s=80) and fwd@5000 (s=70)
+    h1 = h((80, 1000, 40, 1, 70, 5000, 40, 1))
+    # end2 candidates: rev@1300 (s=50, pairs with slot0, sum 130) and
+    # rev@5200 (s=90, pairs with slot1, sum 160 -> wins)
+    h2 = h((90, 5200, 40, -1, 50, 1300, 40, -1))
+    ps = pair_hits(h1, h2, max_insert=1000)
+    assert bool(ps.proper[0])
+    assert int(ps.mate1.ref_pos[0]) == 5000
+    assert int(ps.mate2.ref_pos[0]) == 5200
+    assert int(ps.alt_scores1[0]) == 80      # displaced best becomes XS
+    # exact-bound check: insert = rev_end - (fwd_pos - fwd_read_end) + 1
+    # = 1300 - (1000 - 40) + 1 = 341; max_insert=341 keeps it proper,
+    # 340 rejects it
+    h2b = h((50, 1300, 40, -1, 0, -1, 0, 0))
+    h1b = h((80, 1000, 40, 1, 0, -1, 0, 0))
+    assert bool(pair_hits(h1b, h2b, max_insert=341).proper[0])
+    assert not bool(pair_hits(h1b, h2b, max_insert=340).proper[0])
