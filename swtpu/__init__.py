@@ -64,9 +64,17 @@ def pair_hits(hits1, hits2, **kw):
     return _pair_hits(hits1, hits2, **kw)
 
 
+def map_reads(ref_seqs, reads, **kw):
+    """The whole read-mapping pipeline as one call (search -> pairing ->
+    host-tier hit alignment -> SAM-ready records) —
+    see `swtpu.dist.mapping.map_reads`."""
+    from .dist.mapping import map_reads as _map_reads
+    return _map_reads(ref_seqs, reads, **kw)
+
+
 __all__ = [
     "align", "score", "sanitize", "search", "align_hits", "to_sam",
-    "pair_hits",
+    "pair_hits", "map_reads",
     "Alignment", "Scoring", "EngineConfig",
     "AnchoredReverseMismatch",
     "encode", "decode", "random_pair", "random_batch", "revcomp",

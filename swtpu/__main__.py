@@ -64,7 +64,7 @@ def map_main(argv) -> int:
     args = ap.parse_args(argv)
 
     from . import Scoring
-    from .dist.database import align_hits, pad_queries, search, to_sam
+    from .dist.database import to_sam
     from .runtime_native import read_seqfile, seq_names, seq_quals
 
     sub = None
@@ -108,207 +108,43 @@ def map_main(argv) -> int:
                       gap=args.gap, gap_open=gap_open,
                       gap_extend=gap_extend,
                       mode="affine" if args.affine else "linear")
-    qlen = max((len(r) for r in reads + (reads2 or [])), default=0)
-    if not reads or qlen == 0 or not ref_seqs:
+    if not reads or not ref_seqs or \
+            max((len(r) for r in reads + (reads2 or [])), default=0) == 0:
         print("no reads or empty reference", file=sys.stderr)
         return 1
-    if len(ref_seqs) > 1:
-        # one searchable array; spacers make cross-record alignments
-        # strictly unprofitable, coordinates map back per record
-        from .dist.database import concat_references
-        ref, ref_starts = concat_references(ref_seqs, qlen, scoring,
-                                            substitution=sub)
-    else:
-        ref, ref_starts = ref_seqs[0], None
+    from .dist.mapping import map_reads
     t0 = time.perf_counter()
-    # always track the second-best locus: the AS-XS gap is what MAPQ is
-    # computed from (the top-2 carry rides the same device sweep); in
-    # paired mode it additionally supplies pairing candidates
-    if paired:
-        from .dist.database import pair_hits
-        h1 = search(pad_queries(reads, qlen), ref, window=args.window,
-                    scoring=scoring, strand="both", n_best=2)
-        h2 = search(pad_queries(reads2, qlen), ref, window=args.window,
-                    scoring=scoring, strand="both", n_best=2)
-        psel = pair_hits(h1, h2, min_insert=args.min_insert,
-                         max_insert=args.max_insert,
-                         record_starts=ref_starts)
-        scores = np.maximum(np.asarray(psel.mate1.scores),
-                            np.asarray(psel.mate2.scores))
-        nreads = 2 * len(reads)
-    else:
-        hits = search(pad_queries(reads, qlen), ref, window=args.window,
-                      scoring=scoring, strand=args.strand,
-                      substitution=sub, n_best=2)
-        scores = np.asarray(hits.scores)
-        nreads = len(reads)
+    res = map_reads(ref_seqs, reads, reads2=reads2, ref_names=ref_names,
+                    scoring=scoring, substitution=sub,
+                    strand=args.strand, window=args.window,
+                    min_score=args.min_score, top=args.top,
+                    secondary=args.secondary,
+                    min_insert=args.min_insert,
+                    max_insert=args.max_insert,
+                    unmapped=not args.no_unmapped, sort=args.sort)
     dt = time.perf_counter() - t0
-    print(f"searched {nreads} reads x {len(ref)} bases in {dt:.2f}s "
-          f"({nreads * qlen * len(ref) / dt / 1e9:.1f} GCUPS "
+    nreads = len(res.reads_all)
+    reflen = sum(len(s) for s in ref_seqs)
+    qlen = max(len(r) for r in res.reads_all)
+    print(f"mapped {nreads} reads x {reflen} reference bases in "
+          f"{dt:.2f}s ({nreads * qlen * reflen / dt / 1e9:.1f} GCUPS "
           "effective, incl. jit compile)", file=sys.stderr)
-    sel = [i for i in np.argsort(-scores, kind="stable")
-           if scores[i] >= max(1, args.min_score)]
-    if args.top is not None:
-        sel = sel[: args.top]
-    B = len(reads)
-    from .dist.database import HitAlignment
-
-    def unmapped_rec(i, first=None, mate=None):
-        """flag-4 record: ``first`` None = single-end (no pairing bits),
-        True/False = mate 1/2; placed AT the mapped mate's coordinate
-        when one exists (keeps the pair together under sorting)."""
-        fe = 0
-        if first is not None:
-            fe = 0x1 | (0x40 if first else 0x80)
-        kw = dict(ref_start=-1, ref_end=-1)
-        if mate is not None:
-            if mate.strand == "-":
-                fe |= 0x20
-            kw = dict(ref_start=mate.ref_start, ref_end=-1,
-                      rname=mate.rname, rnext="=", pnext=mate.ref_start)
-        elif first is not None:
-            fe |= 0x8                    # both ends unmapped
-        return HitAlignment(
-            read=i if first in (None, True) else i + B, score=0,
-            read_start=0, read_end=0, aligned_read="", aligned_ref="",
-            cigar="*", is_unmapped=True, flag_extra=fe, **kw)
-
+    names_all = names + names if paired else names
+    quals = seq_quals(args.reads_fasta[0])
     if paired:
-        m1 = np.asarray(psel.mate1.scores)
-        m2 = np.asarray(psel.mate2.scores)
-        recs = align_hits(psel.mate1, reads, ref, scoring=scoring,
-                          reads=[int(i) for i in sel if m1[i] > 0])
-        recs2 = align_hits(psel.mate2, reads2, ref, scoring=scoring,
-                           reads=[int(i) for i in sel if m2[i] > 0])
-        # XS = the other candidate's raw search score (0 = no competitor
-        # -> MAPQ 60, no XS tag — as in single-end)
-        recs = [r._replace(xs=max(0, int(psel.alt_scores1[r.read])))
-                for r in recs]
-        # mate-2 records index the second half of the combined read list
-        recs += [r._replace(read=r.read + B,
-                            xs=max(0, int(psel.alt_scores2[r.read])))
-                 for r in recs2]
-    else:
-        s2 = np.asarray(hits.scores2)
-        recs = align_hits(hits.primary, reads, ref, scoring=scoring,
-                          reads=[int(i) for i in sel], substitution=sub)
-        sec = []
-        if args.secondary:
-            sec_sel = [int(i) for i in sel
-                       if s2[i] >= max(1, args.min_score)]
-            sec = [r._replace(is_secondary=True)
-                   for r in align_hits(hits.secondary, reads, ref,
-                                       scoring=scoring, reads=sec_sel,
-                                       substitution=sub)]
-        # XS = the re-aligned secondary score where we have it (window
-        # truncation can under-report the raw search score; the AS of the
-        # flag-256 record and the primary's XS must agree), else the raw
-        # search second-best — 0 when the searched second locus came up
-        # empty, so unique mappings get MAPQ 60, not "255 unavailable"
-        sec_as = {r.read: r.score for r in sec}
-        recs = [r._replace(xs=sec_as.get(r.read, int(s2[r.read])))
-                for r in recs]
-        recs += sec
-        if not args.no_unmapped:
-            # every read without a mapped record gets a flag-4 one —
-            # below min-score AND --top-truncated alike, so the output's
-            # read count always matches the input's (flagstat-clean)
-            mapped = {r.read for r in recs if not r.is_secondary}
-            recs += [unmapped_rec(i) for i in range(B)
-                     if i not in mapped]
-    if ref_starts is not None:
-        # global concat coords -> per-record (RNAME, local POS)
-        from .dist.database import locate_record
-        fixed = []
-        for r in recs:
-            if r.is_unmapped:          # no coordinates to remap
-                fixed.append(r)
-                continue
-            ci, lo = locate_record(ref_starts, ref_seqs, r.ref_start)
-            cj, _ = locate_record(ref_starts, ref_seqs, r.ref_end)
-            if ci != cj:               # pragma: no cover - spacer math
-                raise AssertionError(
-                    f"alignment spans records {ci}/{cj}")
-            fixed.append(r._replace(
-                rname=ref_names[ci], ref_start=lo,
-                ref_end=r.ref_end - int(ref_starts[ci])))
-        recs = fixed
-    if paired:
-        # stitch mate fields AFTER the coordinate fixup (RNEXT/PNEXT/
-        # TLEN are in final per-record coordinates); emit mates adjacent
-        by1 = {r.read: r for r in recs if r.read < B}
-        by2 = {r.read - B: r for r in recs if r.read >= B}
-
-        def stitch(r, mate, first):
-            fe = 0x1 | (0x40 if first else 0x80)
-            if mate is None:
-                # the placed-unmapped mate record sits AT this record's
-                # coordinate (unmapped_rec), so point RNEXT/PNEXT here —
-                # the two records of the template must agree
-                return r._replace(flag_extra=fe | 0x8, rnext="=",
-                                  pnext=r.ref_start)
-            same = mate.rname == r.rname
-            if psel.proper[r.read % B] and same:
-                fe |= 0x2                # proper implies one chromosome
-            if mate.strand == "-":
-                fe |= 0x20
-            if same:
-                tl = (max(r.ref_end, mate.ref_end)
-                      - min(r.ref_start, mate.ref_start) + 1)
-                if r.ref_start > mate.ref_start or \
-                        (r.ref_start == mate.ref_start and not first):
-                    tl = -tl             # rightmost mate gets the minus
-            else:
-                tl = 0                   # cross-record pair: TLEN undefined
-            return r._replace(flag_extra=fe,
-                              rnext="=" if same else mate.rname,
-                              pnext=mate.ref_start, tlen=tl)
-
-        recs = []
-        for i in (int(i) for i in sel):
-            if i in by1:
-                recs.append(stitch(by1[i], by2.get(i), True))
-            elif not args.no_unmapped:
-                recs.append(unmapped_rec(i, True, by2.get(i)))
-            if i in by2:
-                recs.append(stitch(by2[i], by1.get(i), False))
-            elif not args.no_unmapped:
-                recs.append(unmapped_rec(i, False, by1.get(i)))
-        if not args.no_unmapped:
-            # pairs never selected (below min-score OR --top-cut): both
-            # ends flag-4, keeping output read counts flagstat-clean
-            covered = {int(i) for i in sel}
-            for i in range(B):
-                if i not in covered:
-                    recs.append(unmapped_rec(i, True, None))
-                    recs.append(unmapped_rec(i, False, None))
-        reads_all = list(reads) + list(reads2)
-        names_all = names + names        # mates share one QNAME
-        quals = (seq_quals(args.reads_fasta[0])
-                 + seq_quals(args.reads_fasta[1]))
-    else:
-        reads_all, names_all = reads, names
-        quals = seq_quals(args.reads_fasta[0])
-    if len(quals) != len(reads_all) or all(q is None for q in quals):
+        quals = quals + seq_quals(args.reads_fasta[1])
+    if len(quals) != nreads or all(q is None for q in quals):
         quals = None                   # FASTA input: no QUAL column
-    so = "unknown"
-    if args.sort:
-        # samtools-style coordinate order: reference order as in the
-        # @SQ header, then POS; unplaced unmapped records go last
-        rank = {n: k for k, n in enumerate(ref_names)}
-        recs = sorted(recs, key=lambda r: (
-            (len(rank), 0) if r.is_unmapped and r.ref_start < 0
-            else (rank.get(r.rname, 0), r.ref_start)))
-        so = "coordinate"
+    recs = res.records
     cl = "swtpu map " + " ".join(argv)
-    if ref_starts is not None:
-        sam = to_sam(recs, reads_all, read_names=names_all,
-                     alphabet=alphabet, quals=quals, pg=cl, so=so,
-                     sq=[(n, len(s)) for n, s in zip(ref_names, ref_seqs)])
+    if res.sq is not None:
+        sam = to_sam(recs, res.reads_all, read_names=names_all,
+                     alphabet=alphabet, quals=quals, pg=cl, so=res.so,
+                     sq=res.sq)
     else:
-        sam = to_sam(recs, reads_all, ref_name=ref_names[0],
-                     ref_len=len(ref), read_names=names_all,
-                     alphabet=alphabet, quals=quals, pg=cl, so=so)
+        sam = to_sam(recs, res.reads_all, ref_name=ref_names[0],
+                     ref_len=len(ref_seqs[0]), read_names=names_all,
+                     alphabet=alphabet, quals=quals, pg=cl, so=res.so)
     if args.output == "-":
         sys.stdout.write(sam)
     else:

@@ -1101,3 +1101,26 @@ def test_pair_hits_prefers_higher_scoring_proper_combo():
     h1b = h((80, 1000, 40, 1, 0, -1, 0, 0))
     assert bool(pair_hits(h1b, h2b, max_insert=341).proper[0])
     assert not bool(pair_hits(h1b, h2b, max_insert=340).proper[0])
+
+
+def test_map_reads_library_api():
+    """swtpu.map_reads: the whole mapping pipeline as one library call —
+    multi-record reference, paired-end, proper flags, sorted output."""
+    import swtpu
+    from swtpu.core.encode import revcomp
+
+    rng = np.random.default_rng(23)
+    c1 = rng.integers(0, 4, 1200).astype(np.int8)
+    c2 = rng.integers(0, 4, 800).astype(np.int8)
+    r1 = [c1[300:340].copy(), c2[100:140].copy()]
+    r2 = [revcomp(c1[600:640]), revcomp(c2[400:440])]
+    res = swtpu.map_reads([c1, c2], r1, reads2=r2,
+                          ref_names=["c1", "c2"], sort=True)
+    assert res.so == "coordinate" and res.sq == [("c1", 1200), ("c2", 800)]
+    mapped = [r for r in res.records if not r.is_unmapped]
+    assert len(mapped) == 4
+    assert all(r.flag_extra & 0x1 and r.flag_extra & 0x2 for r in mapped)
+    # coordinate order: c1 pair before c2 pair
+    assert [r.rname for r in mapped] == ["c1", "c1", "c2", "c2"]
+    assert mapped[0].ref_start == 300 and mapped[2].ref_start == 100
+    assert mapped[0].tlen == 340 and mapped[1].tlen == -340
