@@ -93,6 +93,19 @@ def main():
         print(swtpu.to_sam(recs, queries, ref_name="chr_demo",
                            ref_len=len(ref)), end="")
 
+    # --- or: the WHOLE pipeline (search -> pairing -> MAPQ -> records)
+    # as one library call — paired-end, with proper-pair flags and mate
+    # fields (python -m swtpu map is a file-IO wrapper around this)
+    from swtpu.core.encode import revcomp
+    r1 = [ref_codes[5000:5150].copy(), ref_codes[9000:9150].copy()]
+    r2 = [revcomp(ref_codes[5300:5450]), revcomp(ref_codes[9350:9500])]
+    res = swtpu.map_reads([ref_codes], r1, reads2=r2,
+                          ref_names=["chr_demo"], sort=True)
+    mapped = [r for r in res.records if not r.is_unmapped]
+    print(f"\npaired-end map_reads: {len(mapped)} records, proper flags "
+          f"{[hex(r.flag_extra) for r in mapped]}, "
+          f"TLENs {[r.tlen for r in mapped]}")
+
 
 if __name__ == "__main__":
     main()
