@@ -68,7 +68,9 @@ def map_reads(ref_seqs, reads, *, reads2=None, ref_names=None,
     MAPQ (and pairing); ``secondary=True`` additionally EMITS flag-256
     records (single-end only). ``unmapped`` keeps output read counts
     complete (flag-4 records for every read without a mapped record,
-    including ``top``-truncated ones). Raises ValueError on unusable
+    including ``top``-truncated ones). A ``substitution`` table
+    switches ``strand`` to 'forward' automatically (reverse complement
+    is undefined for protein codes). Raises ValueError on unusable
     mode combinations; returns a `MapResult` for `to_sam`.
     """
     paired = reads2 is not None
@@ -79,6 +81,12 @@ def map_reads(ref_seqs, reads, *, reads2=None, ref_names=None,
             "locus (no substitution / strand='forward' / secondary)")
     if paired and len(reads2) != len(reads):
         raise ValueError("mate lists differ in read count")
+    if substitution is not None and strand == "both":
+        strand = "forward"   # reverse complement is undefined for
+        #                      protein codes (the CLI's --blosum62 does
+        #                      the same switch)
+    if not isinstance(ref_seqs, np.ndarray) and not len(ref_seqs):
+        raise ValueError("empty reference")
     single_ref = isinstance(ref_seqs, np.ndarray) or len(ref_seqs) == 1
     qlen = max((len(r) for r in list(reads) + list(reads2 or [])),
                default=0)
@@ -96,6 +104,10 @@ def map_reads(ref_seqs, reads, *, reads2=None, ref_names=None,
                                             substitution=substitution)
         if ref_names is None:
             ref_names = [f"ref{i}" for i in range(len(ref_seqs))]
+        elif len(ref_names) != len(ref_seqs):
+            raise ValueError(
+                f"{len(ref_names)} ref_names for {len(ref_seqs)} "
+                "reference records")
         sq = [(n, len(s)) for n, s in zip(ref_names, ref_seqs)]
     B = len(reads)
 
@@ -170,13 +182,14 @@ def map_reads(ref_seqs, reads, *, reads2=None, ref_names=None,
 
     if ref_starts is not None:
         # global concat coords -> per-record (RNAME, local POS)
+        seqs = list(ref_seqs)
         fixed = []
         for r in recs:
             if r.is_unmapped:            # no coordinates to remap
                 fixed.append(r)
                 continue
-            ci, lo = locate_record(ref_starts, list(ref_seqs), r.ref_start)
-            cj, _ = locate_record(ref_starts, list(ref_seqs), r.ref_end)
+            ci, lo = locate_record(ref_starts, seqs, r.ref_start)
+            cj, _ = locate_record(ref_starts, seqs, r.ref_end)
             if ci != cj:                 # pragma: no cover - spacer math
                 raise AssertionError(
                     f"alignment spans records {ci}/{cj}")
@@ -242,7 +255,10 @@ def map_reads(ref_seqs, reads, *, reads2=None, ref_names=None,
         rank = ({n: k for k, n in enumerate(ref_names)}
                 if ref_names is not None else {})
         recs = sorted(recs, key=lambda r: (
-            (len(rank), 0) if r.is_unmapped and r.ref_start < 0
+            # inf, not len(rank): with no ref_names the rank map is
+            # empty and a (0, 0) sentinel would sort unplaced records
+            # FIRST instead of last
+            (float("inf"), 0) if r.is_unmapped and r.ref_start < 0
             else (rank.get(r.rname, 0), r.ref_start)))
         so = "coordinate"
 

@@ -1124,3 +1124,31 @@ def test_map_reads_library_api():
     assert [r.rname for r in mapped] == ["c1", "c1", "c2", "c2"]
     assert mapped[0].ref_start == 300 and mapped[2].ref_start == 100
     assert mapped[0].tlen == 340 and mapped[1].tlen == -340
+
+
+def test_map_reads_library_hardening():
+    """Library-entry edge cases the CLI used to paper over: protein
+    calls auto-switch to forward strand, empty/mismatched references
+    raise ValueError, and sort-with-no-ref_names puts unplaced
+    unmapped records LAST."""
+    import swtpu
+    from swtpu.core.substitution import BLOSUM62
+
+    rng = np.random.default_rng(29)
+    prot = rng.integers(0, 20, 400).astype(np.int8)
+    res = swtpu.map_reads(prot, [prot[50:74].copy()],
+                          substitution=BLOSUM62,
+                          scoring=swtpu.Scoring(mode="affine",
+                                                gap_open=-11,
+                                                gap_extend=-1))
+    assert [r for r in res.records if not r.is_unmapped][0].ref_start == 50
+    with pytest.raises(ValueError, match="empty reference"):
+        swtpu.map_reads([], [prot[:24]])
+    dna = rng.integers(0, 4, 600).astype(np.int8)
+    with pytest.raises(ValueError, match="ref_names"):
+        swtpu.map_reads([dna[:300], dna[300:]], [dna[10:40].copy()],
+                        ref_names=["only-one"])
+    res = swtpu.map_reads(dna, [dna[100:130].copy(),
+                                np.full(30, -1, np.int8)], sort=True)
+    assert not res.records[0].is_unmapped      # mapped first
+    assert res.records[-1].is_unmapped         # unplaced flag-4 last
