@@ -39,6 +39,10 @@ def map_main(argv) -> int:
                     help="proper-pair template-length bounds (paired mode)")
     ap.add_argument("--no-unmapped", action="store_true",
                     help="suppress flag-4 records for unmapped reads")
+    ap.add_argument("--sec-resolution", type=int, default=2048,
+                    help="secondary-locus window clamp (larger = "
+                         "faster sweep; nearer same-window loci "
+                         "collapse)")
     ap.add_argument("--sort", action="store_true",
                     help="coordinate-sort the output (SO:coordinate; "
                          "default order is best-score-first)")
@@ -121,7 +125,8 @@ def map_main(argv) -> int:
                     secondary=args.secondary,
                     min_insert=args.min_insert,
                     max_insert=args.max_insert,
-                    unmapped=not args.no_unmapped, sort=args.sort)
+                    unmapped=not args.no_unmapped, sort=args.sort,
+                    sec_resolution=args.sec_resolution)
     dt = time.perf_counter() - t0
     nreads = len(res.reads_all)
     reflen = sum(len(s) for s in ref_seqs)

@@ -816,13 +816,17 @@ def to_sam(records: list[HitAlignment], queries, *, ref_name: str = "ref",
 def search(queries, reference, mesh: Optional[Mesh] = None,
            window: int = 32768, scoring: Scoring = Scoring(),
            axis: str = "data", substitution=None,
-           strand: str = "forward", n_best: int = 1
+           strand: str = "forward", n_best: int = 1,
+           sec_resolution: int = 2048
            ) -> Union[SearchHits, StrandedHits, SearchHits2]:
     """Convenience one-shot search (builds shards + searcher).
 
     ``n_best=2`` returns SearchHits2 — the best two hits per read at
     distinct end positions; combined with ``strand="both"`` it returns
     StrandedHits2, the top two over all four strand/locus candidates.
+    ``sec_resolution`` is the secondary-locus window clamp under
+    n_best=2 (see `make_searcher`): larger = faster sweep but nearer
+    same-window loci collapse to the better one.
 
     ``strand="both"`` (DNA only) also searches every read's reverse
     complement in the same device sweep — the doubled batch rides the
@@ -865,14 +869,14 @@ def search(queries, reference, mesh: Optional[Mesh] = None,
     digest = (pol.sig_digest("batch|" + scoring_sig(scoring, substitution))
               if pol is not None else None)
     key = (qlen, shard_len, window, scoring, axis, sub_key, mesh_key,
-           n_best, plan, digest)
+           n_best, sec_resolution, plan, digest)
     fn = _searcher_memo.get(key)
     if fn is not None:
         _searcher_memo[key] = _searcher_memo.pop(key)   # LRU touch
     else:
         fn = make_searcher(mesh, qlen, shard_len, window, scoring, axis,
                            plan=plan, substitution=substitution,
-                           n_best=n_best)
+                           n_best=n_best, sec_resolution=sec_resolution)
         if len(_searcher_memo) >= 16:
             _searcher_memo.pop(next(iter(_searcher_memo)))
         _searcher_memo[key] = fn

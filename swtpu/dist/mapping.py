@@ -57,7 +57,8 @@ def map_reads(ref_seqs, reads, *, reads2=None, ref_names=None,
               min_score: int = 1, top: Optional[int] = None,
               secondary: bool = False, min_insert: int = 0,
               max_insert: int = 1000, unmapped: bool = True,
-              sort: bool = False, mesh=None) -> MapResult:
+              sort: bool = False, mesh=None,
+              sec_resolution: int = 2048) -> MapResult:
     """Map ``reads`` (list of int8 code arrays) against ``ref_seqs``
     (one array, or a list of per-record arrays — multi-chromosome).
 
@@ -117,10 +118,10 @@ def map_reads(ref_seqs, reads, *, reads2=None, ref_names=None,
     if paired:
         h1 = search(pad_queries(list(reads), qlen), ref, mesh=mesh,
                     window=window, scoring=scoring, strand="both",
-                    n_best=2)
+                    n_best=2, sec_resolution=sec_resolution)
         h2 = search(pad_queries(list(reads2), qlen), ref, mesh=mesh,
                     window=window, scoring=scoring, strand="both",
-                    n_best=2)
+                    n_best=2, sec_resolution=sec_resolution)
         psel = pair_hits(h1, h2, min_insert=min_insert,
                          max_insert=max_insert, record_starts=ref_starts)
         scores = np.maximum(np.asarray(psel.mate1.scores),
@@ -128,7 +129,8 @@ def map_reads(ref_seqs, reads, *, reads2=None, ref_names=None,
     else:
         hits = search(pad_queries(list(reads), qlen), ref, mesh=mesh,
                       window=window, scoring=scoring, strand=strand,
-                      substitution=substitution, n_best=2)
+                      substitution=substitution, n_best=2,
+                      sec_resolution=sec_resolution)
         scores = np.asarray(hits.scores)
     thr = max(1, min_score)
     sel = [i for i in np.argsort(-scores, kind="stable")
