@@ -833,9 +833,10 @@ def search(queries, reference, mesh: Optional[Mesh] = None,
     same batched kernel — and returns `StrandedHits` with the winning
     strand per read (higher score wins; ties prefer forward).
 
-    Searchers are memoized on (shape, scoring, table, mesh), so repeated
-    same-shape calls skip the retrace; for full control build one with
-    `make_searcher` and reuse it (see examples/read_mapping.py)."""
+    Searchers are memoized on (shapes, scoring, mesh, resolved plan,
+    tuned-table batch-signature digest), so repeated same-shape calls
+    skip the retrace; for full control build one with `make_searcher`
+    and reuse it (see examples/read_mapping.py)."""
     queries = np.asarray(queries, np.int8)
     if strand not in ("forward", "both"):
         raise ValueError(f"strand must be 'forward' or 'both', got {strand!r}")
