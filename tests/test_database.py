@@ -1152,3 +1152,28 @@ def test_map_reads_library_hardening():
                                 np.full(30, -1, np.int8)], sort=True)
     assert not res.records[0].is_unmapped      # mapped first
     assert res.records[-1].is_unmapped         # unplaced flag-4 last
+
+
+def test_map_reads_flagstat_completeness():
+    """The completeness contract behind default unmapped emission:
+    every input read appears EXACTLY once as a non-secondary record
+    (mapped or flag-4) — single-end and paired, even under top
+    truncation; unmapped=False drops the flag-4 records."""
+    import swtpu
+    from swtpu.core.encode import revcomp
+
+    rng = np.random.default_rng(31)
+    dna = rng.integers(0, 4, 2000).astype(np.int8)
+    reads = [dna[100:140].copy(), dna[700:740].copy(),
+             np.full(40, -1, np.int8)]
+    res = swtpu.map_reads(dna, reads, top=1)
+    assert sorted(r.read for r in res.records
+                  if not r.is_secondary) == [0, 1, 2]
+    assert sum(not r.is_unmapped for r in res.records) == 1   # top=1
+    res = swtpu.map_reads(dna, reads, unmapped=False)
+    assert all(not r.is_unmapped for r in res.records)
+    assert len(res.records) == 2
+    r1 = [dna[300:340].copy(), dna[900:940].copy()]
+    r2 = [revcomp(dna[600:640]), np.full(40, -1, np.int8)]
+    res = swtpu.map_reads(dna, r1, reads2=r2, top=1)
+    assert sorted(r.read for r in res.records) == [0, 1, 2, 3]
