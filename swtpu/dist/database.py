@@ -208,6 +208,11 @@ def make_searcher(mesh: Optional[Mesh], qlen: int, shard_len: int,
         window = min(window, max(2 * qlen, sec_resolution))
     ext = shard_len + qlen                 # shard + boundary halo
     window = min(window, ext)              # a window never exceeds a shard
+    if window <= qlen:
+        raise ValueError(
+            f"window ({window}) must exceed the padded read length "
+            f"({qlen}): windows overlap by qlen, so the stride would "
+            "be non-positive")
     step = window - qlen                   # window stride (qlen overlap)
     nwin = max(1, -(-max(1, ext - qlen) // step))
     plan = _searcher_plan(mesh, qlen, window, scoring, plan, substitution)

@@ -1177,3 +1177,12 @@ def test_map_reads_flagstat_completeness():
     r2 = [revcomp(dna[600:640]), np.full(40, -1, np.int8)]
     res = swtpu.map_reads(dna, r1, reads2=r2, top=1)
     assert sorted(r.read for r in res.records) == [0, 1, 2, 3]
+
+
+def test_window_must_exceed_qlen():
+    """A window no larger than the padded read length would make the
+    sweep stride non-positive (ZeroDivisionError before the guard)."""
+    rng = np.random.default_rng(33)
+    ref = rng.integers(0, 4, 512).astype(np.int8)
+    with pytest.raises(ValueError, match="must exceed"):
+        search(pad_queries([ref[:32].copy()], 32), ref, window=32)
