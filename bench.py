@@ -268,24 +268,31 @@ def _time_min(call, k=K, reps=3):
     return best
 
 
-def _await_backend() -> bool:
+def _await_backend() -> "tuple[bool, str]":
     """The device tunnel occasionally degrades; a backend init issued while
     it is down blocks the whole process for minutes with no output. Probe
     init in short-lived subprocesses (each bounded) and wait for recovery
-    up to SWTPU_BENCH_PROBE_BUDGET_S (default 40 min; 0 skips probing), so
+    up to SWTPU_BENCH_PROBE_BUDGET_S (default 10 min; 0 skips probing), so
     the bench either runs on a healthy chip or fails fast with evidence.
+
+    Capture contract: the FIRST failed probe immediately prints a
+    provisional value-0 JSON line (flushed), so even if the whole process
+    is later killed by an outer timeout, stdout always carries a parseable
+    artifact. A successful measurement prints the real line afterwards —
+    consumers take the last JSON line.
+
     Returns (ok, last_failure_description)."""
     import subprocess
     import sys
 
-    budget = float(os.environ.get("SWTPU_BENCH_PROBE_BUDGET_S", 2400))
+    budget = float(os.environ.get("SWTPU_BENCH_PROBE_BUDGET_S", 600))
     if budget <= 0:
         return True, ""
     deadline = time.time() + budget
     attempt, last = 0, ""
     while True:
         attempt += 1
-        probe_t = max(30.0, min(240.0, deadline - time.time()))
+        probe_t = max(30.0, min(120.0, deadline - time.time()))
         try:
             subprocess.run(
                 [sys.executable, "-c", "import jax; assert jax.devices()"],
@@ -305,6 +312,8 @@ def _await_backend() -> bool:
             last = (f"probe {attempt} exited {e.returncode}: "
                     f"{tail.splitlines()[-1] if tail else 'no stderr'}")
         print(f"bench: backend {last}; tunnel degraded?", file=sys.stderr)
+        if attempt == 1:
+            _emit_unreachable(last, provisional=True)
         if time.time() >= deadline:
             return False, last
         time.sleep(30)
@@ -316,17 +325,28 @@ _UNREACHABLE_DETAIL = (
     "device was unreachable.")
 
 
+def _emit_unreachable(last: str, provisional: bool = False) -> None:
+    """Honest infra-failure record: value 0 + the error detail beats a
+    process hung in backend init (which records nothing at all). The
+    provisional form is printed the moment the first probe fails, so an
+    outer kill (rc=124) can never again leave an empty artifact; the real
+    measurement (or the final unreachable line) supersedes it as the last
+    JSON line on stdout."""
+    detail = {"error": _UNREACHABLE_DETAIL.format(last=last)}
+    if provisional:
+        detail["provisional"] = (
+            "first probe failed; still waiting for tunnel recovery — a "
+            "later line supersedes this one if the chip comes back")
+    print(json.dumps({
+        "metric": "single_chip_fill_GCUPS", "value": 0.0,
+        "unit": "GCUPS", "vs_baseline": 0.0, "details": detail,
+    }), flush=True)
+
+
 def main():
     ok, last = _await_backend()
     if not ok:
-        # Honest infra-failure record: the chip never became reachable
-        # within the probe budget. value 0 + the error detail beats a
-        # process hung in backend init (which records nothing at all).
-        print(json.dumps({
-            "metric": "single_chip_fill_GCUPS", "value": 0.0,
-            "unit": "GCUPS", "vs_baseline": 0.0,
-            "details": {"error": _UNREACHABLE_DETAIL.format(last=last)},
-        }))
+        _emit_unreachable(last)
         return
     on_tpu = jax.default_backend() == "tpu"
     fill_s, score, compile_s, plan, phases = (bench_stripe() if on_tpu
