@@ -278,6 +278,25 @@ def load(path="swtpu_tuned.json") -> Optional[dict]:
     return json.loads(p.read_text()) if p.exists() else None
 
 
+def _promotes(row: dict, best: dict) -> bool:
+    """Kind-aware best-promotion: compare like with like. Sweep rows are
+    dispatch-amortized measurements; 'observed' rows are single live
+    dispatches with the dispatch+fetch floor subtracted (clamped at 5% of
+    the raw time in engine/align.py — up to ~20x optimistic when the
+    floor dominates a tiny problem), so an observed row may only displace
+    another observed best. A sweep-methodology row always supersedes an
+    observed best (methodology upgrade), and an observed row never
+    displaces a sweep best. Rows without a 'kind' predate the tag and
+    were sweep-written — treat as sweep."""
+    rk = row.get("kind", "sweep")
+    bk = best.get("kind", "sweep")
+    r_sweep = rk.startswith("sweep")
+    b_sweep = bk.startswith("sweep")
+    if r_sweep != b_sweep:
+        return r_sweep
+    return row["gcups"] > best["gcups"]
+
+
 _policy_uids = itertools.count()
 
 
@@ -360,7 +379,7 @@ class Policy:
                 kind: str = "observed"):
         """``kind`` records the timing methodology ('observed' = one live
         dispatch incl. the result fetch, 'sweep' = dispatch-amortized) so
-        merges can compare like with like."""
+        best-promotion and merges compare like with like."""
         if self.table is None:
             self.table = {"entries": []}
         self.version += 1
@@ -373,7 +392,7 @@ class Policy:
                 e["all"].append(row)
                 if len(e["all"]) > 64:       # bounded history: every warm
                     del e["all"][:-64]       # align() call observes
-                if row["gcups"] > e["best"]["gcups"]:
+                if _promotes(row, e["best"]):
                     e["best"] = row
                 return
         self.table["entries"].append({"m": m, "n": n, "sig": sig,
@@ -401,5 +420,5 @@ class Policy:
             # the very table it later merges back into; drop them
             fresh = [r for r in oe.get("all", []) if r not in have]
             e["all"] = (have + fresh)[-64:]
-            if oe["best"]["gcups"] > e["best"]["gcups"]:
+            if _promotes(oe["best"], e["best"]):
                 e["best"] = dict(oe["best"])

@@ -146,9 +146,31 @@ class ResumablePipeline:
                  **{k: np.asarray(v) for k, v in carry.items()})
 
     def load(self, path: str) -> tuple[dict, int]:
+        """Load a snapshot. Pre-round-3 snapshots carry 6 keys (no affine
+        bottom_f/left_e): for linear runs the stage never reads them, so
+        synthesize the NEGB init defaults; an affine pipeline cannot
+        resume from one — fail with a versioned message, not a KeyError."""
         z = np.load(path)
         sh = self._sharding()
-        carry = {k: jax.device_put(z[k], sh) for k in _KEYS}
+        missing = [k for k in _KEYS if k not in z]
+        if missing:
+            affine_only = {"bottom_f", "left_e"}
+            if set(missing) <= affine_only and not self.scoring.is_affine:
+                NEGB = -(1 << 30)
+                shapes = {"bottom_f": (self.D, self.mc + 1),
+                          "left_e": (self.D, self.R + 1)}
+                fills = {k: np.full(shapes[k], NEGB, np.int32)
+                         for k in missing}
+            else:
+                raise ValueError(
+                    f"checkpoint {path!r} predates the affine carry "
+                    f"(missing {sorted(missing)}); an affine pipeline "
+                    "cannot resume from it — refill from scratch or "
+                    "resume with linear scoring")
+        else:
+            fills = {}
+        carry = {k: jax.device_put(fills[k] if k in fills else z[k], sh)
+                 for k in _KEYS}
         return carry, int(z["seg"])
 
     def finish(self, carry: dict) -> PipelineResult:

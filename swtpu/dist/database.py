@@ -105,10 +105,19 @@ class StrandedHits2(NamedTuple):
                             self.strand2)
 
 
-def _upd2(carry, s, pos, qi, min_dist: int = 0):
+def _read_lengths(queries) -> jax.Array:
+    """(B,) int32 unpadded read lengths of a `pad_queries` batch (count of
+    non ``-3`` codes per row) — the per-read locus-dedup distance."""
+    return jnp.sum(queries != -3, axis=1).astype(jnp.int32)
+
+
+def _upd2(carry, s, pos, qi, min_dist=0):
     """Fold one candidate (score s, global end col pos, read end qi) into
     a top-2-distinct-loci carry. Two slots hold DISTINCT loci: end
-    positions more than ``min_dist`` apart (pass the read length — a
+    positions more than ``min_dist`` apart. Pass the read length — a
+    scalar, or a (B,) vector of per-read lengths so a short read's dedup
+    radius in a mixed-length batch is its OWN length rather than the
+    padded batch length. Why the read length: a
     boundary-straddling alignment is seen twice by overlapping windows,
     once end-truncated at the boundary with a shifted end position, so
     exact-position dedup is not enough; any candidate within a read
@@ -283,16 +292,20 @@ def make_searcher(mesh: Optional[Mesh], qlen: int, shard_len: int,
         return bs, bp, be
 
     def local2(queries, ref_shard, d):
-        # top-2-distinct-loci variant: same window sweep, _upd2 carry
+        # top-2-distinct-loci variant: same window sweep, _upd2 carry.
+        # Dedup radius is each read's OWN length (not the padded batch
+        # qlen): in a mixed-length batch a short read's genuinely
+        # distinct nearby loci must not collapse into one candidate.
         B = queries.shape[0]
         prepared = prepare_reads(queries)
+        mind = _read_lengths(queries)
 
         def scan_windows(w, carry):
             off = jnp.minimum(w * step, ext - window)
             win = lax.dynamic_slice(ref_shard, (off,), (window,))
             s, qi, wj = score_batch(prepared, win, B)
             pos = d * shard_len + off + wj - 1
-            return _upd2(carry, s, pos, qi, min_dist=qlen)
+            return _upd2(carry, s, pos, qi, min_dist=mind)
 
         z = jnp.zeros((B,), jnp.int32)
         sent = jnp.full((B,), 2**31 - 1, jnp.int32)
@@ -326,8 +339,9 @@ def make_searcher(mesh: Optional[Mesh], qlen: int, shard_len: int,
             z = jnp.zeros_like(c[0])
             sent = jnp.full_like(c[0], 2**31 - 1)
             merged = (z, sent, z, z, sent, z)
+            mind = _read_lengths(queries)
             for i in range(D):
-                merged = _merge2(merged, tuple(g[i]), min_dist=qlen)
+                merged = _merge2(merged, tuple(g[i]), min_dist=mind)
             return _finish2(merged)
 
         fn2 = jax.shard_map(

@@ -117,3 +117,41 @@ def test_sweep_batch_produces_entries(monkeypatch):
     assert e["sig"] == "batch|linear"
     assert e["m"] == 64 and e["n"] == 32
     assert e["best"]["R"] == 8 and e["best"]["kind"] == "sweep-batch"
+
+
+def test_best_promotion_is_kind_aware():
+    """A floor-subtracted single observation (kind='observed', up to ~20x
+    optimistic when the dispatch floor dominates a tiny problem) must not
+    displace a dispatch-amortized sweep best; sweep rows always supersede
+    observed bests; within one methodology higher GCUPS wins (ADVICE r3)."""
+    from swtpu.dispatch.autotune import Policy
+
+    pol = Policy({"entries": []})
+    pol.observe(512, 512, "stripe", T=512, C=128, seconds=1e-3,
+                R=4, kind="sweep")
+    e = pol.table["entries"][0]
+    assert e["best"]["kind"] == "sweep"
+
+    # an optimistic observation: 10x faster on paper
+    pol.observe(512, 512, "stripe", T=1024, C=128, seconds=1e-4,
+                R=8, kind="observed")
+    assert e["best"]["kind"] == "sweep" and e["best"]["T"] == 512, \
+        "observed row displaced a sweep best"
+
+    # observed rows still compete among themselves when no sweep exists
+    pol.observe(256, 256, "scan", T=None, C=None, seconds=1e-3)
+    pol.observe(256, 256, "stripe", T=256, C=128, seconds=1e-4)
+    e2 = [x for x in pol.table["entries"] if x["m"] == 256][0]
+    assert e2["best"]["plan"] == "stripe"
+
+    # a sweep row supersedes an observed best even at lower paper GCUPS
+    pol.observe(256, 256, "scan", T=None, C=None, seconds=5e-4,
+                kind="sweep")
+    assert e2["best"]["kind"] == "sweep" and e2["best"]["plan"] == "scan"
+
+    # merge applies the same rule
+    other = Policy({"entries": []})
+    other.observe(512, 512, "stripe", T=2048, C=128, seconds=1e-5,
+                  R=16, kind="observed")
+    pol.merge(other.table)
+    assert e["best"]["kind"] == "sweep" and e["best"]["T"] == 512

@@ -165,3 +165,43 @@ def test_checkpoint_substitution(mesh):
     res = rp.run(a, b)
     assert int(res.max_score) == ref.max_score
     assert (int(res.max_i), int(res.max_j)) == ref.max_ij
+
+
+def test_load_pre_affine_six_key_snapshot(mesh, tmp_path):
+    """A pre-round-3 snapshot lacks the affine carry (bottom_f/left_e).
+    Linear pipelines synthesize the NEGB defaults and resume bit-exactly;
+    affine pipelines get a versioned error, not a bare KeyError."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from swtpu.core.config import Scoring
+
+    m, n, R = 64, 64, 16
+    a, b = random_pair(m, n, seed=7)
+    ref = oracle.fill(a, b)
+    rp = ResumablePipeline(mesh, m, n, block_rows=R, stages_per_segment=2)
+    sh = NamedSharding(mesh, P("seq"))
+    a_sh = jax.device_put(a.reshape(8, m // 8), sh)
+    carry = rp.init()
+    carry = rp.segment(a_sh, np.asarray(b), carry, 0)
+
+    # write a 6-key snapshot the way round-2 code did
+    old = tmp_path / "old.npz"
+    six = {k: np.asarray(v) for k, v in carry.items()
+           if k not in ("bottom_f", "left_e")}
+    np.savez(old, seg=0, **six)
+
+    loaded, seg = rp.load(str(old))
+    assert seg == 0
+    for seg_idx in range(1, rp.num_segments):
+        loaded = rp.segment(a_sh, np.asarray(b), loaded, seg_idx)
+    res = rp.finish(loaded)
+    assert int(res.max_score) == ref.max_score
+    assert (int(res.max_i), int(res.max_j)) == ref.max_ij
+
+    # affine resume from the same file: clear versioned refusal
+    rp_aff = ResumablePipeline(
+        mesh, m, n, block_rows=R, stages_per_segment=2,
+        scoring=Scoring(mode="affine", gap_open=-4, gap_extend=-1))
+    with pytest.raises(ValueError, match="predates the affine carry"):
+        rp_aff.load(str(old))

@@ -656,6 +656,32 @@ def test_n_best_boundary_straddler_with_real_second_locus(mesh):
         assert int(hits.ref_pos2[0]) == p2 + 31, m
 
 
+def test_n_best_mixed_length_batch_uses_per_read_dedup_radius():
+    """In a mixed-length batch the locus-dedup radius must be each read's
+    OWN length, not the padded batch length: a 24-base read's two genuine
+    loci 60 apart (farther than the read, nearer than the 128-base pad)
+    must fill both slots instead of collapsing to a false unique mapping
+    (which would report MAPQ 60 for a true multi-mapper)."""
+    rng = np.random.default_rng(137)
+    ref = rng.integers(0, 4, 512).astype(np.int8)
+    p1, p2 = 100, 160                            # end positions 60 apart
+    short = ref[p1: p1 + 24].copy()
+    ref[p2: p2 + 24] = short                     # exact second copy
+    ref[p1: p1 + 24] = short
+    long = ref[300: 300 + 128].copy()            # pads the batch to 128
+    q = pad_queries([short, long], 128)
+    hits = search(q, ref, window=256, n_best=2, sec_resolution=256)
+    assert int(hits.scores[0]) == 72
+    assert int(hits.ref_pos[0]) == p1 + 23       # tie -> lower position
+    assert int(hits.scores2[0]) == 72, \
+        "second exact locus collapsed by the padded-length dedup radius"
+    assert int(hits.ref_pos2[0]) == p2 + 23
+    # the long read itself still dedups at its own (full) length: its
+    # overlapping-window views must not fabricate a second locus
+    if int(hits.scores2[1]) > 0:
+        assert abs(int(hits.ref_pos2[1]) - int(hits.ref_pos[1])) > 128
+
+
 def test_both_strands_top2_tie_prefers_forward():
     """Equal-score hits on both strands: the primary must be the forward
     one regardless of position — the same tie rule as n_best=1."""
