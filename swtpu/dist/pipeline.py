@@ -70,8 +70,11 @@ def _sub_table_embedded(substitution):
     return jnp.asarray(embed_sentinels(np.asarray(substitution)))
 
 
-NEGB = jnp.int32(-(1 << 30))
-_I32MAX = jnp.int32(2**31 - 1)
+# np scalars, NOT jnp: module-level jnp scalars initialize the XLA backend
+# at import — breaking jax.distributed.initialize ordering (multihost) and
+# blocking imports under a degraded axon tunnel.
+NEGB = np.int32(-(1 << 30))
+_I32MAX = np.int32(2**31 - 1)
 
 
 def _make_block(mesh: Mesh, mc: int, block_rows: int, scoring: Scoring,

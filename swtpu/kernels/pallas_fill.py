@@ -195,7 +195,8 @@ def _kernel(scoring: Scoring, T: int, R: int, C: int, m: int, n: int,
             boundary: bool = False, want_bottom: bool = False,
             pairs: bool = False, local: bool = True, CB: int = 1,
             nsym: int = 0, band: int = 0, debug_h: bool = False,
-            specialize_chunks: bool = False, npack: int = 0):
+            specialize_chunks: bool = False, npack: int = 0,
+            winject: int = 0):
     L = T // R                       # lanes per stripe
     sub_rows = L // LANES
     if R & (R - 1):
@@ -230,6 +231,20 @@ def _kernel(scoring: Scoring, T: int, R: int, C: int, m: int, n: int,
         # registers are exported so the host reduces per read.
         if batch:
             greset_ref = rest[0]
+            rest = rest[1:]
+        if winject:
+            # Packed-pairs mode ('many same-shape INDEPENDENT pairs in one
+            # stripe chain'): pairs pack back-to-back in rows exactly like
+            # batch mode, but each pair has its OWN query stream. Lanes
+            # where a pair starts (every `winject` = rlen/R lanes) plus
+            # lane 0 of every stripe INJECT their stream value from a
+            # precomputed tensor inj[s, t, lane] = a_g[CB*(t - lane) + c]
+            # instead of receiving the rolled neighbour value — the
+            # systolic shift then distributes each pair's stream across
+            # its own lanes only. This removes the per-pair ramp bubble of
+            # the pairs grid (one ramp for the whole packed batch instead
+            # of B ramps; VERDICT r3 #4).
+            inj_ref = rest[0]
             rest = rest[1:]
         if boundary:
             # top_ref: the boundary rings pre-filled with the caller's top
@@ -295,6 +310,11 @@ def _kernel(scoring: Scoring, T: int, R: int, C: int, m: int, n: int,
         lin = row * LANES + col                     # lane id k
         origin = lin == 0
         col0 = col == 0
+        if winject:
+            # pair-start lanes inject; lane 0 injects too (its pair's
+            # stream continues from the previous stripe, re-based)
+            injmask = jnp.logical_or(
+                (s_idx * L + lin) % winject == 0, origin)
 
         @pl.when(c_idx == 0)
         def _init_stripe():
@@ -398,14 +418,22 @@ def _kernel(scoring: Scoring, T: int, R: int, C: int, m: int, n: int,
                 t = c_idx * C + tl
 
                 h_tops, wvs = [], []
+                if winject:
+                    iv = inj_ref[0, tl]          # (sub_rows, LANES)
                 for c in range(CB):
                     ht = jnp.where(origin, bw[c][0, 127],
                                    jnp.where(col0, hr2[c], hr1[c]))
                     if batch:
                         ht = jnp.where(gmasks[0], 0, ht)
                     h_tops.append(ht)
-                    wvs.append(jnp.where(origin, av[c][0, 0],
-                                         jnp.where(col0, wr2[c], wr1[c])))
+                    if winject:
+                        wvs.append(jnp.where(injmask, iv,
+                                             jnp.where(col0, wr2[c],
+                                                       wr1[c])))
+                    else:
+                        wvs.append(jnp.where(origin, av[c][0, 0],
+                                             jnp.where(col0, wr2[c],
+                                                       wr1[c])))
                 if nsym:
                     # substitution select tree: the query-code bit masks are
                     # hoisted per column slot (shared by all R rows), so the
@@ -815,12 +843,14 @@ def _ring_len(m: int, T: int, R: int, C: int, CB: int = 1) -> int:
     static_argnames=("scoring", "T", "R", "C", "m", "n", "return_p",
                      "interpret", "unroll", "want_bottom", "local", "CB",
                      "nsym", "band", "debug_h", "specialize_chunks",
-                     "npack"),
+                     "npack", "winject"),
 )
-def _stripe_call(q, bt, greset=None, top=None, lc=None, ftop=None, *,
+def _stripe_call(q, bt, greset=None, inj=None, top=None, lc=None,
+                 ftop=None, *,
                  scoring, T, R=1, C=256, m, n, return_p, interpret,
                  unroll=1, want_bottom=False, local=True, CB=1, nsym=0,
-                 band=0, debug_h=False, specialize_chunks=False, npack=0):
+                 band=0, debug_h=False, specialize_chunks=False, npack=0,
+                 winject=0):
     num_stripes = bt.shape[0]
     L = T // R
     steps = _steps(m, L, CB)
@@ -836,6 +866,13 @@ def _stripe_call(q, bt, greset=None, top=None, lc=None, ftop=None, *,
 
     if boundary and batch:
         raise ValueError("boundary injection and batch mode are exclusive")
+    if bool(winject) != (inj is not None):
+        raise ValueError("winject (lanes per pair) and inj go together")
+    if winject and not (batch and CB == 1 and local and not return_p
+                        and not boundary and not band):
+        raise NotImplementedError(
+            "packed-pairs stream injection: batch scoring mode only "
+            "(CB=1, local, no P capture, no boundary, no band)")
     if not local and not (boundary and not return_p and not batch):
         raise NotImplementedError(
             "global (NW) mode requires boundary injection; P capture and "
@@ -850,7 +887,8 @@ def _stripe_call(q, bt, greset=None, top=None, lc=None, ftop=None, *,
                      batch=batch, unroll=unroll, boundary=boundary,
                      want_bottom=want_bottom, local=local, CB=CB,
                      nsym=nsym, band=band, debug_h=debug_h,
-                     specialize_chunks=specialize_chunks, npack=npack)
+                     specialize_chunks=specialize_chunks, npack=npack,
+                     winject=winject)
 
     out_shape = [
         jax.ShapeDtypeStruct((num_stripes, 8), jnp.int32),                 # best
@@ -939,6 +977,15 @@ def _stripe_call(q, bt, greset=None, top=None, lc=None, ftop=None, *,
                                      lambda s, c: (s, 0, 0, 0),
                                      memory_space=pltpu.VMEM))  # reset mask
         args.append(greset)
+    if winject:
+        # per-(stripe, chunk) stream-injection block: inj[s, t, lane] is
+        # the value a pair-start lane swaps in at step t (sentinel -1
+        # elsewhere/out of range); streamed chunk-by-chunk like the P
+        # output so only (C, L) ints sit in VMEM at once
+        in_specs.append(pl.BlockSpec((1, C, sub_rows, LANES),
+                                     lambda s, c: (s, c, 0, 0),
+                                     memory_space=pltpu.VMEM))
+        args.append(inj)
     if boundary:
         nlc = 3 if scoring.is_affine else 2
         in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))  # top rings
@@ -1498,7 +1545,8 @@ def stripe_block_fn(m: int, n: int, scoring: Scoring = Scoring(),
             planes.append(lane_major(lpe[1:num_stripes * T + 1]))
         lc = jnp.stack(planes, axis=1)
 
-        outs = _stripe_call(ap, bt, None, top, lc, ftop, scoring=scoring,
+        outs = _stripe_call(ap, bt, None, None, top, lc, ftop,
+                            scoring=scoring,
                             T=T, R=R, C=C, m=m, n=n, return_p=False,
                             interpret=interpret, unroll=u,
                             want_bottom=want_bottom, local=local,
@@ -1654,6 +1702,142 @@ def batch_score_fn(B: int, rlen: int, W: int,
     fn.prepare = jax.jit(prepare)
     fn.score_prepared = jax.jit(score_prepared)
     fn.config = {"T": T, "R": R, "CB": CB, "C": C, "unroll": u}
+    return fn
+
+
+def pairs_packed_score_fn(B: int, m: int, n: int,
+                          scoring: Scoring = Scoring(),
+                          T: Optional[int] = None,
+                          R: Optional[int] = None,
+                          C: int = DEFAULT_CHUNK,
+                          unroll: Optional[int] = None,
+                          interpret: Optional[bool] = None,
+                          substitution=None):
+    """Jittable packed-pairs scorer: fn(a_batch (B, m), b_batch (B, n)) ->
+    (scores, max_i, max_j), each (B,) int32 — `pairs_score_fn`'s exact
+    contract (row-major first-occurrence argmax per pair) with a
+    different execution: every pair's target rows pack back-to-back into
+    ONE stripe chain (batch mode's reset-mask row packing) and each
+    pair's own query stream is INJECTED at its boundary lanes (kernel
+    ``winject`` mode), so the whole batch pays one ramp bubble instead
+    of B of them. Cost model: steps = S*ceil(m) + L_total versus the
+    pairs grid's B*(m + L_pair) — at 64 x 1056^2 that's ~3.3k steps
+    against ~84k, the round-3 VERDICT #4 fix (4.0 effective GCUPS ->
+    this path's projection is several tens).
+
+    Same-shape pairs only (the reference's whole workload model is one
+    (m, n) per run, omp_smithW.c:87-96); ragged batches pad to the
+    enclosing shape upstream. Memory: the injection tensor is
+    steps_pad * L_total ints in HBM (~steps * B*n/R * 4 bytes), streamed
+    chunk-wise through VMEM.
+    """
+    if interpret is None:
+        interpret = _interpret_default()
+    if R is None:
+        # largest power-of-two register depth whose row padding stays
+        # <= 1/8 of the pair (the ramp shrinks as 1/R; padding rows cost
+        # pad*m garbage cells per pair)
+        R = next((r for r in (32, 16, 8, 4, 2, 1)
+                  if (-n % r) * 8 <= n), 1)
+    rlen = -(-n // R) * R                  # per-pair padded row count
+    lpp = rlen // R                        # lanes per pair
+    ntot = B * rlen
+    if T is None:
+        # one stripe if the injection chunk block fits VMEM (SUB <= 16:
+        # 2 x C*SUB*128*4 = 2 MB double-buffered at C=128), else chain
+        sub = min(-(-ntot // (LANES * R)), 16)
+        T = LANES * sub * R
+    T, R, _ = _resolve_params(m, ntot, T, R, scoring, CB=1)
+    nsym = npack = 0
+    sub_emb = None
+    if substitution is not None:
+        substitution = np.asarray(substitution, np.int32)
+        hi = max(int(substitution.max()), 1) * min(m, n)
+        if hi * R >= (1 << 30):
+            raise ValueError("score range too large for packed argmax")
+        if not _sub_gaps_ok(scoring):
+            raise ValueError("substitution mode needs negative gaps")
+        nsym, npack, sub_emb = _sub_embed(substitution)
+    else:
+        _check_packing(m, ntot, R, scoring, 1)
+    L = T // R
+    sub_rows = L // LANES
+    num_stripes = -(-ntot // T)
+    steps_pad = -(-_steps(m, L, 1) // C) * C
+    u = _auto_unroll(C, interpret) if unroll is None else unroll
+
+    def prepare(a_batch, b_batch):
+        # --- packed target rows + reset mask (as batch_score_fn) ---
+        gr = jnp.zeros((num_stripes * T,), jnp.int32)
+        gr = gr.at[jnp.arange(B) * rlen].set(1)
+        grt = (gr.reshape(num_stripes, L, R).transpose(0, 2, 1)
+               .reshape(num_stripes, R, sub_rows, LANES))
+        bp = jnp.full((B, rlen), -3, jnp.int32)
+        bp = bp.at[:, :n].set(b_batch.astype(jnp.int32))
+        bp = jnp.concatenate(
+            [bp.reshape(-1),
+             jnp.full((num_stripes * T - ntot,), -2, jnp.int32)])
+        bt = (bp.reshape(num_stripes, L, R).transpose(0, 2, 1)
+              .reshape(num_stripes, R, sub_rows, LANES))
+        if nsym or npack:
+            bt = _profile_on_device(bt, sub_emb, nsym, npack)
+        # --- per-pair stream injection: inj[s, t, k] = a_g[t - k] for
+        # lane k = pair-g start (or lane 0), sentinel -1 outside [0, m) ---
+        Ap = jnp.full((B, steps_pad), -1, jnp.int32)
+        Ap = Ap.at[:, :m].set(a_batch.astype(jnp.int32))
+        inj = jnp.full((num_stripes, steps_pad, L), -1, jnp.int32)
+        for s in range(num_stripes):
+            base = s * L
+            ks = {0} | set(range((-base) % lpp, L, lpp))
+            for k in sorted(ks):
+                g = (base + k) // lpp
+                if g >= B:
+                    break                  # padding rows past the last pair
+                if k == 0:
+                    inj = inj.at[s, :, 0].set(Ap[g])
+                else:
+                    inj = inj.at[s, k:, k].set(Ap[g, :steps_pad - k])
+        return (bt, grt,
+                inj.reshape(num_stripes, steps_pad, sub_rows, LANES))
+
+    def score_prepared(prepared):
+        bt, grt, inj = prepared
+        ap = jnp.full((1, 1, steps_pad), -1, jnp.int32)   # stream unused
+        outs = _stripe_call(ap, bt, grt, inj, scoring=scoring, T=T, R=R,
+                            C=C, m=m, n=ntot, return_p=False,
+                            interpret=interpret, unroll=u, nsym=nsym,
+                            npack=npack, winject=lpp)
+        lanes_total = num_stripes * L
+        npr = B * lpp
+
+        def per_pair(x):
+            return x.reshape(lanes_total)[:npr].reshape(B, lpp)
+
+        lp = per_pair(outs[2])
+        lt = per_pair(outs[3])
+        if R > 1:
+            lsc = lp >> (R.bit_length() - 1)
+            lrr = (R - 1) - (lp & (R - 1))
+        else:
+            lsc, lrr = lp, jnp.zeros_like(lp)
+        scores = jnp.max(lsc, axis=1)
+        lane_in_pair = jnp.argmax(lsc == scores[:, None], axis=1) \
+            .astype(jnp.int32)
+        ar = jnp.arange(B)
+        r_at = lrr[ar, lane_in_pair]
+        t_at = lt[ar, lane_in_pair]
+        glane = ar * lpp + lane_in_pair
+        bi = lane_in_pair * R + r_at + 1
+        bj = t_at - glane % L + 1
+        has = scores > 0
+        return (jnp.maximum(scores, 0),
+                jnp.where(has, bi, 0).astype(jnp.int32),
+                jnp.where(has, bj, 0).astype(jnp.int32))
+
+    fn = jax.jit(lambda a_batch, b_batch:
+                 score_prepared(prepare(a_batch, b_batch)))
+    fn.config = {"T": T, "R": R, "CB": 1, "C": C, "unroll": u,
+                 "rlen": rlen, "lpp": lpp}
     return fn
 
 

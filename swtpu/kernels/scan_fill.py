@@ -32,12 +32,17 @@ from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 from ..core.config import (DIAGONAL, E_EXT, F_EXT, LEFT, NONE,
                            UP, Scoring)
 
-NEG = jnp.int32(-(1 << 30))
+# np scalar, NOT jnp: a module-level jnp scalar would initialize the XLA
+# backend at import time — which breaks jax.distributed.initialize (it
+# must run before any backend touch) and, under a degraded axon tunnel,
+# can block the whole process (CLAUDE.md). Same strong-int32 semantics.
+NEG = np.int32(-(1 << 30))
 
 
 class FillOut(NamedTuple):
