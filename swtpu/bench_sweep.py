@@ -108,7 +108,19 @@ def main(argv=None) -> int:
     from .instrument.metrics import BenchRecord
 
     sink = open(args.out, "a") if args.out else sys.stdout
+    # Backend warm-up OUTSIDE any row's timing: the first device dispatch
+    # of a process pays backend init + tunnel attach (observed 137-235 s
+    # on the first sweep rows of rect/square_full_v5e.jsonl, which it
+    # poisoned — VERDICT r3 Weak #8/#8). A trivial dispatch eats it here
+    # and the time is reported as its own record so logs stay honest.
+    t0 = time.perf_counter()
     backend = jax.default_backend()
+    np.asarray(jnp.zeros((8,), jnp.int32) + 1)   # fetch: block_until_ready
+    init_s = time.perf_counter() - t0            # is a no-op on the tunnel
+    print(BenchRecord(name=f"backend-init-{args.grid}", m=0, n=0,
+                      fill_s=init_s, plan="-", backend=backend,
+                      extra={"init_s": round(init_s, 3)}).to_json(),
+          file=sink, flush=True)
     for m, n in _grid(args.grid, args.quick):
         plan = args.plan
         if plan == "auto":
