@@ -331,3 +331,136 @@ long sw_seqfile_read_alpha(const char* path, int8_t* codes, long codes_cap,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Striped SIMD score-only fill (the host tier's answer to the mid-size
+// dead zone, VERDICT r3 #6). Farrar's striped layout (Bioinformatics 2007)
+// re-derived for AVX2 16-bit lanes: the query (b, the row sequence) is
+// striped across the register — element (seg, lane) is query position
+// lane*V + seg with V = ceil(n/16) segments — so the F (vertical-gap)
+// dependency is resolved lazily per column instead of serializing every
+// cell, exactly the dependency the TPU stripe kernel resolves with its
+// systolic roll. The reference's closest rung is the 44-thread OpenMP
+// wavefront (omp_smithW-v1-refinedOrig.cpp:206-221, 0.41 GCUPS); this
+// single core measures multi-GCUPS (see DESIGN.md host-tier table).
+//
+// Score only (no H/P capture, no positions) — the -DSKIP_BACKTRACK mode
+// (makefile:9) of the host tier; engine.score() routes here below the
+// device dispatch floor. Exact Gotoh semantics, validated by fuzz vs the
+// oracle (tests/test_native.py). Caller guarantees: codes in [0, A),
+// positive gap costs, and max |score| * min(m, n) within int16 headroom.
+
+#if defined(__AVX2__)
+#include <immintrin.h>
+
+namespace {
+
+// shift the 16 int16 elements one lane up (el k <- el k-1), insert at 0
+static inline __m256i shl1_epi16_ins(__m256i v, int16_t ins) {
+  const __m256i lo_to_hi = _mm256_permute2x128_si256(v, v, 0x08);
+  __m256i s = _mm256_alignr_epi8(v, lo_to_hi, 14);
+  return _mm256_insert_epi16(s, ins, 0);
+}
+
+static inline int16_t hmax_epi16(__m256i v) {
+  __m128i x = _mm_max_epi16(_mm256_castsi256_si128(v),
+                            _mm256_extracti128_si256(v, 1));
+  x = _mm_max_epi16(x, _mm_srli_si128(x, 8));
+  x = _mm_max_epi16(x, _mm_srli_si128(x, 4));
+  x = _mm_max_epi16(x, _mm_srli_si128(x, 2));
+  return static_cast<int16_t>(_mm_cvtsi128_si32(x));
+}
+
+}  // namespace
+#endif  // __AVX2__
+
+extern "C" int32_t sw_score_simd(const int8_t* a, const int8_t* b,
+                                 long m, long n, int affine,
+                                 int match, int mismatch,
+                                 int gap_open, int gap_extend,
+                                 const int32_t* sub, int nsym) {
+#if !defined(__AVX2__)
+  (void)a; (void)b; (void)m; (void)n; (void)affine; (void)match;
+  (void)mismatch; (void)gap_open; (void)gap_extend; (void)sub; (void)nsym;
+  return INT32_MIN;  // unsupported build; caller falls back
+#else
+  constexpr int LANES16 = 16;
+  constexpr int16_t PADMIN = -30000;   // query-padding profile score
+  const long V = (n + LANES16 - 1) / LANES16;
+  const int A = sub ? nsym : 4;        // DNA codes 0..3 in m/m mode
+  const int16_t go = static_cast<int16_t>(-gap_open);
+  const int16_t ge = static_cast<int16_t>(affine ? -gap_extend : -gap_open);
+  if (go < 0 || ge < 0) return INT32_MIN;
+
+  // striped query profile: prof[s][seg][lane] = score(s, b[lane*V + seg])
+  std::vector<__m256i> prof(static_cast<size_t>(A) * V);
+  {
+    alignas(32) int16_t row[LANES16];
+    for (int s = 0; s < A; ++s) {
+      for (long seg = 0; seg < V; ++seg) {
+        for (int lane = 0; lane < LANES16; ++lane) {
+          const long pos = static_cast<long>(lane) * V + seg;
+          row[lane] = pos < n
+              ? static_cast<int16_t>(
+                    sub ? sub[static_cast<long>(s) * nsym + b[pos]]
+                        : (s == b[pos] ? match : mismatch))
+              : PADMIN;
+        }
+        prof[static_cast<size_t>(s) * V + seg] =
+            _mm256_load_si256(reinterpret_cast<const __m256i*>(row));
+      }
+    }
+  }
+
+  const __m256i vZero = _mm256_setzero_si256();
+  const __m256i vMin = _mm256_set1_epi16(INT16_MIN);
+  const __m256i vGo = _mm256_set1_epi16(go);
+  const __m256i vGe = _mm256_set1_epi16(ge);
+  std::vector<__m256i> hbuf(2 * V, vZero);       // H ping-pong
+  std::vector<__m256i> ebuf(V, vMin);            // E per segment
+  __m256i* vHStore = hbuf.data();
+  __m256i* vHLoad = hbuf.data() + V;
+  __m256i* vE = ebuf.data();
+  __m256i vMax = vZero;
+
+  for (long j = 0; j < m; ++j) {
+    const __m256i* vP = prof.data() + static_cast<size_t>(a[j]) * V;
+    // diag operand for segment 0 = previous column's last segment,
+    // shifted one lane up; lane 0 sees the zero boundary H(., 0)
+    __m256i vH = shl1_epi16_ins(vHStore[V - 1], 0);
+    std::swap(vHStore, vHLoad);
+    __m256i vF = vMin;
+    for (long seg = 0; seg < V; ++seg) {
+      vH = _mm256_adds_epi16(vH, vP[seg]);       // diag + s(a_j, b_i)
+      vH = _mm256_max_epi16(vH, vE[seg]);
+      vH = _mm256_max_epi16(vH, vF);
+      vH = _mm256_max_epi16(vH, vZero);          // local zero floor
+      vMax = _mm256_max_epi16(vMax, vH);
+      vHStore[seg] = vH;
+      const __m256i vHgo = _mm256_subs_epi16(vH, vGo);
+      vE[seg] = _mm256_max_epi16(_mm256_subs_epi16(vE[seg], vGe), vHgo);
+      vF = _mm256_max_epi16(_mm256_subs_epi16(vF, vGe), vHgo);
+      vH = vHLoad[seg];                          // next segment's diag
+    }
+    // lazy F: propagate the vertical gap across stripe wrap-arounds until
+    // it can no longer beat gap-open from the (corrected) H anywhere.
+    // Corrections also refresh E (next column's horizontal opens) and the
+    // running max — a corrected cell can be the global max.
+    vF = shl1_epi16_ins(vF, INT16_MIN);
+    long seg = 0;
+    while (_mm256_movemask_epi8(_mm256_cmpgt_epi16(
+        vF, _mm256_subs_epi16(vHStore[seg], vGo)))) {
+      const __m256i vHn = _mm256_max_epi16(vHStore[seg], vF);
+      vHStore[seg] = vHn;
+      vMax = _mm256_max_epi16(vMax, vHn);
+      vE[seg] = _mm256_max_epi16(vE[seg], _mm256_subs_epi16(vHn, vGo));
+      vF = _mm256_subs_epi16(vF, vGe);
+      if (++seg == V) {
+        seg = 0;
+        vF = shl1_epi16_ins(vF, INT16_MIN);
+      }
+    }
+  }
+  return static_cast<int32_t>(hmax_epi16(vMax));
+#endif  // __AVX2__
+}

@@ -55,6 +55,21 @@ def _time_plan(plan, m, n, repeats, k=5):
                 rn.fill(a, b)
             best = min(best, (time.perf_counter() - t0) / k)
         return best, compile_s, score
+    if plan == "host-simd":
+        # striped AVX2 score-only tier — what score() dispatches for
+        # sub-cap mid-size problems (the dead-zone fix, VERDICT r3 #6)
+        from . import runtime_native as rn
+        t0 = time.perf_counter()
+        score = rn.score_simd(a, b)          # first call loads the lib
+        compile_s = time.perf_counter() - t0
+        assert score is not None
+        best = float("inf")
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            for _ in range(k):
+                rn.score_simd(a, b)
+            best = min(best, (time.perf_counter() - t0) / k)
+        return best, compile_s, score
     if plan == "stripe":
         from .kernels import pallas_fill as pf
         T, R, CB = pf.choose_params(m, n)
@@ -97,7 +112,9 @@ def _time_plan(plan, m, n, repeats, k=5):
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="swtpu.bench_sweep")
     ap.add_argument("--grid", choices=["square", "rect"], default="square")
-    ap.add_argument("--plan", choices=["stripe", "scan", "auto"],
+    ap.add_argument("--plan",
+                    choices=["stripe", "scan", "host", "host-simd",
+                             "auto"],
                     default="auto")
     ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument("--quick", action="store_true",
@@ -124,8 +141,18 @@ def main(argv=None) -> int:
     for m, n in _grid(args.grid, args.quick):
         plan = args.plan
         if plan == "auto":
+            from .core.config import EngineConfig
             from .dispatch.plan import choose_plan
+            from .runtime_native import available
             plan = choose_plan(m, n)
+            # the sweep measures score-only fills (-DSKIP_BACKTRACK mode):
+            # follow score()'s dead-zone routing to the SIMD host tier
+            cfg = EngineConfig()
+            if plan != "host" and available() \
+                    and cfg.host_max_cells < m * n <= cfg.host_simd_max_cells:
+                from .runtime_native import simd_eligible
+                if simd_eligible(m, n):
+                    plan = "host-simd"
         fill_s, compile_s, score = _time_plan(plan, m, n, args.repeats)
         rec = BenchRecord(name=f"sweep-{args.grid}", m=m, n=n,
                           repeats=args.repeats, fill_s=fill_s,

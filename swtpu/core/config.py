@@ -88,6 +88,17 @@ class EngineConfig:
     # chip, multi-ms through a tunnel — raise this for remote/tunneled
     # deployments where the floor is larger).
     host_max_cells: int = 1 << 13
+    # SCORE-ONLY requests below this many cells run the striped AVX2 host
+    # fill (csrc sw_score_simd: 6.5-8.5 GCUPS on one core) — the mid-size
+    # dead-zone fix (VERDICT r3 #6): between host_max_cells and where the
+    # stripe kernel amortizes its per-dispatch floor, the host SIMD fill
+    # finishes before a device dispatch would even return (1056^2 in
+    # 0.17 ms vs a ~6 ms tunnel floor). Default 48 Mcells (~7k^2): the
+    # measured crossover vs the tunneled v5e's flat ~6.4 ms per-call
+    # device time (8.3 GCUPS * 6.4 ms ~ 53 Mcells); lower it for local
+    # chips where the dispatch floor is ~0.2 ms. The int16 score cap
+    # gates eligibility independently (runtime_native.score_simd).
+    host_simd_max_cells: int = 48_000_000
     # lax.scan full-matrix fill is fastest below this many cells (compile
     # overhead amortization; the CUTOFF=1024 analog at a coarser granularity).
     # Measured on v5e: the stripe kernel wins from ~128^2 up (both are
