@@ -574,9 +574,17 @@ def _kernel(scoring: Scoring, T: int, R: int, C: int, m: int, n: int,
                                                jnp.int32(NONE))
                             p_ref[0, tl, c, r] = pn
                         elif affine:
-                            hn = jnp.maximum(jnp.maximum(diag, u_val),
+                            # keep the F-dependent path short (the affine
+                            # mirror of linear's dl trick, DESIGN §5 item
+                            # 4): diag/E/floor fold into dl OFF the
+                            # up->F->H row chain (lv, ev come from the
+                            # previous step or the c-1 slot), so the
+                            # chained tail after f_new is ONE max instead
+                            # of two
+                            dl = jnp.maximum(diag,
                                              jnp.maximum(l_val, 0)
                                              if local else l_val)
+                            hn = jnp.maximum(dl, u_val)
                         else:
                             # (global/NW mode differs only in dl's floor;
                             # deep negatives are clamped for the packed
