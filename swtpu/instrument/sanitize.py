@@ -163,3 +163,168 @@ def sanitize_stripe(a: np.ndarray, b: np.ndarray,
     return SanitizeReport(
         valid_cells=int(valid.sum()), prestart_cells=int(pre.sum()),
         garbage_cells=int(garbage.sum()), config=(T, R, CB, C))
+
+
+def sanitize_pairs_packed(a_batch: np.ndarray, b_batch: np.ndarray,
+                          scoring: Scoring = Scoring(),
+                          T=None, R=None, C: int = 128,
+                          substitution=None) -> SanitizeReport:
+    """Structural checker for the packed-pairs winject mode (round 4):
+    B pairs share one stripe chain, each pair's query stream injected at
+    its boundary lanes. The unmasked-fill invariants become PER-PAIR:
+
+    1. slots before a pair's stream arrives (column < 1 in the pair's own
+       rebased coordinates) hold exactly 0;
+    2. every in-pair cell is bit-equal to that pair's oracle (a wrong
+       injection shift or a reset-mask leak shows up here);
+    3. pad rows (the R-alignment tail of each pair) and post-finish
+       columns never reach the pair's own max, with per-pair per-column
+       envelope decay past column m.
+    """
+    from ..core import oracle
+    from ..kernels import pallas_fill as pf
+
+    a_batch = np.asarray(a_batch, np.int8)
+    b_batch = np.asarray(b_batch, np.int8)
+    B, m = a_batch.shape
+    n = b_batch.shape[1]
+    fn = pf.pairs_packed_score_fn(B, m, n, scoring=scoring, T=T, R=R,
+                                  C=C, interpret=True,
+                                  substitution=substitution)
+    rlen, lpp = fn.config["rlen"], fn.config["lpp"]
+    T_, R_ = fn.config["T"], fn.config["R"]
+
+    # re-run the underlying call with debug_h capture (fn itself never
+    # captures H)
+    import jax.numpy as jnp
+    nsym = npack = 0
+    sub_emb = None
+    if substitution is not None:
+        nsym, npack, sub_emb = pf._sub_embed(
+            np.asarray(substitution, np.int32))
+    ntot = B * rlen
+    L = T_ // R_
+    steps_pad = -(-pf._steps(m, L, 1) // C) * C
+    num_stripes = -(-ntot // T_)
+    gr = np.zeros((num_stripes * T_,), np.int32)
+    gr[np.arange(B) * rlen] = 1
+    grt = (gr.reshape(num_stripes, L, R_).transpose(0, 2, 1)
+           .reshape(num_stripes, R_, L // pf.LANES, pf.LANES))
+    bp = np.full((B, rlen), -3, np.int32)
+    bp[:, :n] = b_batch
+    bp = np.concatenate([bp.reshape(-1),
+                         np.full((num_stripes * T_ - ntot,), -2, np.int32)])
+    bt = (bp.reshape(num_stripes, L, R_).transpose(0, 2, 1)
+          .reshape(num_stripes, R_, L // pf.LANES, pf.LANES))
+    btj = jnp.asarray(bt)
+    if nsym or npack:
+        btj = pf._profile_on_device(btj, sub_emb, nsym, npack)
+    Ap = np.full((B, steps_pad), -1, np.int32)
+    Ap[:, :m] = a_batch
+    inj = np.full((num_stripes, steps_pad, L), -1, np.int32)
+    for s in range(num_stripes):
+        base = s * L
+        ks = {0} | set(range((-base) % lpp, L, lpp))
+        for k in sorted(ks):
+            g = (base + k) // lpp
+            if g >= B:
+                break
+            if k == 0:
+                inj[s, :, 0] = Ap[g]
+            else:
+                inj[s, k:, k] = Ap[g, :steps_pad - k]
+    ap = jnp.full((1, 1, steps_pad), -1, jnp.int32)
+    outs = pf._stripe_call(
+        ap, btj, jnp.asarray(grt),
+        jnp.asarray(inj.reshape(num_stripes, steps_pad, L // pf.LANES,
+                                pf.LANES)),
+        scoring=scoring, T=T_, R=R_, C=C, m=m, n=ntot, return_p=False,
+        interpret=True, unroll=1, nsym=nsym, npack=npack, winject=lpp,
+        debug_h=True)
+    dbg = np.asarray(outs[-1])     # (S, steps_pad, 1, R, sub, LANES)
+    Sn, sp, CBn, Rn, sub, LN = dbg.shape
+    Lc = sub * LN
+    dbgf = dbg.reshape(Sn, sp, CBn, Rn, Lc)
+
+    refs = [oracle.fill(a_batch[g], b_batch[g], scoring, sub=substitution)
+            for g in range(B)]
+    maxes = np.array([r.max_score for r in refs])
+    H = np.zeros((B, n + 1, m + 1), np.int32)
+    for g in range(B):
+        H[g] = refs[g].H
+
+    t_ = np.arange(sp)[None, :, None, None, None]
+    r_ = np.arange(Rn)[None, None, None, :, None]
+    lin_ = np.arange(Lc)[None, None, None, None, :]
+    s_ = np.arange(Sn)[:, None, None, None, None]
+    c0 = np.zeros((1, 1, CBn, 1, 1), np.int64)
+    ii = s_ * T_ + lin_ * Rn + r_ + 1 + c0       # global packed row
+    jj = t_ - lin_ + 1 + c0                      # pair-rebased column
+    g_ = (ii - 1) // rlen
+    bi = (ii - 1) % rlen + 1
+    pre = jj < 1
+    valid = ~pre & (jj <= m) & (g_ < B) & (bi <= n)
+    garbage = ~pre & ~valid
+
+    bad = pre & (dbgf != 0)
+    if bad.any():
+        idx = [int(x[0]) for x in np.nonzero(bad)]
+        raise SanitizeError(f"packed-pairs pre-start slot {idx} holds "
+                            f"{dbgf[tuple(idx)]} != 0")
+
+    gv = np.where(valid, g_, 0)
+    want = H[gv, np.where(valid, bi, 0), np.where(valid, jj, 0)]
+    bad = valid & (dbgf != want)
+    if bad.any():
+        s0, t0, cc, r0, l0 = [int(x[0]) for x in np.nonzero(bad)]
+        i0 = s0 * T_ + l0 * Rn + r0 + 1
+        raise SanitizeError(
+            f"packed-pairs cell pair={(i0 - 1) // rlen} "
+            f"(i={(i0 - 1) % rlen + 1}, j={t0 - l0 + 1}) = "
+            f"{dbgf[s0, t0, cc, r0, l0]} != oracle "
+            f"{H[(i0 - 1) // rlen, (i0 - 1) % rlen + 1, t0 - l0 + 1]} — "
+            "injection shift or reset-mask invariant violated")
+
+    # garbage slots attribute to a pair (pad rows / post-finish columns of
+    # that pair) or to the all-pad tail; they may never reach the pair's
+    # own max
+    gg = np.clip(g_, 0, B - 1)
+    cap = np.where((g_ < B) & (maxes[gg] > 0), maxes[gg], 1 << 30)
+    bad = garbage & (dbgf >= cap)
+    if bad.any():
+        idx = [int(x[0]) for x in np.nonzero(bad)]
+        raise SanitizeError(
+            f"packed-pairs garbage slot {idx} = {dbgf[tuple(idx)]} "
+            f">= its pair's max: decay invariant broken")
+
+    # per-pair per-column envelope decay past column m
+    post = garbage & (jj > m) & (g_ < B)
+    if post.any():
+        postb = np.broadcast_to(post, dbgf.shape)
+        jpost = (np.broadcast_to(jj, dbgf.shape)[postb] - m - 1)
+        gpost = np.broadcast_to(g_, dbgf.shape)[postb]
+        vals = dbgf[postb].astype(np.int64)
+        ncol = int(jpost.max()) + 1
+        G = np.full((B, ncol), -(1 << 62), np.int64)
+        np.maximum.at(G, (gpost, jpost), vals)
+        have = G > -(1 << 61)
+        for g in range(B):
+            for j0 in range(ncol - 1):
+                if have[g, j0] and have[g, j0 + 1] and G[g, j0 + 1] != 0 \
+                        and G[g, j0 + 1] >= G[g, j0]:
+                    raise SanitizeError(
+                        f"packed-pairs pair {g} garbage envelope fails "
+                        f"strict decay at j={m + 1 + j0}: "
+                        f"{G[g, j0]} -> {G[g, j0 + 1]}")
+
+    # end-to-end: the public fn agrees with every pair's oracle
+    s, i_, j_ = fn(jnp.asarray(a_batch), jnp.asarray(b_batch))
+    for g in range(B):
+        if int(s[g]) != max(refs[g].max_score, 0):
+            raise SanitizeError(
+                f"packed-pairs pair {g}: kernel max {int(s[g])} != "
+                f"oracle {refs[g].max_score}")
+
+    return SanitizeReport(
+        valid_cells=int(valid.sum()), prestart_cells=int(pre.sum()),
+        garbage_cells=int(garbage.sum()), config=(T_, R_, 1, C))

@@ -91,3 +91,43 @@ def test_sanitizer_substitution_profiles():
                                            gap_extend=-1),
                            substitution=BLOSUM62, T=256, R=2)
     assert rep3.valid_cells == 70 * 300
+
+
+def test_sanitize_pairs_packed_modes():
+    """The winject packed-pairs mode obeys the per-pair structural
+    invariants (pre-stream zeros, per-pair bit-equality, pad/post-finish
+    decay) across row padding, stripe-straddling pairs, affine, and the
+    packed BLOSUM62 profile."""
+    from swtpu.core.config import Scoring
+    from swtpu.core.encode import random_batch
+    from swtpu.core.substitution import BLOSUM62
+    from swtpu.instrument.sanitize import sanitize_pairs_packed
+
+    aa, bb = random_batch(9, 40, 5, seed=3)      # rlen pad; lpp=3 vs L=128
+    rep = sanitize_pairs_packed(aa, bb, T=256, R=2)
+    assert rep.valid_cells == 9 * 40 * 5
+    aa, bb = random_batch(4, 30, 17, seed=5)
+    sanitize_pairs_packed(
+        aa, bb, Scoring(mode="affine", gap_open=-4, gap_extend=-1),
+        T=256, R=2)
+    rng = np.random.default_rng(9)
+    aa = rng.integers(0, 20, (3, 24)).astype(np.int8)
+    bb = rng.integers(0, 20, (3, 10)).astype(np.int8)
+    sanitize_pairs_packed(
+        aa, bb, Scoring(mode="affine", gap_open=-11, gap_extend=-1),
+        T=256, R=2, substitution=BLOSUM62)
+
+
+def test_sanitize_pairs_packed_catches_broken_ring(monkeypatch):
+    """A deliberately skewed boundary ring (the C22-analog negative test)
+    is caught by the packed-pairs checker as a structural violation, not
+    a silent wrong answer."""
+    import swtpu.kernels.pallas_fill as pf
+    from swtpu.core.encode import random_batch
+    from swtpu.instrument.sanitize import (SanitizeError,
+                                           sanitize_pairs_packed)
+
+    monkeypatch.setattr(pf, "_DEBUG_RING_SKEW", 1)
+    aa, bb = random_batch(4, 40, 130, seed=7)    # 2 stripes at T=256, R=2
+    with pytest.raises(SanitizeError):
+        sanitize_pairs_packed(aa, bb, T=256, R=2)
