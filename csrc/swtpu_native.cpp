@@ -355,20 +355,155 @@ long sw_seqfile_read_alpha(const char* path, int8_t* codes, long codes_cap,
 
 namespace {
 
-// shift the 16 int16 elements one lane up (el k <- el k-1), insert at 0
-static inline __m256i shl1_epi16_ins(__m256i v, int16_t ins) {
-  const __m256i lo_to_hi = _mm256_permute2x128_si256(v, v, 0x08);
-  __m256i s = _mm256_alignr_epi8(v, lo_to_hi, 14);
-  return _mm256_insert_epi16(s, ins, 0);
-}
+// ---- ISA traits: the striped algorithm is width-agnostic; AVX2 gives
+// 16 int16 lanes, AVX-512BW gives 32. ----
 
-static inline int16_t hmax_epi16(__m256i v) {
-  __m128i x = _mm_max_epi16(_mm256_castsi256_si128(v),
-                            _mm256_extracti128_si256(v, 1));
-  x = _mm_max_epi16(x, _mm_srli_si128(x, 8));
-  x = _mm_max_epi16(x, _mm_srli_si128(x, 4));
-  x = _mm_max_epi16(x, _mm_srli_si128(x, 2));
-  return static_cast<int16_t>(_mm_cvtsi128_si32(x));
+struct IsaAvx2 {
+  using v = __m256i;
+  static constexpr int LANES = 16;
+  static v zero() { return _mm256_setzero_si256(); }
+  static v set1(int16_t x) { return _mm256_set1_epi16(x); }
+  static v load(const int16_t* p) {
+    return _mm256_load_si256(reinterpret_cast<const __m256i*>(p));
+  }
+  static v adds(v a, v b) { return _mm256_adds_epi16(a, b); }
+  static v subs(v a, v b) { return _mm256_subs_epi16(a, b); }
+  static v max(v a, v b) { return _mm256_max_epi16(a, b); }
+  // shift the 16 int16 elements one lane up (el k <- el k-1), insert at 0
+  static v shl1_ins(v x, int16_t ins) {
+    const v lo_to_hi = _mm256_permute2x128_si256(x, x, 0x08);
+    v s = _mm256_alignr_epi8(x, lo_to_hi, 14);
+    return _mm256_insert_epi16(s, ins, 0);
+  }
+  static bool any_gt(v a, v b) {
+    return _mm256_movemask_epi8(_mm256_cmpgt_epi16(a, b)) != 0;
+  }
+  static int16_t hmax(v x) {
+    __m128i t = _mm_max_epi16(_mm256_castsi256_si128(x),
+                              _mm256_extracti128_si256(x, 1));
+    t = _mm_max_epi16(t, _mm_srli_si128(t, 8));
+    t = _mm_max_epi16(t, _mm_srli_si128(t, 4));
+    t = _mm_max_epi16(t, _mm_srli_si128(t, 2));
+    return static_cast<int16_t>(_mm_cvtsi128_si32(t));
+  }
+};
+
+#if defined(__AVX512BW__)
+struct IsaAvx512 {
+  using v = __m512i;
+  static constexpr int LANES = 32;
+  static v zero() { return _mm512_setzero_si512(); }
+  static v set1(int16_t x) { return _mm512_set1_epi16(x); }
+  static v load(const int16_t* p) { return _mm512_loadu_si512(p); }
+  static v adds(v a, v b) { return _mm512_adds_epi16(a, b); }
+  static v subs(v a, v b) { return _mm512_subs_epi16(a, b); }
+  static v max(v a, v b) { return _mm512_max_epi16(a, b); }
+  static v shl1_ins(v x, int16_t ins) {
+    // permutexvar: out[i] = x[idx[i]]; idx = [_, 0, 1, ..., 30], then
+    // masked-set element 0 to the inserted boundary value
+    const v idx = _mm512_set_epi16(
+        30, 29, 28, 27, 26, 25, 24, 23, 22, 21, 20, 19, 18, 17, 16, 15,
+        14, 13, 12, 11, 10, 9, 8, 7, 6, 5, 4, 3, 2, 1, 0, 0);
+    v s = _mm512_permutexvar_epi16(idx, x);
+    return _mm512_mask_set1_epi16(s, 1, ins);
+  }
+  static bool any_gt(v a, v b) {
+    return _mm512_cmpgt_epi16_mask(a, b) != 0;
+  }
+  static int16_t hmax(v x) {
+    __m256i h = _mm256_max_epi16(_mm512_castsi512_si256(x),
+                                 _mm512_extracti64x4_epi64(x, 1));
+    return IsaAvx2::hmax(h);
+  }
+};
+#endif  // __AVX512BW__
+
+// Core striped fill, parameterized by lane width. See the block comment
+// above for the algorithm; PADMIN keeps query-padding cells at the zero
+// floor / strictly below any real value (same unmasked-decay argument as
+// the TPU stripe kernel, DESIGN.md §3).
+template <class I>
+int32_t sw_score_striped(const int8_t* a, const int8_t* b, long m, long n,
+                         int affine, int match, int mismatch,
+                         int gap_open, int gap_extend,
+                         const int32_t* sub, int nsym) {
+  using V = typename I::v;
+  constexpr int16_t PADMIN = -30000;   // query-padding profile score
+  const long Vn = (n + I::LANES - 1) / I::LANES;
+  const int A = sub ? nsym : 4;        // DNA codes 0..3 in m/m mode
+  const int16_t go = static_cast<int16_t>(-gap_open);
+  const int16_t ge = static_cast<int16_t>(affine ? -gap_extend : -gap_open);
+  if (go < 0 || ge < 0) return INT32_MIN;
+
+  // striped query profile: prof[s][seg][lane] = score(s, b[lane*Vn + seg])
+  std::vector<int16_t> prof_store(static_cast<size_t>(A) * Vn * I::LANES +
+                                  I::LANES);
+  // align the flat store to the vector width
+  int16_t* prof0 = prof_store.data();
+  while (reinterpret_cast<uintptr_t>(prof0) % (I::LANES * 2)) ++prof0;
+  for (int s = 0; s < A; ++s) {
+    for (long seg = 0; seg < Vn; ++seg) {
+      int16_t* row = prof0 + (static_cast<size_t>(s) * Vn + seg) * I::LANES;
+      for (int lane = 0; lane < I::LANES; ++lane) {
+        const long pos = static_cast<long>(lane) * Vn + seg;
+        row[lane] = pos < n
+            ? static_cast<int16_t>(
+                  sub ? sub[static_cast<long>(s) * nsym + b[pos]]
+                      : (s == b[pos] ? match : mismatch))
+            : PADMIN;
+      }
+    }
+  }
+
+  const V vZero = I::zero();
+  const V vMin = I::set1(INT16_MIN);
+  const V vGo = I::set1(go);
+  const V vGe = I::set1(ge);
+  std::vector<V> hbuf(2 * Vn, vZero);            // H ping-pong
+  std::vector<V> ebuf(Vn, vMin);                 // E per segment
+  V* vHStore = hbuf.data();
+  V* vHLoad = hbuf.data() + Vn;
+  V* vE = ebuf.data();
+  V vMax = vZero;
+
+  for (long j = 0; j < m; ++j) {
+    const int16_t* vP = prof0 + static_cast<size_t>(a[j]) * Vn * I::LANES;
+    // diag operand for segment 0 = previous column's last segment,
+    // shifted one lane up; lane 0 sees the zero boundary H(., 0)
+    V vH = I::shl1_ins(vHStore[Vn - 1], 0);
+    std::swap(vHStore, vHLoad);
+    V vF = vMin;
+    for (long seg = 0; seg < Vn; ++seg) {
+      vH = I::adds(vH, I::load(vP + seg * I::LANES));  // diag + s(a, b)
+      vH = I::max(vH, vE[seg]);
+      vH = I::max(vH, vF);
+      vH = I::max(vH, vZero);                    // local zero floor
+      vMax = I::max(vMax, vH);
+      vHStore[seg] = vH;
+      const V vHgo = I::subs(vH, vGo);
+      vE[seg] = I::max(I::subs(vE[seg], vGe), vHgo);
+      vF = I::max(I::subs(vF, vGe), vHgo);
+      vH = vHLoad[seg];                          // next segment's diag
+    }
+    // lazy F: propagate the vertical gap across stripe wrap-arounds until
+    // it can no longer beat gap-open from the (corrected) H anywhere.
+    // Corrections also refresh E (next column's horizontal opens) and the
+    // running max — a corrected cell can be the global max.
+    vF = I::shl1_ins(vF, INT16_MIN);
+    long seg = 0;
+    while (I::any_gt(vF, I::subs(vHStore[seg], vGo))) {
+      const V vHn = I::max(vHStore[seg], vF);
+      vHStore[seg] = vHn;
+      vMax = I::max(vMax, vHn);
+      vE[seg] = I::max(vE[seg], I::subs(vHn, vGo));
+      vF = I::subs(vF, vGe);
+      if (++seg == Vn) {
+        seg = 0;
+        vF = I::shl1_ins(vF, INT16_MIN);
+      }
+    }
+  }
+  return static_cast<int32_t>(I::hmax(vMax));
 }
 
 }  // namespace
@@ -379,88 +514,28 @@ extern "C" int32_t sw_score_simd(const int8_t* a, const int8_t* b,
                                  int match, int mismatch,
                                  int gap_open, int gap_extend,
                                  const int32_t* sub, int nsym) {
-#if !defined(__AVX2__)
+#if defined(__AVX512BW__)
+  return sw_score_striped<IsaAvx512>(a, b, m, n, affine, match, mismatch,
+                                     gap_open, gap_extend, sub, nsym);
+#elif defined(__AVX2__)
+  return sw_score_striped<IsaAvx2>(a, b, m, n, affine, match, mismatch,
+                                   gap_open, gap_extend, sub, nsym);
+#else
   (void)a; (void)b; (void)m; (void)n; (void)affine; (void)match;
   (void)mismatch; (void)gap_open; (void)gap_extend; (void)sub; (void)nsym;
   return INT32_MIN;  // unsupported build; caller falls back
-#else
-  constexpr int LANES16 = 16;
-  constexpr int16_t PADMIN = -30000;   // query-padding profile score
-  const long V = (n + LANES16 - 1) / LANES16;
-  const int A = sub ? nsym : 4;        // DNA codes 0..3 in m/m mode
-  const int16_t go = static_cast<int16_t>(-gap_open);
-  const int16_t ge = static_cast<int16_t>(affine ? -gap_extend : -gap_open);
-  if (go < 0 || ge < 0) return INT32_MIN;
-
-  // striped query profile: prof[s][seg][lane] = score(s, b[lane*V + seg])
-  std::vector<__m256i> prof(static_cast<size_t>(A) * V);
-  {
-    alignas(32) int16_t row[LANES16];
-    for (int s = 0; s < A; ++s) {
-      for (long seg = 0; seg < V; ++seg) {
-        for (int lane = 0; lane < LANES16; ++lane) {
-          const long pos = static_cast<long>(lane) * V + seg;
-          row[lane] = pos < n
-              ? static_cast<int16_t>(
-                    sub ? sub[static_cast<long>(s) * nsym + b[pos]]
-                        : (s == b[pos] ? match : mismatch))
-              : PADMIN;
-        }
-        prof[static_cast<size_t>(s) * V + seg] =
-            _mm256_load_si256(reinterpret_cast<const __m256i*>(row));
-      }
-    }
-  }
-
-  const __m256i vZero = _mm256_setzero_si256();
-  const __m256i vMin = _mm256_set1_epi16(INT16_MIN);
-  const __m256i vGo = _mm256_set1_epi16(go);
-  const __m256i vGe = _mm256_set1_epi16(ge);
-  std::vector<__m256i> hbuf(2 * V, vZero);       // H ping-pong
-  std::vector<__m256i> ebuf(V, vMin);            // E per segment
-  __m256i* vHStore = hbuf.data();
-  __m256i* vHLoad = hbuf.data() + V;
-  __m256i* vE = ebuf.data();
-  __m256i vMax = vZero;
-
-  for (long j = 0; j < m; ++j) {
-    const __m256i* vP = prof.data() + static_cast<size_t>(a[j]) * V;
-    // diag operand for segment 0 = previous column's last segment,
-    // shifted one lane up; lane 0 sees the zero boundary H(., 0)
-    __m256i vH = shl1_epi16_ins(vHStore[V - 1], 0);
-    std::swap(vHStore, vHLoad);
-    __m256i vF = vMin;
-    for (long seg = 0; seg < V; ++seg) {
-      vH = _mm256_adds_epi16(vH, vP[seg]);       // diag + s(a_j, b_i)
-      vH = _mm256_max_epi16(vH, vE[seg]);
-      vH = _mm256_max_epi16(vH, vF);
-      vH = _mm256_max_epi16(vH, vZero);          // local zero floor
-      vMax = _mm256_max_epi16(vMax, vH);
-      vHStore[seg] = vH;
-      const __m256i vHgo = _mm256_subs_epi16(vH, vGo);
-      vE[seg] = _mm256_max_epi16(_mm256_subs_epi16(vE[seg], vGe), vHgo);
-      vF = _mm256_max_epi16(_mm256_subs_epi16(vF, vGe), vHgo);
-      vH = vHLoad[seg];                          // next segment's diag
-    }
-    // lazy F: propagate the vertical gap across stripe wrap-arounds until
-    // it can no longer beat gap-open from the (corrected) H anywhere.
-    // Corrections also refresh E (next column's horizontal opens) and the
-    // running max — a corrected cell can be the global max.
-    vF = shl1_epi16_ins(vF, INT16_MIN);
-    long seg = 0;
-    while (_mm256_movemask_epi8(_mm256_cmpgt_epi16(
-        vF, _mm256_subs_epi16(vHStore[seg], vGo)))) {
-      const __m256i vHn = _mm256_max_epi16(vHStore[seg], vF);
-      vHStore[seg] = vHn;
-      vMax = _mm256_max_epi16(vMax, vHn);
-      vE[seg] = _mm256_max_epi16(vE[seg], _mm256_subs_epi16(vHn, vGo));
-      vF = _mm256_subs_epi16(vF, vGe);
-      if (++seg == V) {
-        seg = 0;
-        vF = shl1_epi16_ins(vF, INT16_MIN);
-      }
-    }
-  }
-  return static_cast<int32_t>(hmax_epi16(vMax));
-#endif  // __AVX2__
+#endif
 }
+
+#if defined(__AVX512BW__)
+// test/bench hook: force the 256-bit path on AVX-512 machines so both
+// instantiations stay fuzz-covered and comparable
+extern "C" int32_t sw_score_simd256(const int8_t* a, const int8_t* b,
+                                    long m, long n, int affine,
+                                    int match, int mismatch,
+                                    int gap_open, int gap_extend,
+                                    const int32_t* sub, int nsym) {
+  return sw_score_striped<IsaAvx2>(a, b, m, n, affine, match, mismatch,
+                                   gap_open, gap_extend, sub, nsym);
+}
+#endif

@@ -235,3 +235,31 @@ def test_score_routes_simd_in_dead_zone(monkeypatch):
     calls.clear()
     swtpu.score(a[:64], b[:64], plan="scan")
     assert "hit" not in calls
+
+
+def test_simd_256_and_512_paths_agree():
+    """On AVX-512 machines both template instantiations stay covered: the
+    sw_score_simd256 hook (forced 16-lane path) and the default must
+    agree with the oracle on the same inputs."""
+    import ctypes
+
+    from swtpu.core import oracle
+    from swtpu.runtime_native import _load
+
+    lib = _load()
+    if lib is None or not hasattr(lib, "sw_score_simd256"):
+        import pytest
+        pytest.skip("no AVX-512 build")
+    lib.sw_score_simd256.restype = ctypes.c_int32
+    lib.sw_score_simd256.argtypes = lib.sw_score_simd.argtypes
+    rng = np.random.default_rng(13)
+    for _ in range(20):
+        m = int(rng.integers(1, 200))
+        n = int(rng.integers(1, 200))
+        a = rng.integers(0, 4, m).astype(np.int8)
+        b = rng.integers(0, 4, n).astype(np.int8)
+        ref = oracle.fill(a, b).max_score
+        assert lib.sw_score_simd(a, b, m, n, 0, 3, -3, -2, 0,
+                                 None, 4) == ref
+        assert lib.sw_score_simd256(a, b, m, n, 0, 3, -3, -2, 0,
+                                    None, 4) == ref
