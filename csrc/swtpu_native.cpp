@@ -378,6 +378,12 @@ struct IsaAvx2 {
   static bool any_gt(v a, v b) {
     return _mm256_movemask_epi8(_mm256_cmpgt_epi16(a, b)) != 0;
   }
+  using msk = __m256i;
+  static msk gt(v a, v b) { return _mm256_cmpgt_epi16(a, b); }
+  static v sel(msk k, v x, v y) { return _mm256_blendv_epi8(y, x, k); }
+  static void store(int16_t* p, v x) {
+    _mm256_storeu_si256(reinterpret_cast<__m256i*>(p), x);
+  }
   static int16_t hmax(v x) {
     __m128i t = _mm_max_epi16(_mm256_castsi256_si128(x),
                               _mm256_extracti128_si256(x, 1));
@@ -410,6 +416,10 @@ struct IsaAvx512 {
   static bool any_gt(v a, v b) {
     return _mm512_cmpgt_epi16_mask(a, b) != 0;
   }
+  using msk = __mmask32;
+  static msk gt(v a, v b) { return _mm512_cmpgt_epi16_mask(a, b); }
+  static v sel(msk k, v x, v y) { return _mm512_mask_mov_epi16(y, k, x); }
+  static void store(int16_t* p, v x) { _mm512_storeu_si512(p, x); }
   static int16_t hmax(v x) {
     __m256i h = _mm256_max_epi16(_mm512_castsi512_si256(x),
                                  _mm512_extracti64x4_epi64(x, 1));
@@ -422,11 +432,19 @@ struct IsaAvx512 {
 // above for the algorithm; PADMIN keeps query-padding cells at the zero
 // floor / strictly below any real value (same unmasked-decay argument as
 // the TPU stripe kernel, DESIGN.md §3).
-template <class I>
+// TRACK adds exact first-occurrence argmax: per striped element (= one
+// query row i), strict > keeps the FIRST column j reaching that row's
+// best; the host resolution then scans rows ascending (max score, then
+// min i, then that row's first j) — bit-compatible with the oracle's
+// row-major maxPos rule (serial_smithW.c:240). Needs m, n <= 32767 so
+// coordinates fit the int16 lanes (the wrapper gates this).
+template <class I, bool TRACK>
 int32_t sw_score_striped(const int8_t* a, const int8_t* b, long m, long n,
                          int affine, int match, int mismatch,
                          int gap_open, int gap_extend,
-                         const int32_t* sub, int nsym) {
+                         const int32_t* sub, int nsym,
+                         int32_t* out_i = nullptr,
+                         int32_t* out_j = nullptr) {
   using V = typename I::v;
   constexpr int16_t PADMIN = -30000;   // query-padding profile score
   const long Vn = (n + I::LANES - 1) / I::LANES;
@@ -465,6 +483,9 @@ int32_t sw_score_striped(const int8_t* a, const int8_t* b, long m, long n,
   V* vHLoad = hbuf.data() + Vn;
   V* vE = ebuf.data();
   V vMax = vZero;
+  std::vector<V> tbuf(TRACK ? 2 * Vn : 0, vZero);  // best, bestj per seg
+  V* vBest = tbuf.data();
+  V* vBestJ = tbuf.data() + Vn;
 
   for (long j = 0; j < m; ++j) {
     const int16_t* vP = prof0 + static_cast<size_t>(a[j]) * Vn * I::LANES;
@@ -473,12 +494,19 @@ int32_t sw_score_striped(const int8_t* a, const int8_t* b, long m, long n,
     V vH = I::shl1_ins(vHStore[Vn - 1], 0);
     std::swap(vHStore, vHLoad);
     V vF = vMin;
+    V vJ = I::zero();
+    if (TRACK) vJ = I::set1(static_cast<int16_t>(j + 1));
     for (long seg = 0; seg < Vn; ++seg) {
       vH = I::adds(vH, I::load(vP + seg * I::LANES));  // diag + s(a, b)
       vH = I::max(vH, vE[seg]);
       vH = I::max(vH, vF);
       vH = I::max(vH, vZero);                    // local zero floor
       vMax = I::max(vMax, vH);
+      if (TRACK) {
+        const typename I::msk k = I::gt(vH, vBest[seg]);
+        vBest[seg] = I::sel(k, vH, vBest[seg]);
+        vBestJ[seg] = I::sel(k, vJ, vBestJ[seg]);
+      }
       vHStore[seg] = vH;
       const V vHgo = I::subs(vH, vGo);
       vE[seg] = I::max(I::subs(vE[seg], vGe), vHgo);
@@ -495,6 +523,11 @@ int32_t sw_score_striped(const int8_t* a, const int8_t* b, long m, long n,
       const V vHn = I::max(vHStore[seg], vF);
       vHStore[seg] = vHn;
       vMax = I::max(vMax, vHn);
+      if (TRACK) {
+        const typename I::msk k = I::gt(vHn, vBest[seg]);
+        vBest[seg] = I::sel(k, vHn, vBest[seg]);
+        vBestJ[seg] = I::sel(k, vJ, vBestJ[seg]);
+      }
       vE[seg] = I::max(vE[seg], I::subs(vHn, vGo));
       vF = I::subs(vF, vGe);
       if (++seg == Vn) {
@@ -503,7 +536,27 @@ int32_t sw_score_striped(const int8_t* a, const int8_t* b, long m, long n,
       }
     }
   }
-  return static_cast<int32_t>(I::hmax(vMax));
+  const int32_t best = static_cast<int32_t>(I::hmax(vMax));
+  if (TRACK && out_i && out_j) {
+    *out_i = 0;
+    *out_j = 0;
+    if (best > 0) {
+      std::vector<int16_t> bs(Vn * I::LANES), bj(Vn * I::LANES);
+      for (long seg = 0; seg < Vn; ++seg) {
+        I::store(bs.data() + seg * I::LANES, vBest[seg]);
+        I::store(bj.data() + seg * I::LANES, vBestJ[seg]);
+      }
+      for (long i = 0; i < n; ++i) {        // ascending row: first wins
+        const long lane = i / Vn, seg = i % Vn;
+        if (bs[seg * I::LANES + lane] == best) {
+          *out_i = static_cast<int32_t>(i + 1);
+          *out_j = static_cast<int32_t>(bj[seg * I::LANES + lane]);
+          break;
+        }
+      }
+    }
+  }
+  return best;
 }
 
 }  // namespace
@@ -515,16 +568,63 @@ extern "C" int32_t sw_score_simd(const int8_t* a, const int8_t* b,
                                  int gap_open, int gap_extend,
                                  const int32_t* sub, int nsym) {
 #if defined(__AVX512BW__)
-  return sw_score_striped<IsaAvx512>(a, b, m, n, affine, match, mismatch,
-                                     gap_open, gap_extend, sub, nsym);
+  return sw_score_striped<IsaAvx512, false>(
+      a, b, m, n, affine, match, mismatch, gap_open, gap_extend, sub, nsym);
 #elif defined(__AVX2__)
-  return sw_score_striped<IsaAvx2>(a, b, m, n, affine, match, mismatch,
-                                   gap_open, gap_extend, sub, nsym);
+  return sw_score_striped<IsaAvx2, false>(
+      a, b, m, n, affine, match, mismatch, gap_open, gap_extend, sub, nsym);
 #else
   (void)a; (void)b; (void)m; (void)n; (void)affine; (void)match;
   (void)mismatch; (void)gap_open; (void)gap_extend; (void)sub; (void)nsym;
   return INT32_MIN;  // unsupported build; caller falls back
 #endif
+}
+
+// Score + exact first-occurrence argmax (1-based padded (i, j); 0/0 when
+// the best is <= 0). Caller additionally guarantees m, n <= 32767.
+extern "C" int32_t sw_score_simd_pos(const int8_t* a, const int8_t* b,
+                                     long m, long n, int affine,
+                                     int match, int mismatch,
+                                     int gap_open, int gap_extend,
+                                     const int32_t* sub, int nsym,
+                                     int32_t* out_i, int32_t* out_j) {
+#if defined(__AVX512BW__)
+  return sw_score_striped<IsaAvx512, true>(
+      a, b, m, n, affine, match, mismatch, gap_open, gap_extend, sub,
+      nsym, out_i, out_j);
+#elif defined(__AVX2__)
+  return sw_score_striped<IsaAvx2, true>(
+      a, b, m, n, affine, match, mismatch, gap_open, gap_extend, sub,
+      nsym, out_i, out_j);
+#else
+  (void)a; (void)b; (void)m; (void)n; (void)affine; (void)match;
+  (void)mismatch; (void)gap_open; (void)gap_extend; (void)sub; (void)nsym;
+  (void)out_i; (void)out_j;
+  return INT32_MIN;
+#endif
+}
+
+// Batched form with positions: B same-shape pairs, rows packed
+// contiguously (a_batch: B*m, b_batch: B*n). OpenMP-parallel across
+// pairs when built with -fopenmp — the per-pair DP stays the striped
+// SIMD fill, so this scales as cores x single-pair rate (the reference's
+// one-pair-per-process gap, omp_smithW.c:87-96, closed the obvious way).
+extern "C" void sw_score_simd_batch(const int8_t* a_batch,
+                                    const int8_t* b_batch,
+                                    long B, long m, long n, int affine,
+                                    int match, int mismatch,
+                                    int gap_open, int gap_extend,
+                                    const int32_t* sub, int nsym,
+                                    int32_t* out_scores, int32_t* out_i,
+                                    int32_t* out_j) {
+#if defined(_OPENMP)
+#pragma omp parallel for schedule(dynamic)
+#endif
+  for (long g = 0; g < B; ++g) {
+    out_scores[g] = sw_score_simd_pos(
+        a_batch + g * m, b_batch + g * n, m, n, affine, match, mismatch,
+        gap_open, gap_extend, sub, nsym, out_i + g, out_j + g);
+  }
 }
 
 #if defined(__AVX512BW__)
@@ -535,7 +635,7 @@ extern "C" int32_t sw_score_simd256(const int8_t* a, const int8_t* b,
                                     int match, int mismatch,
                                     int gap_open, int gap_extend,
                                     const int32_t* sub, int nsym) {
-  return sw_score_striped<IsaAvx2>(a, b, m, n, affine, match, mismatch,
-                                   gap_open, gap_extend, sub, nsym);
+  return sw_score_striped<IsaAvx2, false>(
+      a, b, m, n, affine, match, mismatch, gap_open, gap_extend, sub, nsym);
 }
 #endif

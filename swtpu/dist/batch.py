@@ -154,6 +154,26 @@ def batch_score(a_batch, b_batch, scoring: Scoring = Scoring(),
                                    block_rows=br or 512, scoring=scoring,
                                    axis=axis, substitution=substitution)
         return BatchHits(res.scores, res.max_i, res.max_j)
+    # host striped-SIMD route (non-TPU platforms, eager calls only —
+    # inside shard_map/jit the inputs are tracers and the device plans
+    # apply): exact scores AND first-occurrence positions at multi-GCUPS
+    # per core (csrc sw_score_simd_batch, OpenMP across pairs) instead
+    # of the vmapped-scan rate. Self-gating: int16 score caps, sentinel
+    # codes, degenerate scorings all fall through.
+    if plan in ("auto", "host-simd") and band is None \
+            and not isinstance(a_batch, jax.core.Tracer) \
+            and not isinstance(b_batch, jax.core.Tracer):
+        from ..dispatch.plan import current_platform
+        if plan == "host-simd" or current_platform() != "tpu":
+            import numpy as np
+            from ..runtime_native import score_simd_batch
+            got = score_simd_batch(np.asarray(a_batch),
+                                   np.asarray(b_batch),
+                                   scoring, substitution)
+            if got is not None:
+                s, i, j = got
+                return BatchHits(jnp.asarray(s), jnp.asarray(i),
+                                 jnp.asarray(j))
     a_batch = jnp.asarray(a_batch)
     b_batch = jnp.asarray(b_batch)
     if _use_packed_kernel(scoring, band, B, m, n, plan, substitution):

@@ -79,6 +79,14 @@ def _load() -> Optional[ctypes.CDLL]:
                                   ctypes.c_int, ctypes.c_int, ctypes.c_int,
                                   ctypes.c_int, ctypes.c_int,
                                   ctypes.c_void_p, ctypes.c_int]
+    lib.sw_score_simd_pos.restype = ctypes.c_int32
+    lib.sw_score_simd_pos.argtypes = lib.sw_score_simd.argtypes + [
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32)]
+    lib.sw_score_simd_batch.restype = None
+    lib.sw_score_simd_batch.argtypes = [
+        i8p, i8p, ctypes.c_long, ctypes.c_long, ctypes.c_long,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_void_p, ctypes.c_int, i32p, i32p, i32p]
     _lib = lib
     return _lib
 
@@ -156,6 +164,65 @@ def score_simd(a: np.ndarray, b: np.ndarray, scoring=None,
                 int(scoring.gap), 0)
     got = lib.sw_score_simd(a, b, len(a), len(b), *args, sub_ptr, nsym)
     return None if got == -(1 << 31) else int(got)
+
+
+def _simd_args(scoring, sub):
+    """(affine, match, mismatch, go, ge, sub_ptr, nsym, keepalive)."""
+    sub_ptr, nsym, keep = None, 4, None
+    if sub is not None:
+        keep = np.ascontiguousarray(sub, np.int32)
+        nsym = keep.shape[0]
+        sub_ptr = keep.ctypes.data_as(ctypes.c_void_p)
+    if scoring.is_affine:
+        return (1, int(scoring.match), int(scoring.mismatch),
+                int(scoring.gap_open), int(scoring.gap_extend),
+                sub_ptr, nsym, keep)
+    return (0, int(scoring.match), int(scoring.mismatch),
+            int(scoring.gap), 0, sub_ptr, nsym, keep)
+
+
+def _codes_ok(arr, nsym: int) -> bool:
+    return int(arr.min()) >= 0 and int(arr.max()) < nsym
+
+
+def score_simd_batch(a_batch: np.ndarray, b_batch: np.ndarray,
+                     scoring=None, sub=None):
+    """Batched striped-SIMD scoring WITH exact first-occurrence argmax:
+    (scores, max_i, max_j) int32 (B,) arrays, 1-based padded coordinates
+    matching the oracle's row-major maxPos rule — or None when
+    ineligible. OpenMP-parallel across pairs in csrc (one core here;
+    scales with cores elsewhere). This is `dist.batch.batch_score`'s
+    host backend on non-TPU platforms: exact positions at multi-GCUPS
+    per core instead of the vmapped-scan rate."""
+    from .core.config import Scoring
+
+    if scoring is None:
+        scoring = Scoring()
+    lib = _load()
+    if lib is None:
+        return None
+    a_batch = np.ascontiguousarray(a_batch, np.int8)
+    b_batch = np.ascontiguousarray(b_batch, np.int8)
+    B, m = a_batch.shape
+    n = b_batch.shape[1]
+    if B == 0 or m == 0 or n == 0:
+        return None
+    if m > 32767 or n > 32767:          # coordinates ride int16 lanes
+        return None
+    if not simd_eligible(m, n, scoring, sub):
+        return None
+    affine, ma, mi, go, ge, sub_ptr, nsym, _keep = _simd_args(scoring, sub)
+    if not (_codes_ok(a_batch, nsym) and _codes_ok(b_batch, nsym)):
+        return None
+    scores = np.empty(B, np.int32)
+    out_i = np.empty(B, np.int32)
+    out_j = np.empty(B, np.int32)
+    lib.sw_score_simd_batch(a_batch.reshape(-1), b_batch.reshape(-1),
+                            B, m, n, affine, ma, mi, go, ge,
+                            sub_ptr, nsym, scores, out_i, out_j)
+    if (scores == -(1 << 31)).any():
+        return None
+    return scores, out_i, out_j
 
 
 def available() -> bool:

@@ -263,3 +263,70 @@ def test_simd_256_and_512_paths_agree():
                                  None, 4) == ref
         assert lib.sw_score_simd256(a, b, m, n, 0, 3, -3, -2, 0,
                                     None, 4) == ref
+
+
+def test_simd_pos_exact_first_occurrence():
+    """sw_score_simd_pos: exact (score, i, j) with the oracle's row-major
+    first-occurrence tie rule, across tie-rich repeated motifs and all
+    scoring modes."""
+    from swtpu.core import oracle
+    from swtpu.core.config import Scoring
+    from swtpu.core.substitution import BLOSUM62
+    from swtpu.runtime_native import available, score_simd_batch
+
+    if not available():
+        import pytest
+        pytest.skip("native lib unavailable")
+    rng = np.random.default_rng(17)
+    # tie-rich: same motif planted twice -> equal maxima at two loci
+    for trial in range(25):
+        m = int(rng.integers(20, 120))
+        n = int(rng.integers(20, 120))
+        a = rng.integers(0, 4, (1, m)).astype(np.int8)
+        b = rng.integers(0, 4, (1, n)).astype(np.int8)
+        k = min(m, n) // 3
+        b[0, 1: 1 + k] = a[0, 2: 2 + k]
+        if n >= 2 * k + 4:
+            b[0, n - k - 1: n - 1] = a[0, 2: 2 + k]   # second locus
+        ref = oracle.fill(a[0], b[0])
+        got = score_simd_batch(a, b)
+        assert got is not None
+        s, i, j = (int(x[0]) for x in got)
+        assert s == ref.max_score, trial
+        if ref.max_score > 0:
+            assert (i, j) == ref.max_ij, (trial, (i, j), ref.max_ij)
+
+    sc = Scoring(mode="affine", gap_open=-11, gap_extend=-1)
+    a = rng.integers(0, 20, (4, 60)).astype(np.int8)
+    b = rng.integers(0, 20, (4, 45)).astype(np.int8)
+    b[:, 3:23] = a[:, 5:25]
+    got = score_simd_batch(a, b, sc, BLOSUM62)
+    assert got is not None
+    for g in range(4):
+        ref = oracle.fill(a[g], b[g], sc, sub=BLOSUM62)
+        assert int(got[0][g]) == ref.max_score
+        assert (int(got[1][g]), int(got[2][g])) == ref.max_ij
+
+
+def test_batch_score_host_simd_route():
+    """On non-TPU platforms batch_score's auto plan takes the host SIMD
+    batch backend (exact scores AND positions); the vmapped scan agrees
+    bit-for-bit; forced plan='host-simd' works; tracer contexts skip it
+    (the sharded scorer keeps compiling)."""
+    from swtpu.core.encode import random_batch
+    from swtpu.dist.batch import batch_score
+    from swtpu.runtime_native import available
+
+    if not available():
+        import pytest
+        pytest.skip("native lib unavailable")
+    B, m, n = 6, 200, 150
+    aa, bb = random_batch(B, m, n, seed=21)
+    auto = batch_score(aa, bb)                       # host-simd on CPU
+    scan = batch_score(aa, bb, plan="scan")
+    forced = batch_score(aa, bb, plan="host-simd")
+    for k in range(3):
+        np.testing.assert_array_equal(np.asarray(auto[k]),
+                                      np.asarray(scan[k]))
+        np.testing.assert_array_equal(np.asarray(forced[k]),
+                                      np.asarray(scan[k]))
