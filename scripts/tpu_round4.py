@@ -150,6 +150,27 @@ def affine_wide_sweep(results):
         "model_ratio_op_count": "COST_LIN(10,10) vs COST_AFF(16,12)"}
 
 
+def linear_cb8_probe(results):
+    """Does deeper column blocking pay for linear at/beyond the headline
+    size? The model says breakeven (~250+7*190 chain vs 2x cells/step of
+    CB=4); measure instead of guessing."""
+    from swtpu.dispatch.autotune import _time_stripe
+
+    out = {}
+    for size, T in ((25632, 28672), (65536, 65536)):
+        for CB in (4, 8):
+            try:
+                dt = _time_stripe(size, size, T=min(T, 28672 if size <
+                                                    30000 else 65536),
+                                  C=128, R=32, CB=CB, unroll=32,
+                                  repeats=2, k=5)
+                out[f"{size}sq_CB{CB}"] = round(size * size / dt / 1e9, 1)
+            except Exception as e:
+                out[f"{size}sq_CB{CB}"] = f"failed: {type(e).__name__}"
+            print("  cb8", size, CB, out[f"{size}sq_CB{CB}"], flush=True)
+    results["linear_cb8_probe"] = out
+
+
 def pairs_packed(results):
     from swtpu.core.encode import random_batch
     from swtpu.kernels.pallas_fill import (pairs_packed_score_fn,
@@ -323,7 +344,8 @@ def main():
              ("floor_decomp", floor_decomp),
              ("midsize_refresh", midsize_refresh),
              ("pipe_stage_overhead", pipe_stage_overhead),
-             ("protein_refresh", protein_refresh)]
+             ("protein_refresh", protein_refresh),
+             ("linear_cb8_probe", linear_cb8_probe)]
     for name, fn in steps:
         if only and name not in only:
             continue
