@@ -444,7 +444,8 @@ int32_t sw_score_striped(const int8_t* a, const int8_t* b, long m, long n,
                          int gap_open, int gap_extend,
                          const int32_t* sub, int nsym,
                          int32_t* out_i = nullptr,
-                         int32_t* out_j = nullptr) {
+                         int32_t* out_j = nullptr,
+                         int32_t* out_last = nullptr) {
   using V = typename I::v;
   constexpr int16_t PADMIN = -30000;   // query-padding profile score
   const long Vn = (n + I::LANES - 1) / I::LANES;
@@ -537,6 +538,13 @@ int32_t sw_score_striped(const int8_t* a, const int8_t* b, long m, long n,
     }
   }
   const int32_t best = static_cast<int32_t>(I::hmax(vMax));
+  if (TRACK && out_last) {
+    // H(n, m): after the final column, vHStore holds H(., m); row n-1
+    // lives at striped element (seg = (n-1) % Vn, lane = (n-1) / Vn)
+    alignas(64) int16_t lastcol[I::LANES];
+    I::store(lastcol, vHStore[(n - 1) % Vn]);
+    *out_last = static_cast<int32_t>(lastcol[(n - 1) / Vn]);
+  }
   if (TRACK && out_i && out_j) {
     *out_i = 0;
     *out_j = 0;
@@ -581,25 +589,28 @@ extern "C" int32_t sw_score_simd(const int8_t* a, const int8_t* b,
 }
 
 // Score + exact first-occurrence argmax (1-based padded (i, j); 0/0 when
-// the best is <= 0). Caller additionally guarantees m, n <= 32767.
+// the best is <= 0) + the bottom-right cell H(n, m) (the reference's
+// H[m*n-1] check, serial_smithW.c:164). Caller additionally guarantees
+// m, n <= 32767. out_last may be null.
 extern "C" int32_t sw_score_simd_pos(const int8_t* a, const int8_t* b,
                                      long m, long n, int affine,
                                      int match, int mismatch,
                                      int gap_open, int gap_extend,
                                      const int32_t* sub, int nsym,
-                                     int32_t* out_i, int32_t* out_j) {
+                                     int32_t* out_i, int32_t* out_j,
+                                     int32_t* out_last) {
 #if defined(__AVX512BW__)
   return sw_score_striped<IsaAvx512, true>(
       a, b, m, n, affine, match, mismatch, gap_open, gap_extend, sub,
-      nsym, out_i, out_j);
+      nsym, out_i, out_j, out_last);
 #elif defined(__AVX2__)
   return sw_score_striped<IsaAvx2, true>(
       a, b, m, n, affine, match, mismatch, gap_open, gap_extend, sub,
-      nsym, out_i, out_j);
+      nsym, out_i, out_j, out_last);
 #else
   (void)a; (void)b; (void)m; (void)n; (void)affine; (void)match;
   (void)mismatch; (void)gap_open; (void)gap_extend; (void)sub; (void)nsym;
-  (void)out_i; (void)out_j;
+  (void)out_i; (void)out_j; (void)out_last;
   return INT32_MIN;
 #endif
 }
@@ -623,7 +634,7 @@ extern "C" void sw_score_simd_batch(const int8_t* a_batch,
   for (long g = 0; g < B; ++g) {
     out_scores[g] = sw_score_simd_pos(
         a_batch + g * m, b_batch + g * n, m, n, affine, match, mismatch,
-        gap_open, gap_extend, sub, nsym, out_i + g, out_j + g);
+        gap_open, gap_extend, sub, nsym, out_i + g, out_j + g, nullptr);
   }
 }
 

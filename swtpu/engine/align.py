@@ -106,6 +106,22 @@ def align(
         res._m1 = m + 1
         return res
 
+    # score-only mid-size tier (VERDICT r3 #6): the striped SIMD host
+    # fill produces the full score-only Alignment contract (max, exact
+    # first-occurrence position, last cell) below the device dispatch
+    # floor; self-gates on eligibility and falls through otherwise
+    if plan in (None, "auto") and not want_tb and not return_matrices \
+            and config.band is None \
+            and m * n <= config.host_simd_max_cells:
+        from ..runtime_native import score_simd_pos
+        got = score_simd_pos(a_codes, b_codes, scoring, sub_np)
+        if got is not None:
+            s, bi, bj, last = got
+            res = Alignment(max_score=s, max_i=bi, max_j=bj,
+                            last_cell=last)
+            res._m1 = m + 1
+            return res
+
     # resolve the execution plan + tuned kernel configuration (the v7/v8
     # dispatch; ExecPlan carries the measured best (T, R, CB, C, unroll)
     # when the autotune table has a near entry)

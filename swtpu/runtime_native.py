@@ -81,7 +81,8 @@ def _load() -> Optional[ctypes.CDLL]:
                                   ctypes.c_void_p, ctypes.c_int]
     lib.sw_score_simd_pos.restype = ctypes.c_int32
     lib.sw_score_simd_pos.argtypes = lib.sw_score_simd.argtypes + [
-        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32)]
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int32)]
     lib.sw_score_simd_batch.restype = None
     lib.sw_score_simd_batch.argtypes = [
         i8p, i8p, ctypes.c_long, ctypes.c_long, ctypes.c_long,
@@ -183,6 +184,40 @@ def _simd_args(scoring, sub):
 
 def _codes_ok(arr, nsym: int) -> bool:
     return int(arr.min()) >= 0 and int(arr.max()) < nsym
+
+
+def score_simd_pos(a: np.ndarray, b: np.ndarray, scoring=None, sub=None):
+    """Striped-SIMD fill WITH exact first-occurrence argmax and the
+    bottom-right cell: (score, max_i, max_j, last_cell) — everything a
+    score-only `align()` result needs — or None when ineligible.
+    Coordinates are 1-based padded, bit-compatible with the oracle's
+    row-major maxPos rule (i=j=0 when score <= 0)."""
+    from .core.config import Scoring
+
+    if scoring is None:
+        scoring = Scoring()
+    lib = _load()
+    if lib is None:
+        return None
+    a = np.ascontiguousarray(a, np.int8)
+    b = np.ascontiguousarray(b, np.int8)
+    m, n = len(a), len(b)
+    if m == 0 or n == 0 or m > 32767 or n > 32767:
+        return None
+    if not simd_eligible(m, n, scoring, sub):
+        return None
+    affine, ma, mi, go, ge, sub_ptr, nsym, _keep = _simd_args(scoring, sub)
+    if not (_codes_ok(a, nsym) and _codes_ok(b, nsym)):
+        return None
+    oi = ctypes.c_int32(0)
+    oj = ctypes.c_int32(0)
+    ol = ctypes.c_int32(0)
+    got = lib.sw_score_simd_pos(a, b, m, n, affine, ma, mi, go, ge,
+                                sub_ptr, nsym, ctypes.byref(oi),
+                                ctypes.byref(oj), ctypes.byref(ol))
+    if got == -(1 << 31):
+        return None
+    return int(got), int(oi.value), int(oj.value), int(ol.value)
 
 
 def score_simd_batch(a_batch: np.ndarray, b_batch: np.ndarray,

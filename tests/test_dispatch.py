@@ -26,6 +26,13 @@ def _write_table(path, m, n, best):
         {"m": m, "n": n, "best": best, "all": []}]}))
 
 
+from swtpu.core.config import EngineConfig
+
+# these tests pin the DEVICE tuned-config dispatch; the score-only
+# SIMD host tier (which would intercept small traceback=False calls
+# before choose_exec) is disabled explicitly
+_NO_SIMD = EngineConfig(host_simd_max_cells=0)
+
 TUNED = {"plan": "stripe", "T": 256, "R": 2, "CB": 1, "C": 128,
          "unroll": 1, "s": 0.001, "gcups": 100.0}
 
@@ -104,7 +111,7 @@ def test_tuned_config_reaches_the_kernel(tmp_path, monkeypatch):
     monkeypatch.setattr(pf, "stripe_score_fn", spy)
 
     a, b = random_pair(256, 256, seed=0)
-    res = al.align(a, b, traceback=False)
+    res = al.align(a, b, config=_NO_SIMD, traceback=False)
     assert (seen.get("T"), seen.get("R"), seen.get("CB"), seen.get("C"),
             seen.get("unroll")) == (256, 2, 1, 128, 1)
     ref = oracle.fill(a, b)
@@ -128,10 +135,10 @@ def test_live_path_feeds_policy_observe(tmp_path, monkeypatch):
     monkeypatch.setattr(al, "_score_cache", {})
 
     a, b = random_pair(128, 128, seed=1)
-    al.align(a, b, traceback=False)            # cold: compiles, no observe
+    al.align(a, b, config=_NO_SIMD, traceback=False)            # cold: compiles, no observe
     pol = planmod.session_policy()
     n_rows = len(pol.table["entries"][0]["all"])
-    al.align(a, b, traceback=False)            # warm: observed
+    al.align(a, b, config=_NO_SIMD, traceback=False)            # warm: observed
     rows = pol.table["entries"][0]["all"]
     assert len(rows) == n_rows + 1
     assert rows[-1]["plan"] == "stripe" and rows[-1]["T"] == 128
@@ -243,7 +250,8 @@ def test_affine_tuned_config_reaches_the_kernel(tmp_path, monkeypatch):
 
     monkeypatch.setattr(pf, "stripe_score_fn", spy)
     a, b = random_pair(256, 256, seed=0)
-    res = al.align(a, b, scoring=AFF, traceback=False)
+    res = al.align(a, b, scoring=AFF, config=_NO_SIMD,
+                   traceback=False)
     assert (seen.get("T"), seen.get("R")) == (512, 4)
     ref = oracle.fill_loop(a, b, AFF)
     assert res.max_score == ref.max_score
@@ -325,8 +333,8 @@ def test_observe_normalizes_fetch_floor(tmp_path, monkeypatch):
     monkeypatch.setattr(al, "_floor_cache", {"floor": 10.0})  # huge floor
 
     a, b = random_pair(128, 128, seed=1)
-    al.align(a, b, traceback=False)            # cold
-    al.align(a, b, traceback=False)            # warm: observes
+    al.align(a, b, config=_NO_SIMD, traceback=False)            # cold
+    al.align(a, b, config=_NO_SIMD, traceback=False)            # warm: observes
     pol = planmod.session_policy()
     rows = [r for e in pol.table["entries"] for r in e["all"]
             if r.get("kind") == "observed"]

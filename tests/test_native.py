@@ -330,3 +330,28 @@ def test_batch_score_host_simd_route():
                                       np.asarray(scan[k]))
         np.testing.assert_array_equal(np.asarray(forced[k]),
                                       np.asarray(scan[k]))
+
+
+def test_align_score_only_routes_simd_with_last_cell():
+    """align(traceback=False) below host_simd_max_cells returns the full
+    score-only contract (max, exact position, last_cell) from the SIMD
+    tier — including the golden builtin example's H[last] == 7."""
+    import swtpu
+    from swtpu.core import oracle
+    from swtpu.core.encode import random_pair
+    from swtpu.runtime_native import available, score_simd_pos
+
+    if not available():
+        import pytest
+        pytest.skip("native lib unavailable")
+    # golden example (9x8 wiki): tiny, but exercises exact parity
+    got = score_simd_pos(swtpu.encode(swtpu.BUILTIN_A),
+                         swtpu.encode(swtpu.BUILTIN_B))
+    assert got == (13, 7, 6, 7)     # score, i, j, H[n][m]
+    a, b = random_pair(777, 613, seed=31)
+    res = swtpu.align(a, b, traceback=False)
+    ref = oracle.fill(a, b)
+    assert res.max_score == ref.max_score
+    assert (res.max_i, res.max_j) == ref.max_ij
+    assert res.last_cell == int(ref.H[-1, -1])
+    assert res.max_pos == ref.max_ij[0] * (777 + 1) + ref.max_ij[1]
