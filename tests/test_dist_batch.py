@@ -405,3 +405,39 @@ def test_batch_align_strings_match_oracle():
         ra, rb = oracle.alignment_strings(a[i], b[i], ref.P,
                                           mi * (48 + 1) + mj)
         assert (res.aligned_a, res.aligned_b) == (ra, rb)
+
+
+def test_pairs_packed_config_fuzz():
+    """Randomized (B, m, n, R, T) packed-pairs configurations vs the
+    oracle — catches packing-geometry edge cases the fixed-shape tests
+    miss (single-lane pairs, pair == stripe, B=1, one-column streams)."""
+    import jax.numpy as jnp
+    from swtpu.core import oracle
+    from swtpu.kernels.pallas_fill import pairs_packed_score_fn
+
+    rng = np.random.default_rng(41)
+    cases = [
+        (1, 8, 8, 1, 128),      # single pair, R=1
+        (2, 3, 1, 1, 128),      # one-row pairs
+        (5, 1, 9, 1, 128),      # one-column stream
+        (128, 12, 2, 2, 256),   # pair == one lane (rlen == R)
+        (16, 33, 16, 16, 2048), # lpp == 1, R == rlen
+    ]
+    for _ in range(4):
+        B = int(rng.integers(2, 20))
+        m = int(rng.integers(2, 60))
+        n = int(rng.integers(2, 40))
+        R = int(rng.choice([1, 2, 4]))
+        cases.append((B, m, n, R, 128 * R * int(rng.integers(1, 3))))
+    for (B, m, n, R, T) in cases:
+        aa = rng.integers(0, 4, (B, m)).astype(np.int8)
+        bb = rng.integers(0, 4, (B, n)).astype(np.int8)
+        fn = pairs_packed_score_fn(B, m, n, T=T, R=R, C=128,
+                                   interpret=True)
+        s, i, j = fn(jnp.asarray(aa), jnp.asarray(bb))
+        for g in range(B):
+            ref = oracle.fill(aa[g], bb[g])
+            assert int(s[g]) == ref.max_score, (B, m, n, R, T, g)
+            if ref.max_score > 0:
+                assert (int(i[g]), int(j[g])) == ref.max_ij, \
+                    (B, m, n, R, T, g)
