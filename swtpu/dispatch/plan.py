@@ -98,7 +98,15 @@ def pipeline_projection(m: int, n: int, D: int,
     affine = scoring.is_affine if scoring is not None else False
     single = choose_params_cost(m, n, affine=affine)[3]
     mc = max(m // D, 1)
-    cands = (block_rows,) if block_rows else (4096, 16384, 65536, 131072)
+    if block_rows:
+        cands = (block_rows,)
+    else:
+        # geometric block-rows grid scaled to the problem (replaces the
+        # round-3 hardcoded list, VERDICT r3 #5): from one stripe-height
+        # block up to n/D (fewer blocks than devices leaves chips idle)
+        hi = max(4096, n // D)
+        cands = tuple(4096 << k for k in range(8) if 4096 << k <= hi) \
+            or (4096,)
     best, best_br = 0.0, 0
     for br in cands:
         br = min(br, n)
