@@ -454,22 +454,40 @@ int32_t sw_score_striped(const int8_t* a, const int8_t* b, long m, long n,
   const int16_t ge = static_cast<int16_t>(affine ? -gap_extend : -gap_open);
   if (go < 0 || ge < 0) return INT32_MIN;
 
-  // striped query profile: prof[s][seg][lane] = score(s, b[lane*Vn + seg])
-  std::vector<int16_t> prof_store(static_cast<size_t>(A) * Vn * I::LANES +
+  // Striped query profile with SENTINEL parity: rows cover a-codes
+  // -3..-1 (the framework's padding/unknown sentinels) plus 0..A-1, so
+  // prof[(code+3)][seg][lane] = score(code, b[lane*Vn + seg]). In
+  // match/mismatch mode sentinels score by the raw code compare — N(-1)
+  // vs N(-1) MATCHES, exactly like the oracle and the device kernels;
+  // in substitution mode any code outside [0, A) on either side scores
+  // PADMIN (the device profile's NEG_SUB sentinel columns,
+  // pallas_fill._profile_on_device). Query positions >= n stay PADMIN.
+  // Caller guarantees a-codes in [-3, A).
+  const int AR = A + 3;                // profile rows incl. sentinels
+  std::vector<int16_t> prof_store(static_cast<size_t>(AR) * Vn * I::LANES +
                                   I::LANES);
   // align the flat store to the vector width
   int16_t* prof0 = prof_store.data();
   while (reinterpret_cast<uintptr_t>(prof0) % (I::LANES * 2)) ++prof0;
-  for (int s = 0; s < A; ++s) {
+  for (int sr = 0; sr < AR; ++sr) {
+    const int s = sr - 3;              // the a-code this row serves
     for (long seg = 0; seg < Vn; ++seg) {
-      int16_t* row = prof0 + (static_cast<size_t>(s) * Vn + seg) * I::LANES;
+      int16_t* row = prof0 + (static_cast<size_t>(sr) * Vn + seg) * I::LANES;
       for (int lane = 0; lane < I::LANES; ++lane) {
         const long pos = static_cast<long>(lane) * Vn + seg;
-        row[lane] = pos < n
-            ? static_cast<int16_t>(
-                  sub ? sub[static_cast<long>(s) * nsym + b[pos]]
-                      : (s == b[pos] ? match : mismatch))
-            : PADMIN;
+        int16_t val = PADMIN;
+        if (pos < n) {
+          const int bc = b[pos];
+          if (sub) {
+            val = (s >= 0 && bc >= 0 && bc < A)
+                ? static_cast<int16_t>(
+                      sub[static_cast<long>(s) * nsym + bc])
+                : PADMIN;
+          } else {
+            val = static_cast<int16_t>(s == bc ? match : mismatch);
+          }
+        }
+        row[lane] = val;
       }
     }
   }
@@ -489,7 +507,8 @@ int32_t sw_score_striped(const int8_t* a, const int8_t* b, long m, long n,
   V* vBestJ = tbuf.data() + Vn;
 
   for (long j = 0; j < m; ++j) {
-    const int16_t* vP = prof0 + static_cast<size_t>(a[j]) * Vn * I::LANES;
+    const int16_t* vP =
+        prof0 + (static_cast<size_t>(a[j]) + 3) * Vn * I::LANES;
     // diag operand for segment 0 = previous column's last segment,
     // shifted one lane up; lane 0 sees the zero boundary H(., 0)
     V vH = I::shl1_ins(vHStore[Vn - 1], 0);
@@ -634,6 +653,167 @@ extern "C" void sw_score_simd_batch(const int8_t* a_batch,
   for (long g = 0; g < B; ++g) {
     out_scores[g] = sw_score_simd_pos(
         a_batch + g * m, b_batch + g * n, m, n, affine, match, mismatch,
+        gap_open, gap_extend, sub, nsym, out_i + g, out_j + g, nullptr);
+  }
+}
+
+#if defined(__AVX2__)
+namespace {
+
+// Inter-sequence SIMD fill (the SWIPE layout, Rognes 2011): one READ per
+// 16-bit lane, so a group of I::LANES reads advances through the same
+// (i, j) cell of their independent DP matrices in lock-step — no striping,
+// no lazy-F loop. This is the right kernel for the database-search shape
+// (many short reads vs one window): the striped Farrar layout thrashes
+// its lazy-F correction loop when the query spans only a handful of
+// segments (measured 0.7 GCUPS at qlen=100 vs 7 at qlen=2048). Rows are
+// processed i-outer / j-inner, so strict-> best tracking lands on the
+// row-major FIRST occurrence per lane, matching the oracle exactly.
+// Columns are chunked so the per-chunk H/F rows stay cache-resident; H,
+// E carries at chunk edges ride per-row arrays.
+template <class I>
+void sw_swipe_group(const int8_t* a, const int8_t* b_batch,
+                    long g0, long G, long B, long m, long n,
+                    int affine, int match, int mismatch,
+                    int gap_open, int gap_extend,
+                    const int32_t* sub, int nsym,
+                    int32_t* out_scores, int32_t* out_i, int32_t* out_j) {
+  using V = typename I::v;
+  constexpr long JCHUNK = 2048;
+  const int A = sub ? nsym : 4;
+  const int AR = A + 3;
+  const int16_t go = static_cast<int16_t>(-gap_open);
+  const int16_t ge = static_cast<int16_t>(affine ? -gap_extend : -gap_open);
+  constexpr int16_t PADMIN = -30000;
+
+  // per-row lane tables: tab[i][code+3][lane] = score(code, read_lane[i])
+  std::vector<int16_t> tabs(static_cast<size_t>(n) * AR * I::LANES);
+  for (long i = 0; i < n; ++i) {
+    for (int sr = 0; sr < AR; ++sr) {
+      const int s = sr - 3;
+      int16_t* row = tabs.data() + (i * AR + sr) * I::LANES;
+      for (int lane = 0; lane < I::LANES; ++lane) {
+        int16_t val = PADMIN;
+        if (lane < G) {
+          const int bc = b_batch[(g0 + lane) * n + i];
+          val = sub ? ((s >= 0 && bc >= 0 && bc < A)
+                       ? static_cast<int16_t>(
+                             sub[static_cast<long>(s) * nsym + bc])
+                       : PADMIN)
+                    : static_cast<int16_t>(s == bc ? match : mismatch);
+        }
+        row[lane] = val;
+      }
+    }
+  }
+
+  const V vZero = I::zero();
+  const V vMin = I::set1(INT16_MIN);
+  const V vGo = I::set1(go);
+  const V vGe = I::set1(ge);
+  std::vector<int16_t> hrow(JCHUNK * I::LANES);
+  std::vector<int16_t> frow(JCHUNK * I::LANES);
+  std::vector<int16_t> hcol(static_cast<size_t>(n) * I::LANES, 0);
+  std::vector<int16_t> ecol(static_cast<size_t>(n) * I::LANES);
+  for (auto& x : ecol) x = INT16_MIN;
+  alignas(64) int16_t carry0[I::LANES] = {0};
+
+  V vBest = vZero, vBestI = vZero, vBestJ = vZero;
+  for (long jc = 0; jc < m; jc += JCHUNK) {
+    const long mc = jc + JCHUNK < m ? JCHUNK : m - jc;
+    std::fill(hrow.begin(), hrow.begin() + mc * I::LANES, 0);
+    std::fill(frow.begin(), frow.begin() + mc * I::LANES, INT16_MIN);
+    // prevHcol = H[i-1][jc-1] entering each row (row -1 -> boundary 0)
+    V prevDiag = I::load(carry0);         // always 0: H[., 0-boundary]
+    for (long i = 0; i < n; ++i) {
+      const int16_t* tab = tabs.data() + i * AR * I::LANES;
+      V vHdiag = jc == 0 ? vZero : prevDiag;
+      V vE = jc == 0 ? vMin : I::load(ecol.data() + i * I::LANES);
+      const V vI = I::set1(static_cast<int16_t>(i + 1));
+      V vH = vZero;
+      for (long j = 0; j < mc; ++j) {
+        const V vSub = I::load(tab + (a[jc + j] + 3) * I::LANES);
+        vH = I::adds(vHdiag, vSub);
+        const V vHup = I::load(hrow.data() + j * I::LANES);
+        const V vF = I::max(I::subs(vHup, vGo),
+                            I::subs(I::load(frow.data() + j * I::LANES),
+                                    vGe));
+        vH = I::max(vH, vE);
+        vH = I::max(vH, vF);
+        vH = I::max(vH, vZero);
+        const typename I::msk k = I::gt(vH, vBest);
+        vBest = I::sel(k, vH, vBest);
+        vBestI = I::sel(k, vI, vBestI);
+        vBestJ = I::sel(k, I::set1(static_cast<int16_t>(jc + j + 1)),
+                        vBestJ);
+        I::store(hrow.data() + j * I::LANES, vH);
+        I::store(frow.data() + j * I::LANES, vF);
+        vE = I::max(I::subs(vH, vGo), I::subs(vE, vGe));
+        vHdiag = vHup;
+      }
+      // chunk-edge carries: this row's H and E at column jc+mc; next
+      // chunk's row i+1 uses THIS chunk's old H[i][edge] as its diag
+      prevDiag = I::load(hcol.data() + i * I::LANES);
+      I::store(hcol.data() + i * I::LANES, vH);
+      I::store(ecol.data() + i * I::LANES, vE);
+    }
+  }
+  alignas(64) int16_t bs[I::LANES], bi[I::LANES], bj[I::LANES];
+  I::store(bs, vBest);
+  I::store(bi, vBestI);
+  I::store(bj, vBestJ);
+  for (int lane = 0; lane < G; ++lane) {
+    const int32_t s = bs[lane];
+    out_scores[g0 + lane] = s > 0 ? s : 0;
+    out_i[g0 + lane] = s > 0 ? bi[lane] : 0;
+    out_j[g0 + lane] = s > 0 ? bj[lane] : 0;
+  }
+}
+
+}  // namespace
+#endif  // __AVX2__
+
+// One shared database sequence vs B striped queries (the window-sweep
+// shape of the database searcher: every read scored against the same
+// reference window). OpenMP across reads.
+extern "C" void sw_score_simd_batch1(const int8_t* a,
+                                     const int8_t* b_batch,
+                                     long B, long m, long n, int affine,
+                                     int match, int mismatch,
+                                     int gap_open, int gap_extend,
+                                     const int32_t* sub, int nsym,
+                                     int32_t* out_scores, int32_t* out_i,
+                                     int32_t* out_j) {
+#if defined(__AVX2__)
+  // inter-sequence groups: one read per lane (see sw_swipe_group) —
+  // uniformly fast for short reads where the striped layout thrashes
+  // its lazy-F loop; long queries in small batches keep Farrar
+#if defined(__AVX512BW__)
+  using ISA = IsaAvx512;
+#else
+  using ISA = IsaAvx2;
+#endif
+  if (B >= 4 && n <= 8192) {
+    const long groups = (B + ISA::LANES - 1) / ISA::LANES;
+#if defined(_OPENMP)
+#pragma omp parallel for schedule(dynamic)
+#endif
+    for (long g = 0; g < groups; ++g) {
+      const long g0 = g * ISA::LANES;
+      const long G = B - g0 < ISA::LANES ? B - g0 : ISA::LANES;
+      sw_swipe_group<ISA>(a, b_batch, g0, G, B, m, n, affine, match,
+                          mismatch, gap_open, gap_extend, sub, nsym,
+                          out_scores, out_i, out_j);
+    }
+    return;
+  }
+#endif  // __AVX2__
+#if defined(_OPENMP)
+#pragma omp parallel for schedule(dynamic)
+#endif
+  for (long g = 0; g < B; ++g) {
+    out_scores[g] = sw_score_simd_pos(
+        a, b_batch + g * n, m, n, affine, match, mismatch,
         gap_open, gap_extend, sub, nsym, out_i + g, out_j + g, nullptr);
   }
 }

@@ -179,6 +179,14 @@ def _searcher_plan(mesh: Optional[Mesh], qlen: int, window: int,
         gaps_ok = not scoring.is_affine and _penalties_negative(scoring)
     if platform == "tpu" and gaps_ok and window >= 2:
         return "stripe"
+    if mesh is None and platform != "tpu":
+        # CPU/GPU deployments: the striped AVX host scorer inside the
+        # same window-sweep machinery (via pure_callback) — multi-GCUPS
+        # per core instead of the vmapped-scan rate
+        from ..runtime_native import simd_eligible
+        if qlen <= 32767 and simd_eligible(min(window, 32767), qlen,
+                                           scoring, substitution):
+            return "host-simd"
     return "scan"
 
 
@@ -225,6 +233,11 @@ def make_searcher(mesh: Optional[Mesh], qlen: int, shard_len: int,
     step = window - qlen                   # window stride (qlen overlap)
     nwin = max(1, -(-max(1, ext - qlen) // step))
     plan = _searcher_plan(mesh, qlen, window, scoring, plan, substitution)
+    if plan == "host-simd" and window > 32767:
+        # window coordinates ride the host scorer's int16 lanes
+        window = 32767
+        step = window - qlen
+        nwin = max(1, -(-max(1, ext - qlen) // step))
     if plan == "stripe":
         from ..kernels.pallas_fill import batch_score_fn
         _stripe_cache = {}
@@ -256,6 +269,27 @@ def make_searcher(mesh: Optional[Mesh], qlen: int, shard_len: int,
 
         def score_batch(prepared, win, B):
             return _stripe_fn(B).score_prepared(prepared, win)
+    elif plan == "host-simd":
+        # striped AVX host scorer inside the same jitted window sweep:
+        # a pure_callback per window hands (window, reads) to
+        # csrc sw_score_simd_batch1 (OpenMP across reads) and returns
+        # the exact (score, read_i, win_j) triple the fold expects —
+        # identical carry semantics to the device plans
+        from ..runtime_native import score_simd_window
+
+        def _host_cb(win, reads):
+            got = score_simd_window(win, reads, scoring, substitution)
+            if got is None:                   # gated upfront; belt+braces
+                raise RuntimeError("host-simd scorer became ineligible")
+            return got
+
+        def prepare_reads(queries):
+            return queries
+
+        def score_batch(prepared, win, B):
+            shp = jax.ShapeDtypeStruct((B,), jnp.int32)
+            return jax.pure_callback(_host_cb, (shp, shp, shp),
+                                     win, prepared)
     else:
         _scan_scorer = _window_scorer(scoring, substitution)
 
@@ -836,7 +870,7 @@ def search(queries, reference, mesh: Optional[Mesh] = None,
            window: int = 32768, scoring: Scoring = Scoring(),
            axis: str = "data", substitution=None,
            strand: str = "forward", n_best: int = 1,
-           sec_resolution: int = 2048
+           sec_resolution: int = 2048, plan: str = "auto"
            ) -> Union[SearchHits, StrandedHits, SearchHits2]:
     """Convenience one-shot search (builds shards + searcher).
 
@@ -884,7 +918,7 @@ def search(queries, reference, mesh: Optional[Mesh] = None,
     # searcher retrace, and id()-style keys miss in-place mutation
     from ..dispatch.autotune import scoring_sig
     from ..dispatch.plan import _tuned_policy
-    plan = _searcher_plan(mesh, qlen, window, scoring, "auto", substitution)
+    plan = _searcher_plan(mesh, qlen, window, scoring, plan, substitution)
     pol = _tuned_policy()
     digest = (pol.sig_digest("batch|" + scoring_sig(scoring, substitution))
               if pol is not None else None)

@@ -88,6 +88,8 @@ def _load() -> Optional[ctypes.CDLL]:
         i8p, i8p, ctypes.c_long, ctypes.c_long, ctypes.c_long,
         ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ctypes.c_int, ctypes.c_void_p, ctypes.c_int, i32p, i32p, i32p]
+    lib.sw_score_simd_batch1.restype = None
+    lib.sw_score_simd_batch1.argtypes = lib.sw_score_simd_batch.argtypes
     _lib = lib
     return _lib
 
@@ -153,9 +155,7 @@ def score_simd(a: np.ndarray, b: np.ndarray, scoring=None,
         if sub32.shape != (nsym, nsym):
             return None
         sub_ptr = sub32.ctypes.data_as(ctypes.c_void_p)
-    # codes must index the profile: no sentinels on this path
-    if int(a.min()) < 0 or int(b.min()) < 0 \
-            or int(a.max()) >= nsym or int(b.max()) >= nsym:
+    if not _codes_ok(a, nsym):        # a-codes select profile rows
         return None
     if scoring.is_affine:
         args = (1, int(scoring.match), int(scoring.mismatch),
@@ -183,7 +183,12 @@ def _simd_args(scoring, sub):
 
 
 def _codes_ok(arr, nsym: int) -> bool:
-    return int(arr.min()) >= 0 and int(arr.max()) < nsym
+    """a-codes must select a profile row: [-3, nsym). (-3..-1 are the
+    framework's padding/unknown sentinels — the kernel scores them with
+    oracle parity: raw-compare in match/mismatch mode, strong-negative in
+    substitution mode. b-codes are unconstrained: the profile build
+    handles any int8.)"""
+    return int(arr.min()) >= -3 and int(arr.max()) < nsym
 
 
 def score_simd_pos(a: np.ndarray, b: np.ndarray, scoring=None, sub=None):
@@ -207,7 +212,7 @@ def score_simd_pos(a: np.ndarray, b: np.ndarray, scoring=None, sub=None):
     if not simd_eligible(m, n, scoring, sub):
         return None
     affine, ma, mi, go, ge, sub_ptr, nsym, _keep = _simd_args(scoring, sub)
-    if not (_codes_ok(a, nsym) and _codes_ok(b, nsym)):
+    if not _codes_ok(a, nsym):
         return None
     oi = ctypes.c_int32(0)
     oj = ctypes.c_int32(0)
@@ -247,7 +252,7 @@ def score_simd_batch(a_batch: np.ndarray, b_batch: np.ndarray,
     if not simd_eligible(m, n, scoring, sub):
         return None
     affine, ma, mi, go, ge, sub_ptr, nsym, _keep = _simd_args(scoring, sub)
-    if not (_codes_ok(a_batch, nsym) and _codes_ok(b_batch, nsym)):
+    if not _codes_ok(a_batch, nsym):
         return None
     scores = np.empty(B, np.int32)
     out_i = np.empty(B, np.int32)
@@ -255,6 +260,43 @@ def score_simd_batch(a_batch: np.ndarray, b_batch: np.ndarray,
     lib.sw_score_simd_batch(a_batch.reshape(-1), b_batch.reshape(-1),
                             B, m, n, affine, ma, mi, go, ge,
                             sub_ptr, nsym, scores, out_i, out_j)
+    if (scores == -(1 << 31)).any():
+        return None
+    return scores, out_i, out_j
+
+
+def score_simd_window(window: np.ndarray, reads: np.ndarray,
+                      scoring=None, sub=None):
+    """B striped reads vs ONE shared reference window (the database
+    searcher's per-window shape): (scores, read_i, win_j) int32 (B,)
+    arrays with exact first-occurrence positions, or None when
+    ineligible. Reads may carry the -3 padding / -1 unknown sentinels
+    (the kernel scores sentinels with oracle parity); the window's codes
+    must lie in [-3, nsym)."""
+    from .core.config import Scoring
+
+    if scoring is None:
+        scoring = Scoring()
+    lib = _load()
+    if lib is None:
+        return None
+    window = np.ascontiguousarray(window, np.int8)
+    reads = np.ascontiguousarray(reads, np.int8)
+    B, n = reads.shape
+    m = len(window)
+    if B == 0 or m == 0 or n == 0 or m > 32767 or n > 32767:
+        return None
+    if not simd_eligible(m, n, scoring, sub):
+        return None
+    affine, ma, mi, go, ge, sub_ptr, nsym, _keep = _simd_args(scoring, sub)
+    if not _codes_ok(window, nsym):
+        return None
+    scores = np.empty(B, np.int32)
+    out_i = np.empty(B, np.int32)
+    out_j = np.empty(B, np.int32)
+    lib.sw_score_simd_batch1(window, reads.reshape(-1), B, m, n,
+                             affine, ma, mi, go, ge, sub_ptr, nsym,
+                             scores, out_i, out_j)
     if (scores == -(1 << 31)).any():
         return None
     return scores, out_i, out_j

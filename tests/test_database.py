@@ -1212,3 +1212,51 @@ def test_window_must_exceed_qlen():
     ref = rng.integers(0, 4, 512).astype(np.int8)
     with pytest.raises(ValueError, match="must exceed"):
         search(pad_queries([ref[:32].copy()], 32), ref, window=32)
+
+
+def test_searcher_host_simd_plan_parity():
+    """On non-TPU platforms the auto plan is 'host-simd' (the striped AVX
+    scorer inside the jitted window sweep via pure_callback); it must
+    agree with the scan plan bit-for-bit — scores AND positions — across
+    single-best, both-strand top-2, and protein searches, including
+    N-sentinel reads."""
+    from swtpu.core.config import Scoring
+    from swtpu.core.substitution import BLOSUM62
+    from swtpu.dist.database import _searcher_plan
+    from swtpu.runtime_native import available
+
+    if not available():
+        pytest.skip("native lib unavailable")
+    assert _searcher_plan(None, 32, 256, Scoring(), "auto") == "host-simd"
+
+    rng = np.random.default_rng(151)
+    ref = rng.integers(0, 4, 3000).astype(np.int8)
+    p1, p2 = 400, 2200
+    read = ref[p1: p1 + 48].copy()
+    mut = read.copy()
+    mut[7] = (mut[7] + 1) % 4
+    ref[p2: p2 + 48] = mut
+    ref[p1: p1 + 48] = read
+    nread = read.copy()
+    nread[5] = -1                                # an N base
+    q = pad_queries([read, nread, ref[100:120].copy()], 48)
+
+    for kw in (dict(), dict(n_best=2), dict(strand="both"),
+               dict(strand="both", n_best=2)):
+        host = search(q, ref, window=512, plan="host-simd", **kw)
+        scan = search(q, ref, window=512, plan="scan", **kw)
+        for f in range(len(host)):
+            np.testing.assert_array_equal(
+                np.asarray(host[f]), np.asarray(scan[f]), str(kw))
+
+    # protein (BLOSUM62 + affine): substitution profile parity
+    pref = rng.integers(0, 20, 1500).astype(np.int8)
+    pread = pref[300:340].copy()
+    sc = Scoring(mode="affine", gap_open=-11, gap_extend=-1)
+    pq = pad_queries([pread], 40)
+    h = search(pq, pref, window=256, scoring=sc, substitution=BLOSUM62,
+               plan="host-simd")
+    s = search(pq, pref, window=256, scoring=sc, substitution=BLOSUM62,
+               plan="scan")
+    assert int(h.scores[0]) == int(s.scores[0])
+    assert int(h.ref_pos[0]) == int(s.ref_pos[0])

@@ -199,9 +199,17 @@ def test_simd_score_eligibility_gates():
     assert simd_eligible(20000, 5000)
     # degenerate scorings never take this path
     assert score_simd(a, b, Scoring(match=3, mismatch=-3, gap=0)) is None
-    # sentinel codes fall through to plans that model them
+    # sentinel codes are SUPPORTED with oracle parity (round-4: the
+    # profile carries rows for -3..-1, so N(-1) vs N(-1) still matches)
+    from swtpu.core import oracle
+    withn = a.copy()
+    withn[3] = -1
+    bn = b.copy()
+    bn[7] = -1
+    assert score_simd(withn, bn) == oracle.fill(withn, bn).max_score
+    # but codes outside the sentinel range refuse (no profile row)
     bad = a.copy()
-    bad[3] = -1
+    bad[3] = -5
     assert score_simd(bad, b) is None
     # empty sequences score 0 without touching the kernel
     assert score_simd(a[:0], b) == 0
@@ -355,3 +363,62 @@ def test_align_score_only_routes_simd_with_last_cell():
     assert (res.max_i, res.max_j) == ref.max_ij
     assert res.last_cell == int(ref.H[-1, -1])
     assert res.max_pos == ref.max_ij[0] * (777 + 1) + ref.max_ij[1]
+
+
+def test_swipe_window_batch_fuzz():
+    """The inter-sequence (one-read-per-lane) window scorer: exact score
+    AND row-major first-occurrence position parity vs the oracle across
+    random batches with padded/N-sentinel reads, planted hits, chunk
+    boundaries (windows > 2048 exercise the column-chunked carries), and
+    protein scoring."""
+    from swtpu.core import oracle
+    from swtpu.core.config import Scoring
+    from swtpu.core.substitution import BLOSUM62
+    from swtpu.runtime_native import available, score_simd_window
+
+    if not available():
+        import pytest
+        pytest.skip("native lib unavailable")
+    rng = np.random.default_rng(51)
+    # chunk-boundary case: window far beyond the 2048-column chunk
+    win = rng.integers(0, 4, 5000).astype(np.int8)
+    reads = np.full((37, 48), -3, np.int8)
+    for g in range(37):
+        L = int(rng.integers(8, 49))
+        p = int(rng.integers(0, 5000 - L))
+        reads[g, :L] = win[p: p + L]
+        if g % 5 == 0:
+            reads[g, L // 2] = -1                  # an N
+        if g % 7 == 0:
+            reads[g, :L] = rng.integers(0, 4, L)   # random (weak hits)
+    got = score_simd_window(win, reads)
+    assert got is not None
+    for g in range(37):
+        ref = oracle.fill(win, reads[g])
+        assert int(got[0][g]) == ref.max_score, g
+        if ref.max_score > 0:
+            assert (int(got[1][g]), int(got[2][g])) == ref.max_ij, g
+
+    # tie-rich: the same motif planted twice in the window; first
+    # occurrence must win per the row-major rule
+    win2 = rng.integers(0, 4, 3000).astype(np.int8)
+    motif = win2[700:732].copy()
+    win2[2400:2432] = motif
+    reads2 = np.tile(motif, (5, 1)).astype(np.int8)
+    got2 = score_simd_window(win2, reads2)
+    for g in range(5):
+        ref = oracle.fill(win2, reads2[g])
+        assert int(got2[0][g]) == ref.max_score
+        assert (int(got2[1][g]), int(got2[2][g])) == ref.max_ij
+
+    # protein + affine through the swipe path (B >= 4)
+    sc = Scoring(mode="affine", gap_open=-11, gap_extend=-1)
+    pwin = rng.integers(0, 20, 2600).astype(np.int8)
+    preads = rng.integers(0, 20, (6, 30)).astype(np.int8)
+    preads[1, :25] = pwin[2200:2225]               # crosses chunk 1
+    pgot = score_simd_window(pwin, preads, sc, BLOSUM62)
+    for g in range(6):
+        ref = oracle.fill(pwin, preads[g], sc, sub=BLOSUM62)
+        assert int(pgot[0][g]) == ref.max_score, g
+        if ref.max_score > 0:
+            assert (int(pgot[1][g]), int(pgot[2][g])) == ref.max_ij, g
