@@ -89,8 +89,37 @@ def worker(process_id: int, port: int, nproc: int) -> None:
     assert int(best.pair) == gpair
     assert (int(best.max_i), int(best.max_j)) == refs[gpair].max_ij
 
+    # sequence-parallel PIPELINE across the process boundary: the
+    # column-stripe halo exchange (ppermute) between devices 3 and 4
+    # crosses processes — the DCN hop of a real pod slice
+    from swtpu.core.encode import random_pair
+    from swtpu.dist.checkpoint import ResumablePipeline
+    from swtpu.dist.mesh import pipeline_mesh
+
+    pm = pipeline_mesh(axis="seq")
+    mseq, nseq, R = 8 * D, 24, 8
+    pa, pb = random_pair(mseq, nseq, seed=7)
+    rp = ResumablePipeline(pm, mseq, nseq, block_rows=R,
+                           stages_per_segment=2)
+    psh = NamedSharding(pm, P("seq"))
+    a_sh = jax.make_array_from_callback(
+        (D, mseq // D), psh, lambda idx: pa.reshape(D, mseq // D)[idx])
+    carry = rp.init()
+    for seg in range(rp.num_segments):
+        carry = rp.segment(a_sh, np.asarray(pb), carry, seg)
+    # finish() fetches host-side; gather the process-sharded carry first
+    from jax.experimental import multihost_utils
+    carry_np = {k: multihost_utils.process_allgather(v, tiled=True)
+                for k, v in carry.items()}
+    res = rp.finish(carry_np)
+    pref = oracle.fill(pa, pb)
+    assert int(res.max_score) == pref.max_score, (
+        int(res.max_score), pref.max_score)
+    assert (int(res.max_i), int(res.max_j)) == pref.max_ij
+
     print(f"MULTIHOST_OK process={process_id}/{nproc} devices={D} "
-          f"checked={checked} best={gbest}@pair{gpair}", flush=True)
+          f"checked={checked} best={gbest}@pair{gpair} "
+          f"pipeline={int(res.max_score)}", flush=True)
 
 
 def launcher(nproc: int, timeout: float) -> int:
