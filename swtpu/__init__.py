@@ -72,9 +72,24 @@ def map_reads(ref_seqs, reads, **kw):
     return _map_reads(ref_seqs, reads, **kw)
 
 
+def batch_score(a_batch, b_batch, **kw):
+    """Score B independent pairs in one dispatch (packed-pairs / pair
+    grid / host SIMD / vmapped scan by platform and shape) —
+    see `swtpu.dist.batch.batch_score`."""
+    from .dist.batch import batch_score as _batch_score
+    return _batch_score(a_batch, b_batch, **kw)
+
+
+def batch_align(a_batch, b_batch, **kw):
+    """Batched scoring + per-pair alignment records, best-first —
+    see `swtpu.dist.batch.batch_align`."""
+    from .dist.batch import batch_align as _batch_align
+    return _batch_align(a_batch, b_batch, **kw)
+
+
 __all__ = [
     "align", "score", "sanitize", "search", "align_hits", "to_sam",
-    "pair_hits", "map_reads",
+    "pair_hits", "map_reads", "batch_score", "batch_align",
     "Alignment", "Scoring", "EngineConfig",
     "AnchoredReverseMismatch",
     "encode", "decode", "random_pair", "random_batch", "revcomp",
