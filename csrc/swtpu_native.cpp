@@ -364,7 +364,9 @@ struct IsaAvx2 {
   static v zero() { return _mm256_setzero_si256(); }
   static v set1(int16_t x) { return _mm256_set1_epi16(x); }
   static v load(const int16_t* p) {
-    return _mm256_load_si256(reinterpret_cast<const __m256i*>(p));
+    // unaligned: same speed as vmovdqa on every AVX2 core, and the
+    // swipe kernel's std::vector<int16_t> buffers are only 16B-aligned
+    return _mm256_loadu_si256(reinterpret_cast<const __m256i*>(p));
   }
   static v adds(v a, v b) { return _mm256_adds_epi16(a, b); }
   static v subs(v a, v b) { return _mm256_subs_epi16(a, b); }
@@ -380,6 +382,9 @@ struct IsaAvx2 {
   }
   using msk = __m256i;
   static msk gt(v a, v b) { return _mm256_cmpgt_epi16(a, b); }
+  static msk eq(v a, v b) { return _mm256_cmpeq_epi16(a, b); }
+  static msk m_and(msk a, msk b) { return _mm256_and_si256(a, b); }
+  static msk m_or(msk a, msk b) { return _mm256_or_si256(a, b); }
   static v sel(msk k, v x, v y) { return _mm256_blendv_epi8(y, x, k); }
   static void store(int16_t* p, v x) {
     _mm256_storeu_si256(reinterpret_cast<__m256i*>(p), x);
@@ -418,6 +423,9 @@ struct IsaAvx512 {
   }
   using msk = __mmask32;
   static msk gt(v a, v b) { return _mm512_cmpgt_epi16_mask(a, b); }
+  static msk eq(v a, v b) { return _mm512_cmpeq_epi16_mask(a, b); }
+  static msk m_and(msk a, msk b) { return a & b; }
+  static msk m_or(msk a, msk b) { return a | b; }
   static v sel(msk k, v x, v y) { return _mm512_mask_mov_epi16(y, k, x); }
   static void store(int16_t* p, v x) { _mm512_storeu_si512(p, x); }
   static int16_t hmax(v x) {
@@ -741,7 +749,14 @@ void sw_swipe_group(const int8_t* a, const int8_t* b_batch,
         vH = I::max(vH, vE);
         vH = I::max(vH, vF);
         vH = I::max(vH, vZero);
-        const typename I::msk k = I::gt(vH, vBest);
+        // row-major first occurrence ACROSS column chunks: within a
+        // chunk i-outer/j-inner order makes strict > sufficient, but a
+        // LATER chunk can hold an equal score at a SMALLER row — accept
+        // equal scores when the row improves (same-row equal scores in
+        // a later chunk have larger j and are correctly rejected)
+        const typename I::msk k = I::m_or(
+            I::gt(vH, vBest),
+            I::m_and(I::eq(vH, vBest), I::gt(vBestI, vI)));
         vBest = I::sel(k, vH, vBest);
         vBestI = I::sel(k, vI, vBestI);
         vBestJ = I::sel(k, I::set1(static_cast<int16_t>(jc + j + 1)),

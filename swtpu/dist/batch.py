@@ -91,8 +91,9 @@ def _use_packed_kernel(scoring: Scoring, band, B: int, m: int, n: int,
     from ..dispatch.plan import current_platform
     if current_platform() != "tpu":
         return False
-    R = next((r for r in (32, 16, 8, 4, 2, 1) if (-n % r) * 8 <= n), 1)
-    ltot = B * (-(-n // R) * R) // R
+    from ..kernels.pallas_fill import packed_pairs_geometry
+    R, rlen, _ = packed_pairs_geometry(n)
+    ltot = B * rlen // R
     inj_bytes = (m + ltot) * ltot * 4
     return inj_bytes <= PACKED_INJ_BYTES_CAP
 

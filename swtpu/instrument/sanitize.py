@@ -191,56 +191,21 @@ def sanitize_pairs_packed(a_batch: np.ndarray, b_batch: np.ndarray,
     fn = pf.pairs_packed_score_fn(B, m, n, scoring=scoring, T=T, R=R,
                                   C=C, interpret=True,
                                   substitution=substitution)
-    rlen, lpp = fn.config["rlen"], fn.config["lpp"]
-    T_, R_ = fn.config["T"], fn.config["R"]
-
-    # re-run the underlying call with debug_h capture (fn itself never
-    # captures H)
-    import jax.numpy as jnp
-    nsym = npack = 0
-    sub_emb = None
-    if substitution is not None:
-        nsym, npack, sub_emb = pf._sub_embed(
-            np.asarray(substitution, np.int32))
+    cfg = fn.config
+    rlen, lpp, T_, R_ = cfg["rlen"], cfg["lpp"], cfg["T"], cfg["R"]
     ntot = B * rlen
-    L = T_ // R_
-    steps_pad = -(-pf._steps(m, L, 1) // C) * C
-    num_stripes = -(-ntot // T_)
-    gr = np.zeros((num_stripes * T_,), np.int32)
-    gr[np.arange(B) * rlen] = 1
-    grt = (gr.reshape(num_stripes, L, R_).transpose(0, 2, 1)
-           .reshape(num_stripes, R_, L // pf.LANES, pf.LANES))
-    bp = np.full((B, rlen), -3, np.int32)
-    bp[:, :n] = b_batch
-    bp = np.concatenate([bp.reshape(-1),
-                         np.full((num_stripes * T_ - ntot,), -2, np.int32)])
-    bt = (bp.reshape(num_stripes, L, R_).transpose(0, 2, 1)
-          .reshape(num_stripes, R_, L // pf.LANES, pf.LANES))
-    btj = jnp.asarray(bt)
-    if nsym or npack:
-        btj = pf._profile_on_device(btj, sub_emb, nsym, npack)
-    Ap = np.full((B, steps_pad), -1, np.int32)
-    Ap[:, :m] = a_batch
-    inj = np.full((num_stripes, steps_pad, L), -1, np.int32)
-    for s in range(num_stripes):
-        base = s * L
-        ks = {0} | set(range((-base) % lpp, L, lpp))
-        for k in sorted(ks):
-            g = (base + k) // lpp
-            if g >= B:
-                break
-            if k == 0:
-                inj[s, :, 0] = Ap[g]
-            else:
-                inj[s, k:, k] = Ap[g, :steps_pad - k]
-    ap = jnp.full((1, 1, steps_pad), -1, jnp.int32)
+
+    # re-run the kernel with debug_h capture on the EXACT packing the
+    # score fn builds (fn.prepare is the one source of truth — a
+    # desynchronized copy here would validate the wrong geometry)
+    import jax.numpy as jnp
+    btj, grt, inj = fn.prepare(jnp.asarray(a_batch), jnp.asarray(b_batch))
+    ap = jnp.full((1, 1, cfg["steps_pad"]), -1, jnp.int32)
     outs = pf._stripe_call(
-        ap, btj, jnp.asarray(grt),
-        jnp.asarray(inj.reshape(num_stripes, steps_pad, L // pf.LANES,
-                                pf.LANES)),
+        ap, btj, grt, inj,
         scoring=scoring, T=T_, R=R_, C=C, m=m, n=ntot, return_p=False,
-        interpret=True, unroll=1, nsym=nsym, npack=npack, winject=lpp,
-        debug_h=True)
+        interpret=True, unroll=1, nsym=cfg["nsym"], npack=cfg["npack"],
+        winject=lpp, debug_h=True)
     dbg = np.asarray(outs[-1])     # (S, steps_pad, 1, R, sub, LANES)
     Sn, sp, CBn, Rn, sub, LN = dbg.shape
     Lc = sub * LN

@@ -1713,6 +1713,20 @@ def batch_score_fn(B: int, rlen: int, W: int,
     return fn
 
 
+def packed_pairs_geometry(n: int, R: Optional[int] = None) -> tuple:
+    """(R, rlen, lanes_per_pair) for the packed-pairs mode — the ONE
+    source of truth for its packing geometry (the score fn, the routing
+    cap estimate in dist/batch, and the sanitizer all consult this).
+    Default R: largest power-of-two register depth whose row padding
+    stays <= 1/8 of the pair (the ramp shrinks as 1/R; padding rows cost
+    pad*m garbage cells per pair)."""
+    if R is None:
+        R = next((r for r in (32, 16, 8, 4, 2, 1)
+                  if (-n % r) * 8 <= n), 1)
+    rlen = -(-n // R) * R                  # per-pair padded row count
+    return R, rlen, rlen // R
+
+
 def pairs_packed_score_fn(B: int, m: int, n: int,
                           scoring: Scoring = Scoring(),
                           T: Optional[int] = None,
@@ -1741,14 +1755,7 @@ def pairs_packed_score_fn(B: int, m: int, n: int,
     """
     if interpret is None:
         interpret = _interpret_default()
-    if R is None:
-        # largest power-of-two register depth whose row padding stays
-        # <= 1/8 of the pair (the ramp shrinks as 1/R; padding rows cost
-        # pad*m garbage cells per pair)
-        R = next((r for r in (32, 16, 8, 4, 2, 1)
-                  if (-n % r) * 8 <= n), 1)
-    rlen = -(-n // R) * R                  # per-pair padded row count
-    lpp = rlen // R                        # lanes per pair
+    R, rlen, lpp = packed_pairs_geometry(n, R)
     ntot = B * rlen
     if T is None:
         # one stripe if the injection chunk block fits VMEM (SUB <= 16:
@@ -1844,8 +1851,11 @@ def pairs_packed_score_fn(B: int, m: int, n: int,
 
     fn = jax.jit(lambda a_batch, b_batch:
                  score_prepared(prepare(a_batch, b_batch)))
+    fn.prepare = jax.jit(prepare)     # (bt, grt, inj) — the sanitizer
+    #                                   reuses THIS build, never a copy
     fn.config = {"T": T, "R": R, "CB": 1, "C": C, "unroll": u,
-                 "rlen": rlen, "lpp": lpp}
+                 "rlen": rlen, "lpp": lpp, "nsym": nsym, "npack": npack,
+                 "num_stripes": num_stripes, "steps_pad": steps_pad}
     return fn
 
 

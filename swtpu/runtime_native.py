@@ -35,7 +35,7 @@ def _load() -> Optional[ctypes.CDLL]:
         lib = ctypes.CDLL(str(_LIB_PATH))
     except OSError:
         return None
-    if not hasattr(lib, "sw_score_simd"):   # newest symbol
+    if not hasattr(lib, "sw_score_simd_batch1"):   # newest symbol
         # stale prebuilt library from before sw_fill existed: rebuild for
         # the NEXT process (the already-mapped handle can't be safely
         # swapped in-place) and fall back to NumPy in this one
@@ -100,14 +100,38 @@ def _load() -> Optional[ctypes.CDLL]:
 SIMD_SCORE_CAP = 32000
 
 
+_simd_probe = {"ok": None}
+
+
+def _simd_supported() -> bool:
+    """One-time functional probe: a library built without AVX2 (ARM,
+    AVX-masked VMs) compiles sw_score_simd to a 'return INT32_MIN' stub —
+    the plan selectors must learn that BEFORE routing a whole search
+    there (review r4 finding: an ungated 'host-simd' plan would raise on
+    every window)."""
+    if _simd_probe["ok"] is None:
+        lib = _load()
+        if lib is None:
+            return False
+        a = np.zeros(4, np.int8)
+        _simd_probe["ok"] = lib.sw_score_simd(
+            a, a, 4, 4, 0, 3, -3, -2, 0, None, 4) != -(1 << 31)
+    return _simd_probe["ok"]
+
+
 def simd_eligible(m: int, n: int, scoring=None, sub=None) -> bool:
     """Shape/scoring gate for `score_simd` (no data needed): library
-    present, score range within the int16 cap, negative gap costs."""
+    present AND functional (ISA probe), score range within the int16
+    cap, negative gap costs with gap_extend no more negative than
+    gap_open (the striped kernel's lazy-F loop only EXTENDS a propagated
+    gap; with extension pricier than opening it would under-correct —
+    review r4 finding, reproduced at gap_open=-1/gap_extend=-6 — so that
+    exotic regime stays on the exact device/scan plans)."""
     from .core.config import Scoring
 
     if scoring is None:
         scoring = Scoring()
-    if _load() is None or m <= 0 or n <= 0:
+    if m <= 0 or n <= 0 or not _simd_supported():
         return False
     if sub is not None:
         sub32 = np.asarray(sub, np.int32)
@@ -121,7 +145,7 @@ def simd_eligible(m: int, n: int, scoring=None, sub=None) -> bool:
     else:
         go = ge = int(scoring.gap)
     return (hi * min(m, n) <= SIMD_SCORE_CAP and go < 0 and ge < 0
-            and min(lo, go, ge) >= -SIMD_SCORE_CAP)
+            and ge >= go and min(lo, go, ge) >= -SIMD_SCORE_CAP)
 
 
 def score_simd(a: np.ndarray, b: np.ndarray, scoring=None,

@@ -422,3 +422,65 @@ def test_swipe_window_batch_fuzz():
         assert int(pgot[0][g]) == ref.max_score, g
         if ref.max_score > 0:
             assert (int(pgot[1][g]), int(pgot[2][g])) == ref.max_ij, g
+
+
+def test_swipe_cross_chunk_tie_prefers_smaller_row():
+    """Review r4 regression: equal scores in DIFFERENT column chunks —
+    the later chunk's smaller-row cell must win (row-major rule), and an
+    equal score at the SAME row in a later chunk must lose (first j)."""
+    from swtpu.core import oracle
+    from swtpu.runtime_native import available, score_simd_window
+
+    if not available():
+        pytest.skip("native lib unavailable")
+    rng = np.random.default_rng(61)
+    win = np.full(4000, 3, np.int8)      # all-T: no accidental matches
+    read = rng.integers(0, 3, 100).astype(np.int8)   # A/C/G only
+    win[100:150] = read[50:100]          # equal 150-score, ends row 100
+    win[2500:2550] = read[0:50]          # equal 150-score, ends row 50
+    got = score_simd_window(win, np.tile(read, (4, 1)))
+    ref = oracle.fill(win, read)
+    for g in range(4):
+        assert int(got[0][g]) == ref.max_score
+        assert (int(got[1][g]), int(got[2][g])) == ref.max_ij
+    # same row, two chunks: first j must win
+    win2 = np.full(5000, 3, np.int8)
+    motif = rng.integers(0, 3, 40).astype(np.int8)
+    win2[300:340] = motif
+    win2[3300:3340] = motif
+    got2 = score_simd_window(win2, np.tile(motif, (4, 1)))
+    ref2 = oracle.fill(win2, motif)
+    assert (int(got2[1][0]), int(got2[2][0])) == ref2.max_ij
+
+
+def test_simd_gates_extend_pricier_than_open():
+    """Review r4 regression: gap_extend more negative than gap_open is
+    outside the striped lazy-F loop's assumption — the tier must refuse
+    and the public paths must stay exact via the device/scan plans."""
+    import swtpu
+    from swtpu.core import oracle
+    from swtpu.core.config import Scoring
+    from swtpu.core.encode import random_pair
+    from swtpu.runtime_native import score_simd, simd_eligible
+
+    sc = Scoring(mode="affine", gap_open=-1, gap_extend=-6)
+    assert not simd_eligible(64, 64, sc)
+    a, b = random_pair(64, 64, seed=9)
+    assert score_simd(a, b, sc) is None
+    assert swtpu.score(a, b, scoring=sc) == \
+        oracle.fill(a, b, sc).max_score
+
+
+def test_simd_functional_probe_gates_plans(monkeypatch):
+    """Review r4 regression: a library built without AVX2 stubs the SIMD
+    entry points — the ISA probe must fail closed so the searcher plan
+    and score() fall back instead of raising inside the jitted sweep."""
+    import swtpu.runtime_native as rn
+    from swtpu.core.config import Scoring
+    from swtpu.dist.database import _searcher_plan
+
+    monkeypatch.setattr(rn, "_simd_probe", {"ok": False})
+    assert not rn.simd_eligible(64, 64)
+    assert rn.score_simd(np.zeros(8, np.int8), np.zeros(8, np.int8)) \
+        is None
+    assert _searcher_plan(None, 32, 256, Scoring(), "auto") == "scan"
