@@ -739,6 +739,9 @@ void sw_swipe_group(const int8_t* a, const int8_t* b_batch,
       V vE = jc == 0 ? vMin : I::load(ecol.data() + i * I::LANES);
       const V vI = I::set1(static_cast<int16_t>(i + 1));
       V vH = vZero;
+      // per-(row, chunk) argmax in the hot loop (strict > = first j for
+      // this row); the row-major tie logic runs once per row below
+      V vRowBest = vZero, vRowJ = vZero;
       for (long j = 0; j < mc; ++j) {
         const V vSub = I::load(tab + (a[jc + j] + 3) * I::LANES);
         vH = I::adds(vHdiag, vSub);
@@ -749,23 +752,26 @@ void sw_swipe_group(const int8_t* a, const int8_t* b_batch,
         vH = I::max(vH, vE);
         vH = I::max(vH, vF);
         vH = I::max(vH, vZero);
-        // row-major first occurrence ACROSS column chunks: within a
-        // chunk i-outer/j-inner order makes strict > sufficient, but a
-        // LATER chunk can hold an equal score at a SMALLER row — accept
-        // equal scores when the row improves (same-row equal scores in
-        // a later chunk have larger j and are correctly rejected)
-        const typename I::msk k = I::m_or(
-            I::gt(vH, vBest),
-            I::m_and(I::eq(vH, vBest), I::gt(vBestI, vI)));
-        vBest = I::sel(k, vH, vBest);
-        vBestI = I::sel(k, vI, vBestI);
-        vBestJ = I::sel(k, I::set1(static_cast<int16_t>(jc + j + 1)),
-                        vBestJ);
+        const typename I::msk k = I::gt(vH, vRowBest);
+        vRowBest = I::sel(k, vH, vRowBest);
+        vRowJ = I::sel(k, I::set1(static_cast<int16_t>(jc + j + 1)),
+                       vRowJ);
         I::store(hrow.data() + j * I::LANES, vH);
         I::store(frow.data() + j * I::LANES, vF);
         vE = I::max(I::subs(vH, vGo), I::subs(vE, vGe));
         vHdiag = vHup;
       }
+      // row-major first occurrence ACROSS rows and column chunks:
+      // strictly better wins; an EQUAL score wins only when the row
+      // improves (a later chunk can reach an equal score at a smaller
+      // row; same-row equal scores in a later chunk have larger j and
+      // are correctly rejected)
+      const typename I::msk k = I::m_or(
+          I::gt(vRowBest, vBest),
+          I::m_and(I::eq(vRowBest, vBest), I::gt(vBestI, vI)));
+      vBest = I::sel(k, vRowBest, vBest);
+      vBestI = I::sel(k, vI, vBestI);
+      vBestJ = I::sel(k, vRowJ, vBestJ);
       // chunk-edge carries: this row's H and E at column jc+mc; next
       // chunk's row i+1 uses THIS chunk's old H[i][edge] as its diag
       prevDiag = I::load(hcol.data() + i * I::LANES);
