@@ -188,6 +188,21 @@ def pairs_packed(results):
             "gcups_effective": round(B * s * s / dt / 1e9, 1),
             "config": fn.config}
         print("  pairs", f"{B}x{s}", out[f"packed_{B}x{s}sq"], flush=True)
+    # config mini-sweep at the bench shape: R (ramp = B*n/R) vs stripe
+    # height (S*m term) vs the default heuristic
+    B, s = 64, 1056
+    a, b = random_batch(B, s, s, seed=0)
+    aj, bj = jnp.asarray(a), jnp.asarray(b)
+    for R, sub_ in ((32, 16), (32, 8), (16, 16), (32, 4)):
+        try:
+            fn = pairs_packed_score_fn(B, s, s, R=R, T=128 * sub_ * R)
+            np.asarray(fn(aj, bj)[0])
+            dt = time_call(lambda: fn(aj, bj)[0], k=5, repeats=2)
+            out[f"cfg_R{R}_SUB{sub_}"] = round(B * s * s / dt / 1e9, 1)
+        except Exception as e:
+            out[f"cfg_R{R}_SUB{sub_}"] = f"failed: {type(e).__name__}"
+        print("  pairs cfg", R, sub_, out[f"cfg_R{R}_SUB{sub_}"],
+              flush=True)
     # grid comparison at the bench shape
     B, s = 64, 1056
     a, b = random_batch(B, s, s, seed=0)
