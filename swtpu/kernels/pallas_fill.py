@@ -1779,6 +1779,13 @@ def pairs_packed_score_fn(B: int, m: int, n: int,
     sub_rows = L // LANES
     num_stripes = -(-ntot // T)
     steps_pad = -(-_steps(m, L, 1) // C) * C
+    inj_bytes = num_stripes * steps_pad * L * 4
+    if inj_bytes > (2 << 30):
+        raise ValueError(
+            f"packed-pairs injection tensor would need {inj_bytes >> 20} "
+            "MB of HBM (~1/R of the batch's cell count); use the pair "
+            "grid (pairs_score_fn / batch_score plan='stripe') for this "
+            "shape")
     u = _auto_unroll(C, interpret) if unroll is None else unroll
 
     def prepare(a_batch, b_batch):
