@@ -1,0 +1,38 @@
+#!/bin/bash
+# Tunnel watcher (VERDICT r4 #1: "Build a tunnel-watch loop so the chip's
+# first healthy hour isn't missed again").
+#
+# Probes the axon chip every 120 s under a hard timeout (a degraded tunnel
+# futex-blocks axon init for minutes — the timeout is the bypass). On the
+# first healthy probe it runs the queued measurement sessions
+# (scripts/tpu_round4.py, scripts/tpu_batch_sweep.py) and exits so the
+# caller can commit the artifacts. Exit 0 = sessions ran (check their
+# statuses in the log), 4 = never saw a healthy tunnel.
+set -u
+LOG=/root/repo/bench_results/tunnel_watch.log
+cd /root/repo
+mkdir -p bench_results
+echo "$(date -u +%FT%TZ) watcher start" >> "$LOG"
+for i in $(seq 1 "${WATCH_TRIES:-320}"); do
+  if timeout 75 python -c "
+import sys, time
+import jax.numpy as jnp
+t0 = time.perf_counter(); int(jnp.sum(jnp.arange(8)))
+t1 = time.perf_counter(); int(jnp.sum(jnp.arange(9)))
+t2 = time.perf_counter()
+print('probe cold %.1fs warm %.2fs' % (t1 - t0, t2 - t1), flush=True)
+sys.exit(0 if (t2 - t1) < 10.0 else 3)
+" >> "$LOG" 2>&1; then
+    echo "$(date -u +%FT%TZ) tunnel healthy (probe $i); running sessions" >> "$LOG"
+    timeout 7200 python scripts/tpu_round4.py >> "$LOG" 2>&1
+    r4=$?
+    timeout 3600 python scripts/tpu_batch_sweep.py >> "$LOG" 2>&1
+    bs=$?
+    echo "$(date -u +%FT%TZ) sessions done tpu_round4=$r4 batch_sweep=$bs" >> "$LOG"
+    exit 0
+  fi
+  echo "$(date -u +%FT%TZ) probe $i unhealthy" >> "$LOG"
+  sleep 120
+done
+echo "$(date -u +%FT%TZ) watcher gave up" >> "$LOG"
+exit 4

@@ -50,7 +50,20 @@ def _pair_fill(a, b, scoring, band, sub_table=None):
     return out.max_score, out.max_i, out.max_j
 
 
-_pairs_cache = {}
+_pairs_cache = {}          # LRU of compiled pair-kernel builders
+_PAIRS_CACHE_CAP = 16      # same eviction policy as database._searcher_memo
+
+
+def _pairs_cached(key, build):
+    fn = _pairs_cache.get(key)
+    if fn is not None:
+        _pairs_cache[key] = _pairs_cache.pop(key)       # LRU touch
+        return fn
+    fn = build()
+    if len(_pairs_cache) >= _PAIRS_CACHE_CAP:
+        _pairs_cache.pop(next(iter(_pairs_cache)))
+    _pairs_cache[key] = fn
+    return fn
 
 
 def _scoring_ok_for_stripe(scoring: Scoring, substitution) -> bool:
@@ -161,6 +174,19 @@ def batch_score(a_batch, b_batch, scoring: Scoring = Scoring(),
     # per core (csrc sw_score_simd_batch, OpenMP across pairs) instead
     # of the vmapped-scan rate. Self-gating: int16 score caps, sentinel
     # codes, degenerate scorings all fall through.
+    if plan == "host-simd":
+        # a forced host tier must either run or fail loudly — silently
+        # falling through to the vmapped scan would hide that the
+        # requested backend was not used (ADVICE r4)
+        if band is not None:
+            raise ValueError(
+                "plan='host-simd' batch scoring does not support band; "
+                "use plan='auto'/'scan' (vmapped scan) for banded batches")
+        if isinstance(a_batch, jax.core.Tracer) \
+                or isinstance(b_batch, jax.core.Tracer):
+            raise ValueError(
+                "plan='host-simd' needs concrete (eager) inputs — inside "
+                "jit/shard_map use plan='auto' instead")
     if plan in ("auto", "host-simd") and band is None \
             and not isinstance(a_batch, jax.core.Tracer) \
             and not isinstance(b_batch, jax.core.Tracer):
@@ -175,6 +201,12 @@ def batch_score(a_batch, b_batch, scoring: Scoring = Scoring(),
                 s, i, j = got
                 return BatchHits(jnp.asarray(s), jnp.asarray(i),
                                  jnp.asarray(j))
+            if plan == "host-simd":
+                from ..runtime_native import simd_reject_reason
+                raise ValueError(
+                    "plan='host-simd' was forced but the host SIMD tier "
+                    "is ineligible for this problem: "
+                    f"{simd_reject_reason(m, n, scoring, substitution)}")
     a_batch = jnp.asarray(a_batch)
     b_batch = jnp.asarray(b_batch)
     if _use_packed_kernel(scoring, band, B, m, n, plan, substitution):
@@ -183,11 +215,10 @@ def batch_score(a_batch, b_batch, scoring: Scoring = Scoring(),
         sub_key = (None if substitution is None
                    else np.asarray(substitution, np.int32).tobytes())
         key = ("packed", B, m, n, scoring, interpret, sub_key)
-        if key not in _pairs_cache:
-            _pairs_cache[key] = pairs_packed_score_fn(
-                B, m, n, scoring=scoring, interpret=interpret,
-                substitution=substitution)
-        s, i, j = _pairs_cache[key](a_batch, b_batch)
+        fn = _pairs_cached(key, lambda: pairs_packed_score_fn(
+            B, m, n, scoring=scoring, interpret=interpret,
+            substitution=substitution))
+        s, i, j = fn(a_batch, b_batch)
         return BatchHits(s, i, j)
     if _use_pairs_kernel(scoring, band, m, n, plan, interpret,
                          substitution):
@@ -196,11 +227,10 @@ def batch_score(a_batch, b_batch, scoring: Scoring = Scoring(),
         sub_key = (None if substitution is None
                    else np.asarray(substitution, np.int32).tobytes())
         key = (B, m, n, scoring, interpret, sub_key)
-        if key not in _pairs_cache:
-            _pairs_cache[key] = pairs_score_fn(B, m, n, scoring=scoring,
-                                               interpret=interpret,
-                                               substitution=substitution)
-        s, i, j = _pairs_cache[key](a_batch, b_batch)
+        fn = _pairs_cached(key, lambda: pairs_score_fn(
+            B, m, n, scoring=scoring, interpret=interpret,
+            substitution=substitution))
+        s, i, j = fn(a_batch, b_batch)
         return BatchHits(s, i, j)
     s, i, j = jax.vmap(
         functools.partial(_pair_fill, scoring=scoring, band=band,

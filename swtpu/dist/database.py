@@ -165,6 +165,23 @@ def _merge2(c, other, min_dist: int = 0):
 def _searcher_plan(mesh: Optional[Mesh], qlen: int, window: int,
                    scoring: Scoring, plan: str, substitution=None) -> str:
     if plan != "auto":
+        if plan == "host-simd":
+            # validate a FORCED host tier upfront: without this, an
+            # ineligible config surfaces as a RuntimeError from inside
+            # the jitted window sweep's pure_callback — an opaque
+            # mid-run failure (ADVICE r4)
+            from ..runtime_native import simd_eligible, simd_reject_reason
+            if mesh is not None:
+                raise ValueError(
+                    "plan='host-simd' searches run on the host — it "
+                    "cannot be combined with a device mesh")
+            w16 = min(window, 32767)
+            if qlen > 32767 or not simd_eligible(w16, qlen, scoring,
+                                                 substitution):
+                raise ValueError(
+                    "plan='host-simd' was forced but the host SIMD tier "
+                    "is ineligible for this search: "
+                    f"{simd_reject_reason(w16, qlen, scoring, substitution)}")
         return plan
     from ..kernels.pallas_fill import _penalties_negative
     if mesh is not None:

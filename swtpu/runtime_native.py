@@ -148,6 +148,49 @@ def simd_eligible(m: int, n: int, scoring=None, sub=None) -> bool:
             and ge >= go and min(lo, go, ge) >= -SIMD_SCORE_CAP)
 
 
+def simd_reject_reason(m: int, n: int, scoring=None, sub=None) -> str:
+    """Human-readable reason `simd_eligible` (plus the coordinate caps
+    the batch/position entry points add) rejects this problem — for the
+    error raised when a caller FORCES plan='host-simd' on an ineligible
+    config (ADVICE r4: a forced backend must fail loudly, not fall
+    through)."""
+    from .core.config import Scoring
+
+    if scoring is None:
+        scoring = Scoring()
+    if _load() is None:
+        return "native library not built (csrc/Makefile)"
+    if not _simd_supported():
+        return "native library built without AVX2 SIMD support"
+    if m <= 0 or n <= 0:
+        return f"empty operand (m={m}, n={n})"
+    if m > 32767 or n > 32767:
+        return (f"positions ride int16 lanes: m={m}, n={n} "
+                "exceed 32767")
+    if sub is not None:
+        sub32 = np.asarray(sub, np.int32)
+        hi = max(int(sub32.max()), 1)
+        lo = min(int(sub32.min()), 0)
+    else:
+        hi = max(int(scoring.match), 1)
+        lo = min(int(scoring.mismatch), 0)
+    if scoring.is_affine:
+        go, ge = int(scoring.gap_open), int(scoring.gap_extend)
+    else:
+        go = ge = int(scoring.gap)
+    if hi * min(m, n) > SIMD_SCORE_CAP:
+        return (f"max reachable score {hi}*{min(m, n)} exceeds the int16 "
+                f"saturation cap {SIMD_SCORE_CAP}")
+    if not (go < 0 and ge < 0):
+        return f"gap costs must be negative (gap_open={go}, gap_extend={ge})"
+    if ge < go:
+        return (f"gap_extend ({ge}) more negative than gap_open ({go}): "
+                "the lazy-F loop only extends propagated gaps")
+    if min(lo, go, ge) < -SIMD_SCORE_CAP:
+        return f"a penalty exceeds the int16 cap {-SIMD_SCORE_CAP}"
+    return "input codes outside the kernel's [-3, nsym) range"
+
+
 def score_simd(a: np.ndarray, b: np.ndarray, scoring=None,
                sub=None) -> Optional[int]:
     """Striped AVX2 score-only fill (csrc sw_score_simd; Farrar-style

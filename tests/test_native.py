@@ -340,6 +340,64 @@ def test_batch_score_host_simd_route():
                                       np.asarray(scan[k]))
 
 
+def test_forced_host_simd_fails_loudly():
+    """A FORCED plan='host-simd' must run or raise — never silently fall
+    through to another backend (ADVICE r4). Covers batch_score (ineligible
+    scoring, band, tracer inputs) and database.search (ineligible scoring,
+    mesh present) — each with the reject reason in the message."""
+    import pytest
+
+    from swtpu.core.config import Scoring
+    from swtpu.core.encode import random_batch
+    from swtpu.dist.batch import batch_score
+    from swtpu.runtime_native import available
+
+    if not available():
+        pytest.skip("native lib unavailable")
+    aa, bb = random_batch(4, 64, 64, seed=3)
+    # gap_extend more negative than gap_open: the lazy-F gate rejects it
+    bad = Scoring(mode="affine", gap_open=-1, gap_extend=-6)
+    with pytest.raises(ValueError, match="lazy-F"):
+        batch_score(aa, bb, scoring=bad, plan="host-simd")
+    with pytest.raises(ValueError, match="band"):
+        batch_score(aa, bb, band=8, plan="host-simd")
+
+    import jax
+    import jax.numpy as jnp
+
+    def traced(x, y):
+        return batch_score(x, y, plan="host-simd").scores
+
+    with pytest.raises(ValueError, match="concrete"):
+        jax.jit(traced)(jnp.asarray(aa), jnp.asarray(bb))
+
+    from swtpu.dist.database import make_searcher
+    with pytest.raises(ValueError, match="ineligible"):
+        make_searcher(None, qlen=152, shard_len=4096, scoring=bad,
+                      plan="host-simd")
+
+
+def test_pairs_cache_lru_cap():
+    """The pair-kernel builder memo evicts oldest-first at the cap instead
+    of growing without bound (ADVICE r4)."""
+    from swtpu.dist import batch as batch_mod
+
+    saved = dict(batch_mod._pairs_cache)
+    batch_mod._pairs_cache.clear()
+    try:
+        for k in range(batch_mod._PAIRS_CACHE_CAP + 4):
+            batch_mod._pairs_cached(("t", k), lambda k=k: k)
+        assert len(batch_mod._pairs_cache) == batch_mod._PAIRS_CACHE_CAP
+        assert ("t", 0) not in batch_mod._pairs_cache
+        # LRU touch: re-using an entry protects it from the next eviction
+        batch_mod._pairs_cached(("t", 4), lambda: None)
+        batch_mod._pairs_cached(("t", 999), lambda: None)
+        assert ("t", 4) in batch_mod._pairs_cache
+    finally:
+        batch_mod._pairs_cache.clear()
+        batch_mod._pairs_cache.update(saved)
+
+
 def test_align_score_only_routes_simd_with_last_cell():
     """align(traceback=False) below host_simd_max_cells returns the full
     score-only contract (max, exact position, last_cell) from the SIMD
