@@ -266,8 +266,20 @@ def pipe_stage_overhead(results):
     med = sorted(r["overhead_model_cycles"] for r in rows)[len(rows) // 2]
     results["pipe_stage_overhead"] = {
         "rows": rows, "fitted_overhead_model_cycles": med,
-        "action": "bake into dispatch/plan.PIPE_STAGE_OVERHEAD"}
-    print("fitted PIPE_STAGE_OVERHEAD =", med, "model cycles", flush=True)
+        "action": "written to swtpu_pipe_overhead.json (the fit record "
+                  "dispatch/plan.pipe_stage_overhead() loads)"}
+    rec_path = os.path.join(os.path.dirname(__file__), "..",
+                            "swtpu_pipe_overhead.json")
+    with open(rec_path, "w") as f:
+        json.dump({"fitted_overhead_model_cycles": med,
+                   "fit_rows": rows,
+                   "method": "per-stage wall time minus modeled block "
+                             "fill, median across block_rows, 1-device "
+                             "mesh on the real chip "
+                             "(scripts/tpu_round4.py::pipe_stage_overhead)",
+                   "date": time.strftime("%Y-%m-%d %H:%M")}, f, indent=1)
+    print("fitted PIPE_STAGE_OVERHEAD =", med, "model cycles ->",
+          rec_path, flush=True)
 
 
 def floor_decomp(results):
@@ -343,6 +355,37 @@ def protein_refresh(results):
     print("protein:", results["protein_refresh"], flush=True)
 
 
+def map_refresh(results):
+    """TPU-path mapping benchmark (VERDICT r4 #5): map_reads end-to-end
+    on chip (batch stripe search + align_hits), cold + warm reads/s,
+    same shape as bench_results/map_cpu_r4.json's 27.9/s CPU figure."""
+    from swtpu.dist.mapping import map_reads
+
+    rng = np.random.default_rng(7)
+    L, B, qlen = 1_000_000, 2000, 100
+    ref = rng.integers(0, 4, L).astype(np.int8)
+    reads = []
+    for _ in range(B):                       # planted reads, 2% errors
+        s = int(rng.integers(0, L - qlen))
+        r = ref[s:s + qlen].copy()
+        errs = rng.random(qlen) < 0.02
+        r[errs] = (r[errs] + rng.integers(1, 4, errs.sum())) % 4
+        reads.append(r)
+    t0 = time.perf_counter()
+    res = map_reads(ref, reads)
+    cold = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    res = map_reads(ref, reads)
+    warm = time.perf_counter() - t0
+    mapped = sum(1 for r in res.records if not r.is_unmapped)
+    results["map_refresh"] = {
+        "B": B, "qlen": qlen, "L": L, "mapped": mapped,
+        "cold_s": round(cold, 2), "cold_reads_per_s": round(B / cold, 1),
+        "warm_s": round(warm, 2), "warm_reads_per_s": round(B / warm, 1),
+        "cpu_baseline": "bench_results/map_cpu_r4.json 27.9/s cold"}
+    print("map:", results["map_refresh"], flush=True)
+
+
 def main():
     if not probe():
         print("tunnel unhealthy; aborting (rerun later)", flush=True)
@@ -360,7 +403,8 @@ def main():
              ("midsize_refresh", midsize_refresh),
              ("pipe_stage_overhead", pipe_stage_overhead),
              ("protein_refresh", protein_refresh),
-             ("linear_cb8_probe", linear_cb8_probe)]
+             ("linear_cb8_probe", linear_cb8_probe),
+             ("map_refresh", map_refresh)]
     for name, fn in steps:
         if only and name not in only:
             continue

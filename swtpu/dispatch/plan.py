@@ -60,13 +60,50 @@ _policy_cache = {"loaded": False, "policy": None}
 
 # Pipeline-tier profit projection constants. The per-stage overhead charges
 # the halo ppermute + stage-loop bookkeeping in the cost model's cycle
-# units (~ICI round-trip, small vs any real block fill); the margin
-# requires a clearly-better projection before leaving the measured
-# single-chip path, because multi-chip rates cannot be measured in a
-# single-chip environment (documented projection, not measurement —
-# correctness of the pipeline itself is CPU-mesh-tested).
-PIPE_STAGE_OVERHEAD = 50_000.0
+# units; the margin requires a clearly-better projection before leaving
+# the measured single-chip path, because multi-chip rates cannot be
+# measured in a single-chip environment (the pipeline itself is
+# CPU-mesh-tested). PIPE_STAGE_OVERHEAD_FALLBACK is the pre-measurement
+# projection; the MEASURED constant comes from the committed fit record
+# (scripts/tpu_round4.py::pipe_stage_overhead -> swtpu_pipe_overhead.json:
+# per-stage wall time minus modeled block fill, median across block_rows,
+# on the real chip) via `pipe_stage_overhead()`.
+PIPE_STAGE_OVERHEAD_FALLBACK = 50_000.0
 PIPE_MIN_SPEEDUP = 1.5
+
+_pipe_overhead_cache = {"loaded": False, "value": None, "source": "fallback"}
+
+
+def pipe_stage_overhead() -> float:
+    """Per-stage pipeline overhead in model cycles: the fitted constant
+    from the on-chip fit record when one is committed (env
+    SWTPU_PIPE_OVERHEAD_RECORD or swtpu_pipe_overhead.json beside the
+    tuned table / CWD), else the documented fallback projection."""
+    if not _pipe_overhead_cache["loaded"]:
+        _pipe_overhead_cache["loaded"] = True
+        import json
+        import os
+        env = os.environ.get("SWTPU_PIPE_OVERHEAD_RECORD")
+        if env:                     # explicit record is authoritative
+            cands = [env]
+        else:
+            here = os.path.dirname(os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__))))
+            cands = ["swtpu_pipe_overhead.json",
+                     os.path.join(here, "swtpu_pipe_overhead.json")]
+        for c in cands:
+            if c and os.path.exists(c):
+                try:
+                    with open(c) as f:
+                        rec = json.load(f)
+                    v = float(rec["fitted_overhead_model_cycles"])
+                except (OSError, KeyError, TypeError, ValueError):
+                    continue
+                _pipe_overhead_cache["value"] = v
+                _pipe_overhead_cache["source"] = c
+                break
+    v = _pipe_overhead_cache["value"]
+    return PIPE_STAGE_OVERHEAD_FALLBACK if v is None else v
 
 
 def local_tpu_devices() -> int:
@@ -112,7 +149,7 @@ def pipeline_projection(m: int, n: int, D: int,
         br = min(br, n)
         nblocks = -(-n // br)
         stage_cost = choose_params_cost(mc, br, affine=affine)[3] \
-            + PIPE_STAGE_OVERHEAD
+            + pipe_stage_overhead()
         speedup = single / ((nblocks + D - 1) * stage_cost)
         if speedup > best:
             best, best_br = speedup, br

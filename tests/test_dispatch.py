@@ -370,3 +370,51 @@ def test_pipeline_projection_monotone_and_documented():
     assert sp_big > planmod.PIPE_MIN_SPEEDUP > sp_small
     assert br_big >= 16384          # mega-matrices want big blocks
     assert planmod.pipeline_projection(1 << 20, 1 << 20, 1) == (0.0, 0)
+
+
+def test_pipe_stage_overhead_loads_fit_record(tmp_path, monkeypatch):
+    """The profit gate runs on the MEASURED per-stage overhead when the
+    committed fit record exists (VERDICT r4 #2): the loader prefers the
+    record over the fallback, rejects malformed records, and the gate
+    flips with the constant — a big-enough overhead kills the projected
+    win that fires at the fallback value."""
+    import json
+
+    def reload_with(path):
+        planmod._pipe_overhead_cache.update(
+            {"loaded": False, "value": None, "source": "fallback"})
+        if path is None:
+            monkeypatch.setenv("SWTPU_PIPE_OVERHEAD_RECORD",
+                               str(tmp_path / "absent.json"))
+        else:
+            monkeypatch.setenv("SWTPU_PIPE_OVERHEAD_RECORD", str(path))
+        return planmod.pipe_stage_overhead()
+
+    try:
+        # no record -> documented fallback
+        assert reload_with(None) == planmod.PIPE_STAGE_OVERHEAD_FALLBACK
+        # committed record wins
+        rec = tmp_path / "fit.json"
+        rec.write_text(json.dumps(
+            {"fitted_overhead_model_cycles": 12345.0, "fit_rows": []}))
+        assert reload_with(rec) == 12345.0
+        # malformed record -> fallback, not a crash
+        bad = tmp_path / "bad.json"
+        bad.write_text(json.dumps({"oops": 1}))
+        assert reload_with(bad) == planmod.PIPE_STAGE_OVERHEAD_FALLBACK
+        # the gate actually consumes the constant: a projection that wins
+        # at the fallback overhead loses when the record says each stage
+        # costs as much as a whole block fill
+        m = n = 1 << 20
+        assert reload_with(None) == planmod.PIPE_STAGE_OVERHEAD_FALLBACK
+        sp_fallback, _ = planmod.pipeline_projection(m, n, 8)
+        assert sp_fallback > planmod.PIPE_MIN_SPEEDUP
+        huge = tmp_path / "huge.json"
+        huge.write_text(json.dumps(
+            {"fitted_overhead_model_cycles": 1e12}))
+        reload_with(huge)
+        sp_huge, _ = planmod.pipeline_projection(m, n, 8)
+        assert sp_huge < planmod.PIPE_MIN_SPEEDUP
+    finally:
+        planmod._pipe_overhead_cache.update(
+            {"loaded": False, "value": None, "source": "fallback"})
