@@ -396,9 +396,19 @@ def pipeline_traceback(a_codes: np.ndarray, b_codes: np.ndarray, mesh: Mesh,
                        alphabet: str = "ACGT", substitution=None):
     """Alignment strings for a mega-matrix that needed the mesh: pipeline
     locate (forward + anchored reverse across chips), then a single-chip
-    windowed refill of just the located alignment window (falling back to
-    Hirschberg when the window itself exceeds the budget). Returns
+    windowed refill of just the located alignment window. Returns
     (score, Located, aligned_a, aligned_b) or None.
+
+    Span cap semantics (VERDICT r4 #7): the refill is SINGLE-chip, and
+    its P-capture budget is ``max_window_cells`` (stripe default 2^30
+    cells = 4 GB of HBM P). A located span over the budget does NOT fail
+    — it falls back to `engine.traceback.hirschberg`, whose last-row
+    score passes are O(span) memory and have no width cap (spans beyond
+    the stripe kernel's MAX_WIDTH ride the scan fill), only O(cells)
+    time on the one chip. The only over-cap hard error is the anchored
+    reverse-mismatch recovery path, which needs a full-P refill of
+    [1..end] and raises the typed `AnchoredReverseMismatch` when that
+    exceeds the budget (test-pinned in test_pipeline.py).
 
     Completes the reference's universal post-processing
     (serial_smithW.c:262-277) for problems no single device can hold."""
