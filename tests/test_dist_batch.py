@@ -196,6 +196,34 @@ def test_batch_score_auto_routes_packed_on_tpu(monkeypatch):
     assert not dbatch._use_packed_kernel(sc, None, 4096, 64, 64, "auto")
 
 
+def test_banded_batch_contract():
+    """The banded plan matrix is an API contract (VERDICT r4 #7 /
+    DESIGN.md §6): every stripe-family plan REJECTS band with a typed
+    error through the PUBLIC batch_score surface, and plan='auto' routes
+    banded batches to the vmapped scan, whose banded scores match the
+    single-pair banded scan (and the band actually restricts)."""
+    import jax.numpy as jnp
+
+    from swtpu.core.encode import encode, random_batch
+    from swtpu.dist.batch import batch_score
+    from swtpu.kernels.scan_fill import scan_fill
+
+    aa, bb = random_batch(4, 48, 40, seed=11)
+    for plan in ("packed", "stripe", "host-simd"):
+        with pytest.raises(ValueError, match="band"):
+            batch_score(aa, bb, band=8, plan=plan)
+    hits = batch_score(aa, bb, band=8)            # auto -> vmapped scan
+    for k in range(4):
+        ref = scan_fill(jnp.asarray(aa[k]), jnp.asarray(bb[k]), band=8)
+        assert int(hits.scores[k]) == int(ref.max_score)
+    # the band does restrict: an off-diagonal match is invisible
+    a = np.tile(encode("AAAAAAAATTTT"), (2, 1))
+    b = np.tile(encode("TTTTAAAAAAAA"), (2, 1))
+    narrow = batch_score(a, b, band=2)
+    full = batch_score(a, b, plan="scan")
+    assert int(narrow.scores[0]) < int(full.scores[0])
+
+
 def _protein_batch(B, m, n, seed, overlap=True):
     rng = np.random.default_rng(seed)
     aa = rng.integers(0, 20, (B, m)).astype(np.int8)
