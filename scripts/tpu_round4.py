@@ -321,6 +321,19 @@ def floor_decomp(results):
                       "config": f"T={T} R={R} CB={CB}"}
         print("  floor", label, out[label], flush=True)
     results["floor_decomp"] = out
+    # the tiny problem's single-call wall IS the device floor the
+    # host-SIMD crossover derivation divides against
+    # (core.config._device_floor_s) — commit the fit record
+    rec_path = os.path.join(os.path.dirname(__file__), "..",
+                            "swtpu_device_floor.json")
+    with open(rec_path, "w") as f:
+        json.dump({"floor_s": out["tiny_1056sq"]["wall_s_by_K"][1],
+                   "method": "single dispatch+fetch of a 1056^2 stripe "
+                             "fill, min of 3 "
+                             "(scripts/tpu_round4.py::floor_decomp)",
+                   "decomp": out,
+                   "date": time.strftime("%Y-%m-%d %H:%M")}, f, indent=1)
+    print("device floor ->", rec_path, flush=True)
 
 
 def midsize_refresh(results):

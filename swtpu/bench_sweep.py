@@ -149,7 +149,7 @@ def main(argv=None) -> int:
             # follow score()'s dead-zone routing to the SIMD host tier
             cfg = EngineConfig()
             if plan != "host" and available() \
-                    and cfg.host_max_cells < m * n <= cfg.host_simd_max_cells:
+                    and cfg.host_max_cells < m * n <= cfg.simd_cells_cap():
                 from .runtime_native import simd_eligible
                 if simd_eligible(m, n):
                     plan = "host-simd"

@@ -93,12 +93,16 @@ class EngineConfig:
     # dead-zone fix (VERDICT r3 #6): between host_max_cells and where the
     # stripe kernel amortizes its per-dispatch floor, the host SIMD fill
     # finishes before a device dispatch would even return (1056^2 in
-    # 0.17 ms vs a ~6 ms tunnel floor). Default 48 Mcells (~7k^2): the
-    # measured crossover vs the tunneled v5e's flat ~6.4 ms per-call
-    # device time (8.3 GCUPS * 6.4 ms ~ 53 Mcells); lower it for local
-    # chips where the dispatch floor is ~0.2 ms. The int16 score cap
-    # gates eligibility independently (runtime_native.score_simd).
-    host_simd_max_cells: int = 48_000_000
+    # 0.17 ms vs a ~6 ms tunnel floor). None (the default) DERIVES the
+    # crossover on this host: measured per-core SIMD rate (one-time
+    # ~1 ms probe, runtime_native.measured_simd_gcups) x the device
+    # dispatch floor (the committed on-chip fit record
+    # swtpu_device_floor.json when present, else the documented tunnel
+    # default) — so the threshold is a measurement, not a single-machine
+    # constant (VERDICT r4 #8). Set an int to pin it (0 disables the
+    # tier). The int16 score cap gates eligibility independently
+    # (runtime_native.score_simd).
+    host_simd_max_cells: Optional[int] = None
     # lax.scan full-matrix fill is fastest below this many cells (compile
     # overhead amortization; the CUTOFF=1024 analog at a coarser granularity).
     # Measured on v5e: the stripe kernel wins from ~128^2 up (both are
@@ -121,3 +125,59 @@ class EngineConfig:
     full_p_max_cells: int = 1 << 28
     # score dtype; int32 is the parity dtype (reference uses C int).
     dtype: str = "int32"
+
+    def simd_cells_cap(self) -> int:
+        """The effective host-SIMD crossover in cells: the pinned value
+        when set, else the measured derivation for this host."""
+        if self.host_simd_max_cells is not None:
+            return self.host_simd_max_cells
+        return derived_host_simd_max_cells()
+
+
+# --- host-SIMD crossover derivation (VERDICT r4 #8) -----------------------
+
+# Flat per-call device time for a small problem through the axon tunnel
+# (dispatch + fetch + kernel), measured round 3 — replaced by the on-chip
+# fit record (scripts/tpu_round4.py::floor_decomp) when one is committed.
+DEVICE_FLOOR_FALLBACK_S = 6.4e-3
+
+_simd_cap_cache: dict = {"value": None}
+
+
+def _device_floor_s() -> float:
+    """Per-call device floor in seconds: the committed on-chip fit record
+    (env SWTPU_DEVICE_FLOOR_RECORD, else swtpu_device_floor.json in the
+    CWD / repo root), else the documented fallback."""
+    import json
+    import os
+    env = os.environ.get("SWTPU_DEVICE_FLOOR_RECORD")
+    if env:
+        cands = [env]
+    else:
+        here = os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))))
+        cands = ["swtpu_device_floor.json",
+                 os.path.join(here, "swtpu_device_floor.json")]
+    for c in cands:
+        if c and os.path.exists(c):
+            try:
+                with open(c) as f:
+                    return float(json.load(f)["floor_s"])
+            except (OSError, KeyError, TypeError, ValueError):
+                continue
+    return DEVICE_FLOOR_FALLBACK_S
+
+
+def derived_host_simd_max_cells() -> int:
+    """Measured crossover: cells where this host's striped-SIMD fill takes
+    as long as one device round-trip — per-core SIMD GCUPS (one-time
+    probe) x the device floor. 0 when the SIMD tier is unavailable
+    (routing then skips it entirely). Cached per process."""
+    if _simd_cap_cache["value"] is None:
+        from ..runtime_native import measured_simd_gcups
+        rate = measured_simd_gcups()
+        if rate is None:
+            _simd_cap_cache["value"] = 0
+        else:
+            _simd_cap_cache["value"] = int(rate * 1e9 * _device_floor_s())
+    return _simd_cap_cache["value"]

@@ -112,7 +112,7 @@ def align(
     # floor; self-gates on eligibility and falls through otherwise
     if plan in (None, "auto") and not want_tb and not return_matrices \
             and config.band is None \
-            and m * n <= config.host_simd_max_cells:
+            and m * n <= config.simd_cells_cap():
         from ..runtime_native import score_simd_pos
         got = score_simd_pos(a_codes, b_codes, scoring, sub_np)
         if got is not None:
@@ -455,7 +455,7 @@ def score(
     # self-gates on the int16 score cap / sentinel codes and returns None
     # when ineligible, falling through to the normal plan ladder)
     if plan in (None, "auto") and config.band is None \
-            and len(a_codes) * len(b_codes) <= config.host_simd_max_cells:
+            and len(a_codes) * len(b_codes) <= config.simd_cells_cap():
         from ..runtime_native import score_simd
         got = score_simd(a_codes, b_codes, scoring, sub)
         if got is not None:

@@ -148,6 +148,34 @@ def simd_eligible(m: int, n: int, scoring=None, sub=None) -> bool:
             and ge >= go and min(lo, go, ge) >= -SIMD_SCORE_CAP)
 
 
+_simd_rate = {"gcups": None}
+
+
+def measured_simd_gcups(m: int = 1056, n: int = 1056,
+                        repeats: int = 3) -> Optional[float]:
+    """One-time measured per-core rate of the striped SIMD fill on THIS
+    host (min of ``repeats`` fills of an m x n random pair; ~0.2 ms each)
+    — the crossover threshold against the device dispatch floor derives
+    from this instead of a baked single-machine constant (VERDICT r4 #8).
+    None when the SIMD tier is unavailable."""
+    if _simd_rate["gcups"] is None:
+        import time
+        if not _simd_supported():
+            return None
+        rng = np.random.default_rng(0)
+        a = rng.integers(0, 4, m).astype(np.int8)
+        b = rng.integers(0, 4, n).astype(np.int8)
+        best = float("inf")
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            got = score_simd(a, b)
+            best = min(best, time.perf_counter() - t0)
+        if got is None:
+            return None
+        _simd_rate["gcups"] = m * n / best / 1e9
+    return _simd_rate["gcups"]
+
+
 def simd_reject_reason(m: int, n: int, scoring=None, sub=None) -> str:
     """Human-readable reason `simd_eligible` (plus the coordinate caps
     the batch/position entry points add) rejects this problem — for the

@@ -372,6 +372,50 @@ def test_pipeline_projection_monotone_and_documented():
     assert planmod.pipeline_projection(1 << 20, 1 << 20, 1) == (0.0, 0)
 
 
+def test_host_simd_crossover_is_derived(tmp_path, monkeypatch):
+    """host_simd_max_cells=None derives the crossover from MEASURED
+    quantities (VERDICT r4 #8): this host's probed per-core SIMD rate x
+    the device floor (committed fit record when present, documented
+    fallback otherwise). An explicit value pins it; an unavailable tier
+    derives 0 (routing skips SIMD entirely)."""
+    import json
+
+    from swtpu.core import config as cfgmod
+    from swtpu import runtime_native as rn
+
+    def fresh_cap(rate, record=None):
+        cfgmod._simd_cap_cache["value"] = None
+        monkeypatch.setattr(rn, "measured_simd_gcups", lambda: rate)
+        path = tmp_path / "absent.json"
+        if record is not None:
+            path = tmp_path / "floor.json"
+            path.write_text(json.dumps(record))
+        monkeypatch.setenv("SWTPU_DEVICE_FLOOR_RECORD", str(path))
+        try:
+            return cfgmod.derived_host_simd_max_cells()
+        finally:
+            cfgmod._simd_cap_cache["value"] = None
+
+    try:
+        # explicit value wins, no probe
+        assert EngineConfig(host_simd_max_cells=123).simd_cells_cap() == 123
+        assert _NO_SIMD.simd_cells_cap() == 0
+        # measured rate x committed floor record
+        assert fresh_cap(8.0, {"floor_s": 0.005}) == 40_000_000
+        # no record -> the documented fallback floor
+        assert fresh_cap(10.0) == int(10e9 * cfgmod.DEVICE_FLOOR_FALLBACK_S)
+        # malformed record -> fallback, not a crash
+        assert fresh_cap(10.0, {"oops": 1}) \
+            == int(10e9 * cfgmod.DEVICE_FLOOR_FALLBACK_S)
+        # SIMD tier unavailable -> 0 (tier disabled)
+        assert fresh_cap(None) == 0
+        # the default config routes through the derivation (int either way)
+        assert isinstance(EngineConfig().simd_cells_cap(), int)
+    finally:
+        # never leak a cap derived under monkeypatched probes/records
+        cfgmod._simd_cap_cache["value"] = None
+
+
 def test_pipe_stage_overhead_loads_fit_record(tmp_path, monkeypatch):
     """The profit gate runs on the MEASURED per-stage overhead when the
     committed fit record exists (VERDICT r4 #2): the loader prefers the
