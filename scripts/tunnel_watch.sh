@@ -3,11 +3,13 @@
 # first healthy hour isn't missed again").
 #
 # Probes the axon chip every 120 s under a hard timeout (a degraded tunnel
-# futex-blocks axon init for minutes — the timeout is the bypass). On the
-# first healthy probe it runs the queued measurement sessions
-# (scripts/tpu_round4.py, scripts/tpu_batch_sweep.py) and exits so the
-# caller can commit the artifacts. Exit 0 = sessions ran (check their
-# statuses in the log), 4 = never saw a healthy tunnel.
+# futex-blocks axon init for minutes — the timeout is the bypass). On a
+# healthy probe it runs the queued measurement sessions
+# (scripts/tpu_round4.py, scripts/tpu_batch_sweep.py) and a bench.py
+# validation, then exits so the caller can commit the artifacts. If the
+# main session aborts on a probe race (exit 2), the loop keeps watching.
+# Exit 0 = sessions ran (statuses in the log), 4 = never saw a healthy
+# tunnel.
 set -u
 LOG=/root/repo/bench_results/tunnel_watch.log
 cd /root/repo
@@ -26,9 +28,16 @@ sys.exit(0 if (t2 - t1) < 10.0 else 3)
     echo "$(date -u +%FT%TZ) tunnel healthy (probe $i); running sessions" >> "$LOG"
     timeout 7200 python scripts/tpu_round4.py >> "$LOG" 2>&1
     r4=$?
+    if [ "$r4" -eq 2 ]; then
+      echo "$(date -u +%FT%TZ) session aborted on probe race; keep watching" >> "$LOG"
+      sleep 120
+      continue
+    fi
     timeout 3600 python scripts/tpu_batch_sweep.py >> "$LOG" 2>&1
     bs=$?
-    echo "$(date -u +%FT%TZ) sessions done tpu_round4=$r4 batch_sweep=$bs" >> "$LOG"
+    timeout 2400 python bench.py >> "$LOG" 2>&1
+    bench=$?
+    echo "$(date -u +%FT%TZ) sessions done tpu_round4=$r4 batch_sweep=$bs bench=$bench" >> "$LOG"
     exit 0
   fi
   echo "$(date -u +%FT%TZ) probe $i unhealthy" >> "$LOG"
