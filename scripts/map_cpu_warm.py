@@ -15,25 +15,18 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/swtpu-jax-cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
-import numpy as np  # noqa: E402
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from swtpu.dist.mapping import map_reads  # noqa: E402
+from tpu_round4 import synth_mapping_workload  # noqa: E402
 
 OUT = os.path.join(os.path.dirname(__file__), "..", "bench_results",
                    "map_cpu_r5.json")
 
 
 def main():
-    rng = np.random.default_rng(7)
     L, B, qlen = 1_000_000, 2000, 100
-    ref = rng.integers(0, 4, L).astype(np.int8)
-    reads = []
-    for _ in range(B):
-        s = int(rng.integers(0, L - qlen))
-        r = ref[s:s + qlen].copy()
-        errs = rng.random(qlen) < 0.02
-        r[errs] = (r[errs] + rng.integers(1, 4, errs.sum())) % 4
-        reads.append(r)
+    ref, reads = synth_mapping_workload(L, B, qlen)
     t0 = time.perf_counter()
     res = map_reads(ref, reads)
     cold = time.perf_counter() - t0

@@ -252,8 +252,11 @@ def pipe_stage_overhead(results):
         _, _, _, cost = choose_params_cost(m, R, affine=False)
         # convert model cycles -> seconds via the measured headline
         # anchor: the 25632^2 champion's modeled cost vs measured time
+        # (a prior run may have left a 'failed: ...' STRING here)
         _, _, _, anchor_cost = choose_params_cost(M, N)
-        anchor_s = results.get("headline", {}).get("fill_s", 0.0065)
+        head = results.get("headline")
+        anchor_s = (head.get("fill_s", 0.0065)
+                    if isinstance(head, dict) else 0.0065)
         s_per_model_cyc = anchor_s / anchor_cost
         fill_model_s = cost * s_per_model_cyc
         overhead_s = max(0.0, per_stage - fill_model_s)
@@ -368,22 +371,31 @@ def protein_refresh(results):
     print("protein:", results["protein_refresh"], flush=True)
 
 
+def synth_mapping_workload(L=1_000_000, B=2000, qlen=100, seed=7,
+                           err=0.02):
+    """The mapping benchmark's shared workload (planted reads with 2%
+    errors) — ONE definition so the CPU (scripts/map_cpu_warm.py) and
+    TPU (map_refresh) figures stay comparable."""
+    rng = np.random.default_rng(seed)
+    ref = rng.integers(0, 4, L).astype(np.int8)
+    reads = []
+    for _ in range(B):
+        s = int(rng.integers(0, L - qlen))
+        r = ref[s:s + qlen].copy()
+        errs = rng.random(qlen) < err
+        r[errs] = (r[errs] + rng.integers(1, 4, errs.sum())) % 4
+        reads.append(r)
+    return ref, reads
+
+
 def map_refresh(results):
     """TPU-path mapping benchmark (VERDICT r4 #5): map_reads end-to-end
     on chip (batch stripe search + align_hits), cold + warm reads/s,
     same shape as bench_results/map_cpu_r4.json's 27.9/s CPU figure."""
     from swtpu.dist.mapping import map_reads
 
-    rng = np.random.default_rng(7)
     L, B, qlen = 1_000_000, 2000, 100
-    ref = rng.integers(0, 4, L).astype(np.int8)
-    reads = []
-    for _ in range(B):                       # planted reads, 2% errors
-        s = int(rng.integers(0, L - qlen))
-        r = ref[s:s + qlen].copy()
-        errs = rng.random(qlen) < 0.02
-        r[errs] = (r[errs] + rng.integers(1, 4, errs.sum())) % 4
-        reads.append(r)
+    ref, reads = synth_mapping_workload(L, B, qlen)
     t0 = time.perf_counter()
     res = map_reads(ref, reads)
     cold = time.perf_counter() - t0
@@ -418,22 +430,28 @@ def main():
              ("protein_refresh", protein_refresh),
              ("linear_cb8_probe", linear_cb8_probe),
              ("map_refresh", map_refresh)]
+    degraded = False
     for name, fn in steps:
         if only and name not in only:
             continue
         if not probe():
             results[name] = "skipped: tunnel degraded"
             print(f"{name}: tunnel degraded, skipping rest", flush=True)
-            break
-        try:
-            fn(results)
-        except Exception as e:
-            results[name] = f"failed: {type(e).__name__}: {e}"
-            print(name, "FAILED", e, flush=True)
+            degraded = True
+        else:
+            try:
+                fn(results)
+            except Exception as e:
+                results[name] = f"failed: {type(e).__name__}: {e}"
+                print(name, "FAILED", e, flush=True)
         os.makedirs(os.path.dirname(OUT), exist_ok=True)
         with open(OUT, "w") as f:
             json.dump(results, f, indent=1)
+        if degraded:
+            break
     print("wrote", OUT, flush=True)
+    if degraded:
+        sys.exit(3)       # the watcher keeps watching and reruns later
 
 
 if __name__ == "__main__":

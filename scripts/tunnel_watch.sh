@@ -7,9 +7,10 @@
 # healthy probe it runs the queued measurement sessions
 # (scripts/tpu_round4.py, scripts/tpu_batch_sweep.py) and a bench.py
 # validation, then exits so the caller can commit the artifacts. If the
-# main session aborts on a probe race (exit 2), the loop keeps watching.
-# Exit 0 = sessions ran (statuses in the log), 4 = never saw a healthy
-# tunnel.
+# main session aborts on a probe race (exit 2) or degrades mid-run
+# (exit 3 — partial results are already merged on disk), the loop keeps
+# watching and reruns when the tunnel returns. Exit 0 = sessions ran
+# (statuses in the log), 4 = never saw a healthy tunnel.
 set -u
 LOG=/root/repo/bench_results/tunnel_watch.log
 cd /root/repo
@@ -28,8 +29,8 @@ sys.exit(0 if (t2 - t1) < 10.0 else 3)
     echo "$(date -u +%FT%TZ) tunnel healthy (probe $i); running sessions" >> "$LOG"
     timeout 7200 python scripts/tpu_round4.py >> "$LOG" 2>&1
     r4=$?
-    if [ "$r4" -eq 2 ]; then
-      echo "$(date -u +%FT%TZ) session aborted on probe race; keep watching" >> "$LOG"
+    if [ "$r4" -eq 2 ] || [ "$r4" -eq 3 ]; then
+      echo "$(date -u +%FT%TZ) session incomplete (exit $r4); keep watching" >> "$LOG"
       sleep 120
       continue
     fi

@@ -144,40 +144,65 @@ DEVICE_FLOOR_FALLBACK_S = 6.4e-3
 _simd_cap_cache: dict = {"value": None}
 
 
-def _device_floor_s() -> float:
-    """Per-call device floor in seconds: the committed on-chip fit record
-    (env SWTPU_DEVICE_FLOOR_RECORD, else swtpu_device_floor.json in the
-    CWD / repo root), else the documented fallback."""
+def load_fit_record(env_var: str, filename: str, key: str):
+    """Resolve a committed measurement fit record: the env-var path when
+    set (authoritative), else ``filename`` in the CWD then the repo root.
+    Returns the float under ``key``, or None (absent/malformed records
+    never crash dispatch). Shared by the device-floor and pipeline
+    stage-overhead loaders."""
     import json
     import os
-    env = os.environ.get("SWTPU_DEVICE_FLOOR_RECORD")
+    env = os.environ.get(env_var)
     if env:
         cands = [env]
     else:
         here = os.path.dirname(os.path.dirname(os.path.dirname(
             os.path.abspath(__file__))))
-        cands = ["swtpu_device_floor.json",
-                 os.path.join(here, "swtpu_device_floor.json")]
+        cands = [filename, os.path.join(here, filename)]
     for c in cands:
         if c and os.path.exists(c):
             try:
                 with open(c) as f:
-                    return float(json.load(f)["floor_s"])
+                    return float(json.load(f)[key])
             except (OSError, KeyError, TypeError, ValueError):
                 continue
-    return DEVICE_FLOOR_FALLBACK_S
+    return None
+
+
+def _device_floor_s() -> float:
+    """Per-call device floor in seconds: the committed on-chip fit record
+    (env SWTPU_DEVICE_FLOOR_RECORD, else swtpu_device_floor.json in the
+    CWD / repo root), else the documented fallback."""
+    got = load_fit_record("SWTPU_DEVICE_FLOOR_RECORD",
+                          "swtpu_device_floor.json", "floor_s")
+    return DEVICE_FLOOR_FALLBACK_S if got is None else got
+
+
+# the SIMD tier's own hard shape limit (positions ride int16 lanes):
+# on hosts with no device to dispatch to there is no crossover — every
+# eligible problem belongs to the SIMD tier, so the cap is the tier's
+# eligibility ceiling itself
+SIMD_SHAPE_LIMIT_CELLS = 32767 * 32767
 
 
 def derived_host_simd_max_cells() -> int:
     """Measured crossover: cells where this host's striped-SIMD fill takes
     as long as one device round-trip — per-core SIMD GCUPS (one-time
-    probe) x the device floor. 0 when the SIMD tier is unavailable
-    (routing then skips it entirely). Cached per process."""
+    probe) x the device floor. On non-TPU platforms the fallthrough is
+    the vmapped scan, not a device, and the SIMD tier always wins where
+    it is eligible — the cap is its own shape ceiling. 0 when the SIMD
+    tier is unavailable (routing then skips it entirely). Cached per
+    process."""
     if _simd_cap_cache["value"] is None:
         from ..runtime_native import measured_simd_gcups
         rate = measured_simd_gcups()
         if rate is None:
             _simd_cap_cache["value"] = 0
         else:
-            _simd_cap_cache["value"] = int(rate * 1e9 * _device_floor_s())
+            from ..dispatch.plan import current_platform
+            if current_platform() != "tpu":
+                _simd_cap_cache["value"] = SIMD_SHAPE_LIMIT_CELLS
+            else:
+                _simd_cap_cache["value"] = int(rate * 1e9
+                                               * _device_floor_s())
     return _simd_cap_cache["value"]

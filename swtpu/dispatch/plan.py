@@ -81,27 +81,13 @@ def pipe_stage_overhead() -> float:
     tuned table / CWD), else the documented fallback projection."""
     if not _pipe_overhead_cache["loaded"]:
         _pipe_overhead_cache["loaded"] = True
-        import json
-        import os
-        env = os.environ.get("SWTPU_PIPE_OVERHEAD_RECORD")
-        if env:                     # explicit record is authoritative
-            cands = [env]
-        else:
-            here = os.path.dirname(os.path.dirname(os.path.dirname(
-                os.path.abspath(__file__))))
-            cands = ["swtpu_pipe_overhead.json",
-                     os.path.join(here, "swtpu_pipe_overhead.json")]
-        for c in cands:
-            if c and os.path.exists(c):
-                try:
-                    with open(c) as f:
-                        rec = json.load(f)
-                    v = float(rec["fitted_overhead_model_cycles"])
-                except (OSError, KeyError, TypeError, ValueError):
-                    continue
-                _pipe_overhead_cache["value"] = v
-                _pipe_overhead_cache["source"] = c
-                break
+        from ..core.config import load_fit_record
+        v = load_fit_record("SWTPU_PIPE_OVERHEAD_RECORD",
+                            "swtpu_pipe_overhead.json",
+                            "fitted_overhead_model_cycles")
+        if v is not None:
+            _pipe_overhead_cache["value"] = v
+            _pipe_overhead_cache["source"] = "fit record"
     v = _pipe_overhead_cache["value"]
     return PIPE_STAGE_OVERHEAD_FALLBACK if v is None else v
 

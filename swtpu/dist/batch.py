@@ -154,6 +154,24 @@ def batch_score(a_batch, b_batch, scoring: Scoring = Scoring(),
     from ..kernels.pallas_fill import MAX_WIDTH
     B, m = a_batch.shape
     n = b_batch.shape[1]
+    if plan == "host-simd":
+        # a forced host tier must either run or fail loudly — silently
+        # ignoring the mesh / falling through to the vmapped scan would
+        # hide that the requested backend was not used (ADVICE r4;
+        # matches database._searcher_plan's contract)
+        if mesh is not None:
+            raise ValueError(
+                "plan='host-simd' batch scoring runs on the host — it "
+                "cannot be combined with a device mesh")
+        if band is not None:
+            raise ValueError(
+                "plan='host-simd' batch scoring does not support band; "
+                "use plan='auto'/'scan' (vmapped scan) for banded batches")
+        if isinstance(a_batch, jax.core.Tracer) \
+                or isinstance(b_batch, jax.core.Tracer):
+            raise ValueError(
+                "plan='host-simd' needs concrete (eager) inputs — inside "
+                "jit/shard_map use plan='auto' instead")
     if mesh is not None and band is None \
             and (m > MAX_WIDTH or plan == "pipeline"):
         # host-level routing (never under a trace: mesh dispatch happens
@@ -174,19 +192,6 @@ def batch_score(a_batch, b_batch, scoring: Scoring = Scoring(),
     # per core (csrc sw_score_simd_batch, OpenMP across pairs) instead
     # of the vmapped-scan rate. Self-gating: int16 score caps, sentinel
     # codes, degenerate scorings all fall through.
-    if plan == "host-simd":
-        # a forced host tier must either run or fail loudly — silently
-        # falling through to the vmapped scan would hide that the
-        # requested backend was not used (ADVICE r4)
-        if band is not None:
-            raise ValueError(
-                "plan='host-simd' batch scoring does not support band; "
-                "use plan='auto'/'scan' (vmapped scan) for banded batches")
-        if isinstance(a_batch, jax.core.Tracer) \
-                or isinstance(b_batch, jax.core.Tracer):
-            raise ValueError(
-                "plan='host-simd' needs concrete (eager) inputs — inside "
-                "jit/shard_map use plan='auto' instead")
     if plan in ("auto", "host-simd") and band is None \
             and not isinstance(a_batch, jax.core.Tracer) \
             and not isinstance(b_batch, jax.core.Tracer):

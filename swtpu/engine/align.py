@@ -20,6 +20,17 @@ from ..core.encode import DNA_ALPHABET, encode
 from ..kernels.scan_fill import diag_to_rowmajor, scan_fill
 
 
+def _simd_precheck(m: int, n: int, scoring, sub) -> bool:
+    """Pure shape/scoring gate evaluated BEFORE the SIMD cap derivation:
+    `EngineConfig.simd_cells_cap()`'s one-time rate probe may load (and
+    on a fresh checkout, `make`-build) the native library — that cost
+    must not be paid for problems that could never ride the SIMD tier
+    anyway (positions exceed int16 lanes, score over the saturation cap,
+    non-negative or lazy-F-incompatible gaps)."""
+    from ..runtime_native import simd_shape_ok
+    return m <= 32767 and n <= 32767 and simd_shape_ok(m, n, scoring, sub)
+
+
 def _default_mesh(axis: str = "seq"):
     """All local devices as a 1-D mesh for the pipeline tier, or None when
     this process has a single device (pipeline degenerates to single-chip)."""
@@ -112,6 +123,7 @@ def align(
     # floor; self-gates on eligibility and falls through otherwise
     if plan in (None, "auto") and not want_tb and not return_matrices \
             and config.band is None \
+            and _simd_precheck(m, n, scoring, sub_np) \
             and m * n <= config.simd_cells_cap():
         from ..runtime_native import score_simd_pos
         got = score_simd_pos(a_codes, b_codes, scoring, sub_np)
@@ -455,6 +467,7 @@ def score(
     # self-gates on the int16 score cap / sentinel codes and returns None
     # when ineligible, falling through to the normal plan ladder)
     if plan in (None, "auto") and config.band is None \
+            and _simd_precheck(len(a_codes), len(b_codes), scoring, sub) \
             and len(a_codes) * len(b_codes) <= config.simd_cells_cap():
         from ..runtime_native import score_simd
         got = score_simd(a_codes, b_codes, scoring, sub)

@@ -119,19 +119,20 @@ def _simd_supported() -> bool:
     return _simd_probe["ok"]
 
 
-def simd_eligible(m: int, n: int, scoring=None, sub=None) -> bool:
-    """Shape/scoring gate for `score_simd` (no data needed): library
-    present AND functional (ISA probe), score range within the int16
-    cap, negative gap costs with gap_extend no more negative than
-    gap_open (the striped kernel's lazy-F loop only EXTENDS a propagated
-    gap; with extension pricier than opening it would under-correct —
-    review r4 finding, reproduced at gap_open=-1/gap_extend=-6 — so that
-    exotic regime stays on the exact device/scan plans)."""
+def simd_shape_ok(m: int, n: int, scoring=None, sub=None) -> bool:
+    """The pure-arithmetic half of `simd_eligible` — NO library load (a
+    missing library would otherwise trigger a one-time make build), so
+    dispatch can rule out problems that could never ride the SIMD tier
+    before paying the probe: int16 score/penalty caps, negative gaps
+    with the lazy-F `ge >= go` rule (the striped kernel's lazy-F loop
+    only EXTENDS a propagated gap; with extension pricier than opening
+    it would under-correct — review r4 finding, reproduced at
+    gap_open=-1/gap_extend=-6)."""
     from .core.config import Scoring
 
     if scoring is None:
         scoring = Scoring()
-    if m <= 0 or n <= 0 or not _simd_supported():
+    if m <= 0 or n <= 0:
         return False
     if sub is not None:
         sub32 = np.asarray(sub, np.int32)
@@ -146,6 +147,13 @@ def simd_eligible(m: int, n: int, scoring=None, sub=None) -> bool:
         go = ge = int(scoring.gap)
     return (hi * min(m, n) <= SIMD_SCORE_CAP and go < 0 and ge < 0
             and ge >= go and min(lo, go, ge) >= -SIMD_SCORE_CAP)
+
+
+def simd_eligible(m: int, n: int, scoring=None, sub=None) -> bool:
+    """Full gate for `score_simd` (no data needed): the shape/scoring
+    arithmetic (`simd_shape_ok`) AND the library being present and
+    functional (ISA probe)."""
+    return simd_shape_ok(m, n, scoring, sub) and _simd_supported()
 
 
 _simd_rate = {"gcups": None}

@@ -374,18 +374,22 @@ def test_pipeline_projection_monotone_and_documented():
 
 def test_host_simd_crossover_is_derived(tmp_path, monkeypatch):
     """host_simd_max_cells=None derives the crossover from MEASURED
-    quantities (VERDICT r4 #8): this host's probed per-core SIMD rate x
-    the device floor (committed fit record when present, documented
-    fallback otherwise). An explicit value pins it; an unavailable tier
-    derives 0 (routing skips SIMD entirely)."""
+    quantities (VERDICT r4 #8): on TPU, this host's probed per-core SIMD
+    rate x the device floor (committed fit record when present,
+    documented fallback otherwise); on deviceless hosts the fallthrough
+    is the vmapped scan, so the cap is the SIMD tier's own shape ceiling.
+    An explicit value pins it; an unavailable tier derives 0 (routing
+    skips SIMD entirely)."""
     import json
 
     from swtpu.core import config as cfgmod
     from swtpu import runtime_native as rn
 
-    def fresh_cap(rate, record=None):
+    def fresh_cap(rate, record=None, platform="tpu"):
         cfgmod._simd_cap_cache["value"] = None
         monkeypatch.setattr(rn, "measured_simd_gcups", lambda: rate)
+        monkeypatch.setattr(planmod, "current_platform",
+                            lambda: platform)
         path = tmp_path / "absent.json"
         if record is not None:
             path = tmp_path / "floor.json"
@@ -407,6 +411,11 @@ def test_host_simd_crossover_is_derived(tmp_path, monkeypatch):
         # malformed record -> fallback, not a crash
         assert fresh_cap(10.0, {"oops": 1}) \
             == int(10e9 * cfgmod.DEVICE_FLOOR_FALLBACK_S)
+        # deviceless host: no device floor to cross over against — the
+        # cap is the tier's own eligibility ceiling, and a committed
+        # TPU floor record must NOT shrink it (review r5 finding)
+        assert fresh_cap(2.0, {"floor_s": 0.0002}, platform="cpu") \
+            == cfgmod.SIMD_SHAPE_LIMIT_CELLS
         # SIMD tier unavailable -> 0 (tier disabled)
         assert fresh_cap(None) == 0
         # the default config routes through the derivation (int either way)

@@ -365,6 +365,11 @@ def test_forced_host_simd_fails_loudly():
     import jax
     import jax.numpy as jnp
 
+    from jax.sharding import Mesh
+    mesh = Mesh(np.array(jax.devices()[:1]), ("data",))
+    with pytest.raises(ValueError, match="mesh"):
+        batch_score(aa, bb, mesh=mesh, plan="host-simd")
+
     def traced(x, y):
         return batch_score(x, y, plan="host-simd").scores
 
