@@ -80,6 +80,14 @@ def batch_score(a_batch, b_batch, **kw):
     return _batch_score(a_batch, b_batch, **kw)
 
 
+def score_many(a_list, b_list, **kw):
+    """Exact batched scoring of heterogeneous-shape pairs (power-of-two
+    shape bucketing, one dispatch per bucket);
+    see `swtpu.dist.batch.score_many`."""
+    from .dist.batch import score_many as _score_many
+    return _score_many(a_list, b_list, **kw)
+
+
 def batch_align(a_batch, b_batch, **kw):
     """Batched scoring + per-pair alignment records, best-first —
     see `swtpu.dist.batch.batch_align`."""
@@ -89,7 +97,7 @@ def batch_align(a_batch, b_batch, **kw):
 
 __all__ = [
     "align", "score", "sanitize", "search", "align_hits", "to_sam",
-    "pair_hits", "map_reads", "batch_score", "batch_align",
+    "pair_hits", "map_reads", "batch_score", "batch_align", "score_many",
     "Alignment", "Scoring", "EngineConfig",
     "AnchoredReverseMismatch",
     "encode", "decode", "random_pair", "random_batch", "revcomp",

@@ -224,6 +224,96 @@ def test_banded_batch_contract():
     assert int(narrow.scores[0]) < int(full.scores[0])
 
 
+def test_score_many_heterogeneous_matches_oracle():
+    """score_many (VERDICT r4 #4 amortization: one dispatch per shape
+    bucket instead of per problem): exact score AND first-occurrence
+    positions vs the oracle across heterogeneous shapes, linear / affine
+    / BLOSUM62, empty operands, and the per-pair fallback for scorings
+    where padding is not provably exact."""
+    import swtpu
+    from swtpu.core import oracle
+    from swtpu.core.config import Scoring
+    from swtpu.core.substitution import BLOSUM62
+
+    rng = np.random.default_rng(5)
+    shapes = [(37, 211), (64, 64), (211, 37), (5, 300), (130, 129),
+              (64, 64), (1, 1), (97, 3)]
+    a_list = [rng.integers(0, 4, m).astype(np.int8) for m, _ in shapes]
+    b_list = [rng.integers(0, 4, n).astype(np.int8) for _, n in shapes]
+    # plant homology in a few pairs so scores/positions are non-trivial
+    b_list[0][20:50] = a_list[0][2:32]
+    b_list[4][:60] = a_list[4][60:120]
+    for scoring, sub in [
+            (Scoring(), None),
+            (Scoring(match=5, mismatch=-3, gap=-4), None),
+            (Scoring(mode="affine", gap_open=-11, gap_extend=-1), None)]:
+        hits = swtpu.score_many(a_list, b_list, scoring=scoring,
+                                substitution=sub)
+        for k, (a, b) in enumerate(zip(a_list, b_list)):
+            ref = oracle.fill(a, b, scoring)
+            assert int(hits.scores[k]) == ref.max_score, (scoring, k)
+            assert (int(hits.max_i[k]), int(hits.max_j[k])) == ref.max_ij
+
+    # protein: substitution table + affine through the same bucketing
+    aff = Scoring(mode="affine", gap_open=-10, gap_extend=-1)
+    ap = [rng.integers(0, 20, m).astype(np.int8) for m in (33, 120, 33)]
+    bp = [rng.integers(0, 20, n).astype(np.int8) for n in (150, 45, 150)]
+    bp[0][10:30] = ap[0][5:25]
+    sub = np.asarray(BLOSUM62)
+    hits = swtpu.score_many(ap, bp, scoring=aff, substitution=sub)
+    for k, (a, b) in enumerate(zip(ap, bp)):
+        ref = oracle.fill(a, b, aff, sub=sub)
+        assert int(hits.scores[k]) == ref.max_score
+        assert (int(hits.max_i[k]), int(hits.max_j[k])) == ref.max_ij
+
+    # empty operands score 0 at (0, 0)
+    hits = swtpu.score_many([np.zeros(0, np.int8), a_list[0]],
+                            [b_list[0], np.zeros(0, np.int8)])
+    assert (int(hits.scores[0]), int(hits.scores[1])) == (0, 0)
+
+    # non-negative mismatch: padding unprovable -> per-pair fallback,
+    # still exact
+    weird = Scoring(match=2, mismatch=0, gap=-1)
+    hits = swtpu.score_many(a_list[:3], b_list[:3], scoring=weird)
+    for k in range(3):
+        ref = oracle.fill(a_list[k], b_list[k], weird)
+        assert int(hits.scores[k]) == ref.max_score
+        assert (int(hits.max_i[k]), int(hits.max_j[k])) == ref.max_ij
+
+    with pytest.raises(ValueError, match="sequences"):
+        swtpu.score_many(a_list, b_list[:2])
+
+
+def test_score_many_padding_exact_on_packed_kernel(monkeypatch):
+    """score_many's sentinel padding (-3 a-pad, -2 b-pad) through the
+    PACKED Pallas kernel (the TPU bucket route, interpret mode here):
+    scores and positions equal the UNPADDED oracle — the pad region can
+    never rise above the zero floor or steal the first-occurrence
+    argmax."""
+    from swtpu.core import oracle
+    from swtpu.dist.batch import batch_score
+
+    rng = np.random.default_rng(9)
+    lens = [(37, 50), (64, 33), (17, 64)]
+    mb, nb = 64, 64
+    aa = np.full((len(lens), mb), -3, np.int8)
+    bb = np.full((len(lens), nb), -2, np.int8)
+    raw = []
+    for r, (m, n) in enumerate(lens):
+        a = rng.integers(0, 4, m).astype(np.int8)
+        b = rng.integers(0, 4, n).astype(np.int8)
+        b[: m // 2] = a[: m // 2]          # planted prefix homology
+        aa[r, :m], bb[r, :n] = a, b
+        raw.append((a, b))
+    monkeypatch.setattr("swtpu.dispatch.plan.current_platform",
+                        lambda: "tpu")
+    hits = batch_score(aa, bb, plan="packed", interpret=True)
+    for r, (a, b) in enumerate(raw):
+        ref = oracle.fill(a, b)
+        assert int(hits.scores[r]) == ref.max_score
+        assert (int(hits.max_i[r]), int(hits.max_j[r])) == ref.max_ij
+
+
 def _protein_batch(B, m, n, seed, overlap=True):
     rng = np.random.default_rng(seed)
     aa = rng.integers(0, 20, (B, m)).astype(np.int8)
