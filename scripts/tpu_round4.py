@@ -411,6 +411,44 @@ def map_refresh(results):
     print("map:", results["map_refresh"], flush=True)
 
 
+def amortize_probe(results):
+    """score_many vs per-pair score() on mixed mid-size pairs (the
+    VERDICT r4 #4 RTT amortization): K problems through shape-bucketed
+    batch dispatches vs K sequential device round-trips."""
+    from swtpu import score as _score, score_many
+    from swtpu.core.encode import random_pair
+
+    # min side > 10667 keeps the per-pair path OFF the host-SIMD tier
+    # (int16 score cap), so both paths measure the device
+    rng_shapes = [(16000, 15000), (15000, 16000), (14500, 15500),
+                  (15500, 14500), (16300, 16300), (15000, 15000),
+                  (16000, 16000), (14500, 16300)]
+    pairs = [random_pair(m, n, seed=s) for s, (m, n) in
+             enumerate(rng_shapes)] * 2                 # 16 problems
+    a_list = [p[0] for p in pairs]
+    b_list = [p[1] for p in pairs]
+    cells = sum(len(a) * len(b) for a, b in pairs)
+    # warm both paths (compiles out of the timing)
+    np.asarray(score_many(a_list, b_list).scores)
+    per0 = [_score(a, b) for a, b in pairs]
+    t0 = time.perf_counter()
+    hits = score_many(a_list, b_list)
+    sm = np.asarray(hits.scores)
+    many_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    per = [_score(a, b) for a, b in pairs]
+    per_s = time.perf_counter() - t0
+    assert list(sm) == per == per0
+    results["amortize_probe"] = {
+        "K": len(pairs), "cells": cells,
+        "score_many_s": round(many_s, 4),
+        "per_pair_s": round(per_s, 4),
+        "speedup": round(per_s / many_s, 2),
+        "score_many_gcups_eff": round(cells / many_s / 1e9, 1),
+        "per_pair_gcups_eff": round(cells / per_s / 1e9, 1)}
+    print("amortize:", results["amortize_probe"], flush=True)
+
+
 def main():
     if not probe():
         print("tunnel unhealthy; aborting (rerun later)", flush=True)
@@ -429,7 +467,8 @@ def main():
              ("pipe_stage_overhead", pipe_stage_overhead),
              ("protein_refresh", protein_refresh),
              ("linear_cb8_probe", linear_cb8_probe),
-             ("map_refresh", map_refresh)]
+             ("map_refresh", map_refresh),
+             ("amortize_probe", amortize_probe)]
     degraded = False
     for name, fn in steps:
         if only and name not in only:
