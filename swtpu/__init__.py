@@ -95,9 +95,17 @@ def batch_align(a_batch, b_batch, **kw):
     return _batch_align(a_batch, b_batch, **kw)
 
 
+def align_many(a_list, b_list, **kw):
+    """batch_align for heterogeneous-shape pairs (bucketed score_many +
+    best-first host tracebacks) — see `swtpu.dist.batch.align_many`."""
+    from .dist.batch import align_many as _align_many
+    return _align_many(a_list, b_list, **kw)
+
+
 __all__ = [
     "align", "score", "sanitize", "search", "align_hits", "to_sam",
     "pair_hits", "map_reads", "batch_score", "batch_align", "score_many",
+    "align_many",
     "Alignment", "Scoring", "EngineConfig",
     "AnchoredReverseMismatch",
     "encode", "decode", "random_pair", "random_batch", "revcomp",

@@ -371,6 +371,43 @@ def batch_align(a_batch, b_batch, scoring: Scoring = Scoring(),
     return out
 
 
+def align_many(a_list, b_list, scoring: Scoring = Scoring(),
+               substitution=None, plan: str = "auto",
+               interpret: Optional[bool] = None,
+               mesh: Optional[Mesh] = None,
+               alphabet: Optional[str] = None, top: Optional[int] = None):
+    """`batch_align` for HETEROGENEOUS-shape pairs: one bucketed
+    `score_many` sweep for all scores, then host tracebacks of the
+    selected pairs (best-first; ``top`` limits tracebacks, scores are
+    computed for all). Returns a list of (pair index, Alignment) sorted
+    best-first, exactly `batch_align`'s contract."""
+    import numpy as np
+
+    from ..engine.align import align as _align
+
+    hits = score_many(a_list, b_list, scoring, plan=plan,
+                      interpret=interpret, mesh=mesh,
+                      substitution=substitution)
+    scores = np.asarray(hits.scores)
+    order = sorted((i for i in range(len(scores)) if scores[i] > 0),
+                   key=lambda i: (-scores[i], i))
+    if top is not None:
+        order = order[:top]
+    kw = {} if alphabet is None else {"alphabet": alphabet}
+    out = []
+    cfg = EngineConfig(host_max_cells=1 << 20)
+    for i in order:
+        res = _align(np.asarray(a_list[i], np.int8),
+                     np.asarray(b_list[i], np.int8), scoring, cfg,
+                     traceback=True, substitution=substitution, **kw)
+        if res.max_score != int(scores[i]):   # pragma: no cover - guard
+            raise AssertionError(
+                f"pair {i}: bucketed score {int(scores[i])} != "
+                f"re-aligned {res.max_score}")
+        out.append((i, res))
+    return out
+
+
 def make_sharded_batch_scorer(mesh: Mesh, scoring: Scoring = Scoring(),
                               band: Optional[int] = None, axis: str = "data",
                               substitution=None):

@@ -284,6 +284,33 @@ def test_score_many_heterogeneous_matches_oracle():
         swtpu.score_many(a_list, b_list[:2])
 
 
+def test_align_many_best_first_with_exact_strings(monkeypatch):
+    """align_many: batch_align's contract over heterogeneous shapes —
+    best-first order, `top` truncation, alignment strings that re-score
+    to the oracle max."""
+    import swtpu
+    from swtpu.core import oracle
+
+    rng = np.random.default_rng(3)
+    a_list = [rng.integers(0, 4, m).astype(np.int8)
+              for m in (80, 200, 40)]
+    b_list = [rng.integers(0, 4, n).astype(np.int8)
+              for n in (150, 60, 300)]
+    b_list[1][5:45] = a_list[1][100:140]      # pair 1 is the best hit
+    got = swtpu.align_many(a_list, b_list)
+    assert [i for i, _ in got][0] == 1
+    scores = [oracle.fill(a, b).max_score
+              for a, b in zip(a_list, b_list)]
+    assert [r.max_score for _, r in got] == sorted(scores, reverse=True)
+    for i, res in got:
+        s = 0
+        for x, y in zip(res.aligned_a, res.aligned_b):
+            s += -2 if "-" in (x, y) else (3 if x == y else -3)
+        assert s == scores[i]
+    top1 = swtpu.align_many(a_list, b_list, top=1)
+    assert len(top1) == 1 and top1[0][0] == 1
+
+
 def test_score_many_padding_exact_on_packed_kernel(monkeypatch):
     """score_many's sentinel padding (-3 a-pad, -2 b-pad) through the
     PACKED Pallas kernel (the TPU bucket route, interpret mode here):
