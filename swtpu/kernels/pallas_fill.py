@@ -1759,8 +1759,15 @@ def pairs_packed_score_fn(B: int, m: int, n: int,
     ntot = B * rlen
     if T is None:
         # one stripe if the injection chunk block fits VMEM (SUB <= 16:
-        # 2 x C*SUB*128*4 = 2 MB double-buffered at C=128), else chain
-        sub = min(-(-ntot // (LANES * R)), 16)
+        # 2 x C*SUB*128*4 = 2 MB double-buffered at C=128); else the
+        # fewest stripes at that cap, then BALANCED — every stripe pays
+        # full steps_pad, so a barely-used tail stripe (e.g. 64x1056:
+        # 67584 lanes at T=65536 -> stripe 2 is 97% padding) costs the
+        # same as a full one; equal stripes shrink L and with it the
+        # per-stripe step count (measured 13.7 -> ~19 eff GCUPS there).
+        sub_total = -(-ntot // (LANES * R))
+        ns = -(-sub_total // 16)
+        sub = -(-sub_total // ns)
         T = LANES * sub * R
     T, R, _ = _resolve_params(m, ntot, T, R, scoring, CB=1)
     nsym = npack = 0

@@ -586,3 +586,43 @@ def test_pairs_packed_config_fuzz():
             if ref.max_score > 0:
                 assert (int(i[g]), int(j[g])) == ref.max_ij, \
                     (B, m, n, R, T, g)
+
+
+def test_pairs_packed_balanced_default_stripes():
+    """The default-T chooser BALANCES multi-stripe packings (round 5):
+    every stripe pays full steps_pad, so a barely-used tail stripe (the
+    64x1056 bench shape left stripe 2 of T=65536 97% padding) costs the
+    same as a full one. Pins (a) the chosen geometry at the bench shape
+    and (b) bit-exactness through a small balanced multi-stripe fill."""
+    import jax.numpy as jnp
+    from swtpu.core import oracle
+    from swtpu.kernels.pallas_fill import (LANES, pairs_packed_score_fn,
+                                           packed_pairs_geometry)
+
+    # (a) geometry at the bench shape: 64 x 1056 -> R=32, ntot=67584
+    # lanes = 16.5 sub-blocks -> 2 stripes of sub=9 (T=36864), NOT one
+    # full + one 3%-used stripe at the old T=65536.
+    R, rlen, lpp = packed_pairs_geometry(1056)
+    assert (R, rlen, lpp) == (32, 1056, 33)
+    ntot = 64 * rlen
+    sub_total = -(-ntot // (LANES * R))
+    assert sub_total == 17
+    ns = -(-sub_total // 16)
+    sub = -(-sub_total // ns)
+    assert (ns, sub, LANES * sub * R) == (2, 9, 36864)
+    assert -(-ntot // (LANES * sub * R)) == 2      # still 2 stripes
+
+    # (b) exactness through the default-T multi-stripe path (R=2 keeps
+    # the interpret-mode fill small: ntot=5400 > 16*128*2 -> 2 stripes
+    # of T=2816).
+    rng = np.random.default_rng(7)
+    B, m, n = 6, 24, 900
+    aa = rng.integers(0, 4, (B, m)).astype(np.int8)
+    bb = rng.integers(0, 4, (B, n)).astype(np.int8)
+    fn = pairs_packed_score_fn(B, m, n, R=2, interpret=True)
+    s, i, j = fn(jnp.asarray(aa), jnp.asarray(bb))
+    for g in range(B):
+        ref = oracle.fill(aa[g], bb[g])
+        assert int(s[g]) == ref.max_score, g
+        if ref.max_score > 0:
+            assert (int(i[g]), int(j[g])) == ref.max_ij, g
