@@ -346,8 +346,27 @@ def _emit_unreachable(last: str, provisional: bool = False) -> None:
 def main():
     ok, last = _await_backend()
     if not ok:
+        # Honest record first (the artifact exists from this point on),
+        # then try the measurement ANYWAY: the round-5 tunnel mode is
+        # "init succeeds but takes ~400 s" — longer than any probe bound,
+        # so every probe times out on a chip that would measure fine. If
+        # init below also hangs, the outer driver timeout kills us and
+        # this value-0 line stands; if it eventually succeeds, the real
+        # measurement supersedes it as the last JSON line.
         _emit_unreachable(last)
-        return
+    try:
+        _measure_and_print()
+    except Exception:
+        if not ok:
+            # the long-shot attempt after exhausted probes failed too —
+            # the value-0 unreachable line above stands as the artifact
+            import traceback
+            traceback.print_exc()
+            return
+        raise
+
+
+def _measure_and_print():
     on_tpu = jax.default_backend() == "tpu"
     fill_s, score, compile_s, plan, phases = (bench_stripe() if on_tpu
                                               else bench_scan())

@@ -87,12 +87,19 @@ def test_provisional_line_prints_on_first_failed_probe(monkeypatch, capsys):
 def test_exhausted_budget_main_prints_final_unreachable_line(
         monkeypatch, capsys):
     """main() with a permanently blocked backend: last JSON line is the
-    final (non-provisional) honest value-0 record."""
+    final (non-provisional) honest value-0 record, printed BEFORE the
+    long-shot measurement attempt (round 5) — and when that attempt also
+    dies (init truly hung), main returns cleanly with the value-0 line
+    standing."""
     monkeypatch.setattr("subprocess.run", _Blocked())
     monkeypatch.setattr(bench.time, "sleep", lambda s: None)
     monkeypatch.setenv("SWTPU_BENCH_PROBE_BUDGET_S", "1")
 
-    bench.main()
+    def hung_init():
+        raise RuntimeError("backend init died")
+
+    monkeypatch.setattr(bench, "_measure_and_print", hung_init)
+    bench.main()                      # must NOT raise
     lines = _json_lines(capsys.readouterr().out)
     assert len(lines) >= 2, "provisional + final"
     final = lines[-1]
@@ -102,6 +109,29 @@ def test_exhausted_budget_main_prints_final_unreachable_line(
     assert "unreachable" in final["details"]["error"].lower()
     # every line on the way is parseable and carries the metric name
     assert all(ln["metric"] == "single_chip_fill_GCUPS" for ln in lines)
+
+
+def test_exhausted_budget_still_attempts_measurement(monkeypatch, capsys):
+    """Round-5 tunnel mode: init SUCCEEDS but takes ~400 s — longer than
+    any probe bound, so every probe times out on a chip that would
+    measure fine. After the exhausted budget main must try the real
+    measurement anyway; its line supersedes the value-0 records."""
+    monkeypatch.setattr("subprocess.run", _Blocked())
+    monkeypatch.setattr(bench.time, "sleep", lambda s: None)
+    monkeypatch.setenv("SWTPU_BENCH_PROBE_BUDGET_S", "1")
+
+    def slow_but_fine():
+        print(json.dumps({"metric": "single_chip_fill_GCUPS",
+                          "value": 101.0, "unit": "GCUPS",
+                          "vs_baseline": 187.0, "details": {}}))
+
+    monkeypatch.setattr(bench, "_measure_and_print", slow_but_fine)
+    bench.main()
+    lines = _json_lines(capsys.readouterr().out)
+    assert lines[-1]["value"] == 101.0, \
+        "real measurement must supersede the unreachable records"
+    assert any(ln["value"] == 0.0 for ln in lines[:-1]), \
+        "the honest value-0 artifact still precedes it"
 
 
 def test_recovery_supersedes_provisional(monkeypatch, capsys):
