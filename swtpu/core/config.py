@@ -120,9 +120,23 @@ class EngineConfig:
     # 'full'    = device-captured P matrix, exact reference tie-breaking
     # 'windowed'= locate + window refill (O(window) memory)
     # 'hirschberg' = O(m+n) memory divide-and-conquer
-    # 'auto'    = full below full_p_max_cells, windowed above
+    # 'auto'    = full below full_p_max_cells, windowed above; on TPU the
+    #             full-P cap additionally shrinks to
+    #             tpu_full_p_fetch_max_cells (see below)
     traceback_method: str = "auto"
     full_p_max_cells: int = 1 << 28
+    # TPU-only ceiling for the full-P traceback route: full-P fetches the
+    # whole m*n int8 P matrix through the device tunnel, whose large-
+    # buffer rate makes it the wall above ~16 Mcells. Measured round 5
+    # (bench_results/traceback_crossover_r5.jsonl, warm align+traceback):
+    #   2048^2 full 0.20 s vs windowed 0.92 s   -> full wins
+    #   4128^2 full 0.95 s vs windowed 0.92 s   -> tie (the crossover)
+    #   8192^2 full 2.07 s vs windowed 0.89 s   -> windowed wins
+    #   12800^2 full 22.8 s vs windowed 1.01 s  -> windowed 22x
+    # Windowed is ~1 s flat (window-dispatch floor bound), full-P grows
+    # with the fetch. 1<<24 = 16.7 Mcells keeps <=4096^2 on the exact-P
+    # route and sends larger problems to the lean traceback.
+    tpu_full_p_fetch_max_cells: int = 1 << 24
     # score dtype; int32 is the parity dtype (reference uses C int).
     dtype: str = "int32"
 

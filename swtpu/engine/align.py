@@ -76,6 +76,28 @@ def _as_codes(seq, alphabet: str = DNA_ALPHABET) -> np.ndarray:
     return np.asarray(seq, dtype=np.int8)
 
 
+def _resolve_traceback_method(m: int, n: int, config: EngineConfig) -> str:
+    """Resolve traceback_method='auto' for this problem and platform.
+
+    The full-P route's cost is not just memory: on TPU it fetches the
+    whole m*n int8 P matrix through the device tunnel, which becomes the
+    wall above ~16 Mcells while the windowed refill stays ~1 s flat
+    (measured crossover table: EngineConfig.tpu_full_p_fetch_max_cells).
+    Banded problems always take full-P — the lean fills would silently
+    drop the band, and a full-matrix alignment where a banded one was
+    requested is a wrong answer."""
+    method = config.traceback_method
+    if method == "auto":
+        cap = config.full_p_max_cells
+        from ..dispatch.plan import current_platform
+        if current_platform() == "tpu":
+            cap = min(cap, config.tpu_full_p_fetch_max_cells)
+        method = "full" if m * n <= cap else "windowed"
+    if config.band is not None:
+        method = "full"
+    return method
+
+
 def align(
     a: Union[str, np.ndarray],
     b: Union[str, np.ndarray],
@@ -210,11 +232,7 @@ def align(
     # silently drop the band (the anchored-reverse pass needs an
     # off-centre band the kernels don't model), and a full-matrix
     # alignment where a banded one was requested is a wrong answer.
-    method = config.traceback_method
-    if method == "auto":
-        method = "full" if m * n <= config.full_p_max_cells else "windowed"
-    if config.band is not None:
-        method = "full"
+    method = _resolve_traceback_method(m, n, config)
     if (want_tb and method in ("windowed", "hirschberg")
             and not return_matrices):
         from . import traceback as tb

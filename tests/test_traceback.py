@@ -461,3 +461,30 @@ def test_asymmetric_sub_lean_traceback_stripe_path(monkeypatch):
                 else int(S["ACGT".index(x), "ACGT".index(y)])
                 for x, y in zip(ra, rb))
         assert s == ref.max_score, fn.__name__
+
+
+def test_traceback_method_auto_is_fetch_aware_on_tpu(monkeypatch):
+    """On TPU the full-P route fetches the whole m*n P matrix through the
+    device tunnel — measured 22.8 s at 12800^2 vs ~1 s windowed
+    (bench_results/traceback_crossover_r5.jsonl). method='auto' must
+    therefore cap full-P at tpu_full_p_fetch_max_cells on TPU while CPU
+    keeps the memory-only full_p_max_cells bound."""
+    from swtpu.core.config import EngineConfig
+    from swtpu.dispatch import plan as planmod
+    from swtpu.engine.align import _resolve_traceback_method
+
+    cfg = EngineConfig()
+    side = 1 << 13        # side*side == 1<<26 cells: between the caps
+
+    monkeypatch.setattr(planmod, "current_platform", lambda: "cpu")
+    assert _resolve_traceback_method(side, side, cfg) == "full"
+
+    monkeypatch.setattr(planmod, "current_platform", lambda: "tpu")
+    assert _resolve_traceback_method(side, side, cfg) == "windowed"
+    assert _resolve_traceback_method(4096, 4096, cfg) == "full"
+
+    # explicit method and band always win over the platform cap
+    assert _resolve_traceback_method(
+        side, side, EngineConfig(traceback_method="full")) == "full"
+    assert _resolve_traceback_method(
+        side, side, EngineConfig(band=64)) == "full"
