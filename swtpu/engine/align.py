@@ -76,22 +76,39 @@ def _as_codes(seq, alphabet: str = DNA_ALPHABET) -> np.ndarray:
     return np.asarray(seq, dtype=np.int8)
 
 
-def _resolve_traceback_method(m: int, n: int, config: EngineConfig) -> str:
+def _resolve_traceback_method(m: int, n: int, config: EngineConfig,
+                              scoring: Optional[Scoring] = None,
+                              substitution=None) -> str:
     """Resolve traceback_method='auto' for this problem and platform.
 
     The full-P route's cost is not just memory: on TPU it fetches the
     whole m*n int8 P matrix through the device tunnel, which becomes the
     wall above ~16 Mcells while the windowed refill stays ~1 s flat
     (measured crossover table: EngineConfig.tpu_full_p_fetch_max_cells).
-    Banded problems always take full-P — the lean fills would silently
-    drop the band, and a full-matrix alignment where a banded one was
-    requested is a wrong answer."""
+    The TPU cap only applies when the lean route is eligible: the
+    windowed/hirschberg locate pass needs negative penalties (same gate
+    as every stripe/lean route), so non-negative-penalty scorings keep
+    the exact full-P walk up to the memory bound instead of being routed
+    into a pass that would reject them. Banded problems always take
+    full-P — the lean fills would silently drop the band, and a
+    full-matrix alignment where a banded one was requested is a wrong
+    answer. NOTE: inside the TPU range (tpu_full_p_fetch_max_cells,
+    full_p_max_cells] the lean route returns an equal-score alignment
+    that may differ from the reference DIAG>UP>LEFT tie-broken path;
+    pin traceback_method='full' where bit-identical paths matter more
+    than the 20x wall-time cliff."""
     method = config.traceback_method
     if method == "auto":
         cap = config.full_p_max_cells
         from ..dispatch.plan import current_platform
         if current_platform() == "tpu":
-            cap = min(cap, config.tpu_full_p_fetch_max_cells)
+            from ..kernels.pallas_fill import (_penalties_negative,
+                                               _sub_gaps_ok)
+            lean_ok = (scoring is None
+                       or (_sub_gaps_ok(scoring) if substitution is not None
+                           else _penalties_negative(scoring)))
+            if lean_ok:
+                cap = min(cap, config.tpu_full_p_fetch_max_cells)
         method = "full" if m * n <= cap else "windowed"
     if config.band is not None:
         method = "full"
@@ -227,12 +244,9 @@ def align(
         plan = "scan"      # band / out-of-range codes: device plans
 
     # memory-lean traceback path: skip P capture entirely, use
-    # locate + windowed refill / Hirschberg (engine/traceback.py).
-    # Banded problems always use the full-P path: the lean fills would
-    # silently drop the band (the anchored-reverse pass needs an
-    # off-centre band the kernels don't model), and a full-matrix
-    # alignment where a banded one was requested is a wrong answer.
-    method = _resolve_traceback_method(m, n, config)
+    # locate + windowed refill / Hirschberg (engine/traceback.py);
+    # routing rationale in _resolve_traceback_method's docstring
+    method = _resolve_traceback_method(m, n, config, scoring, sub_np)
     if (want_tb and method in ("windowed", "hirschberg")
             and not return_matrices):
         from . import traceback as tb

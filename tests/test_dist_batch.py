@@ -601,16 +601,14 @@ def test_pairs_packed_balanced_default_stripes():
 
     # (a) geometry at the bench shape: 64 x 1056 -> R=32, ntot=67584
     # lanes = 16.5 sub-blocks -> 2 stripes of sub=9 (T=36864), NOT one
-    # full + one 3%-used stripe at the old T=65536.
+    # full + one 3%-used stripe at the old T=65536. Pin the PRODUCTION
+    # chooser's output (fn.config), not a re-derivation of its formula.
     R, rlen, lpp = packed_pairs_geometry(1056)
     assert (R, rlen, lpp) == (32, 1056, 33)
-    ntot = 64 * rlen
-    sub_total = -(-ntot // (LANES * R))
-    assert sub_total == 17
-    ns = -(-sub_total // 16)
-    sub = -(-sub_total // ns)
-    assert (ns, sub, LANES * sub * R) == (2, 9, 36864)
-    assert -(-ntot // (LANES * sub * R)) == 2      # still 2 stripes
+    fn_bench = pairs_packed_score_fn(64, 1056, 1056, interpret=True)
+    assert fn_bench.config["T"] == 36864, fn_bench.config
+    assert fn_bench.config["num_stripes"] == 2, fn_bench.config
+    assert LANES * 9 * R == 36864                  # 2 balanced sub=9
 
     # (b) exactness through the default-T multi-stripe path (R=2 keeps
     # the interpret-mode fill small: ntot=5400 > 16*128*2 -> 2 stripes

@@ -488,3 +488,17 @@ def test_traceback_method_auto_is_fetch_aware_on_tpu(monkeypatch):
         side, side, EngineConfig(traceback_method="full")) == "full"
     assert _resolve_traceback_method(
         side, side, EngineConfig(band=64)) == "full"
+
+    # the TPU cap only applies when the lean route is ELIGIBLE: the
+    # windowed locate pass needs negative penalties, so a non-negative-
+    # penalty scoring must keep the exact full-P walk up to the memory
+    # bound instead of being routed into a pass that would reject it
+    from swtpu.core.config import Scoring
+    assert _resolve_traceback_method(
+        side, side, cfg, Scoring(match=3, mismatch=-3, gap=0)) == "full"
+    assert _resolve_traceback_method(
+        side, side, cfg, Scoring()) == "windowed"
+    # ... but the memory bound still applies to ineligible scorings
+    big = 1 << 15          # big*big == 1<<30 > full_p_max_cells
+    assert _resolve_traceback_method(
+        big, big, cfg, Scoring(match=3, mismatch=-3, gap=0)) == "windowed"
