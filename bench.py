@@ -255,6 +255,30 @@ def bench_host_tiny():
     return round(best * 1e6, 1)
 
 
+def bench_full_align():
+    """Capability extra: full align()+traceback wall time at the headline
+    size — the phase the reference compiles OUT of its benches
+    (-DSKIP_BACKTRACK=1, makefile:9). The fetch-aware auto route (round
+    5) keeps this ~1 s flat from 8192^2 up: locate + device-resident
+    window walk instead of fetching the m*n P matrix through the tunnel
+    (DESIGN.md 'Traceback-route crossover'). Returns warm min-of-3
+    seconds for a 25632^2 exact local alignment."""
+    import time
+
+    from swtpu import align
+    from swtpu.core.encode import random_pair
+
+    a, b = random_pair(M, N, seed=0)
+    r = align(a, b, traceback=True)               # warm / compile
+    assert r.aligned_a, "traceback produced no alignment"
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        align(a, b, traceback=True)
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 3)
+
+
 def _time_min(call, k=K, reps=3):
     """min-of-reps x k back-to-back dispatches (the CLAUDE.md noisy-chip
     methodology, shared by the headline and every extra)."""
@@ -408,6 +432,11 @@ def _measure_and_print():
             details["host_tier_64sq_latency_us"] = bench_host_tiny()
         except Exception as e:
             details["host_tier_64sq_latency_us"] = \
+                f"failed: {type(e).__name__}"
+        try:
+            details["align_traceback_25632sq_s"] = bench_full_align()
+        except Exception as e:
+            details["align_traceback_25632sq_s"] = \
                 f"failed: {type(e).__name__}"
     print(json.dumps({
         "metric": "single_chip_fill_GCUPS",
